@@ -1,0 +1,191 @@
+"""Pure-Python/numpy brute-force oracle — the rank/score ground truth.
+
+Implements the reference's scoring contract exactly (SURVEY.md §2.8):
+BM25 idf / avgdl / SmallFloat norms / float32 score operation order /
+double accumulation for clause sums / score-desc-doc-asc tie-break
+(``search/HitQueue.java:76-82``). Every engine query result must be
+score- and rank-identical to this oracle (FIXTURES.md §3). No pruning,
+no compression — everything brute force over in-memory postings.
+
+Doc ID assignment matches the engine rule (SURVEY.md §4.4):
+``pid = pmod(murmur3(url), num_segments)``; within a segment docs sort
+by url; ``doc_id = doc_base[pid] + local_rank``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from lucene_spark.analysis.analyzer import Analyzer, ENGLISH
+from lucene_spark.similarity import bm25
+from lucene_spark.search import ast
+from lucene_spark.util.smallfloat import int_to_byte4_np
+from lucene_spark.util.spark_hash import pmod_partition
+
+
+@dataclass
+class OracleIndex:
+    doc_count: int
+    sum_total_tf: int
+    urls: list  # doc_id -> url
+    norms: np.ndarray  # uint8 per doc_id
+    postings: dict  # term -> (doc_ids int64[], tfs int64[], positions list[np.ndarray])
+    analyzer: Analyzer
+
+    @staticmethod
+    def build(
+        rows: "list[dict]",
+        num_segments: int = 4,
+        analyzer: Analyzer = ENGLISH,
+        text_col: str = "text",
+        key_col: str = "url",
+    ) -> "OracleIndex":
+        # segment assignment + doc id rule (must match the engine)
+        pids = [pmod_partition(str(r[key_col]), num_segments) for r in rows]
+        by_pid: dict[int, list] = {}
+        for r, p in zip(rows, pids):
+            by_pid.setdefault(p, []).append(r)
+        ordered: list[dict] = []
+        for p in sorted(by_pid):
+            ordered.extend(sorted(by_pid[p], key=lambda r: str(r[key_col])))
+        urls = [str(r[key_col]) for r in ordered]
+
+        postings: dict[str, dict[int, list[int]]] = {}
+        lengths = np.zeros(len(ordered), dtype=np.int64)
+        for doc_id, r in enumerate(ordered):
+            terms, positions = analyzer.tokenize_one(r[text_col] or "")
+            lengths[doc_id] = len(terms)
+            for t, p in zip(terms, positions):
+                postings.setdefault(t, {}).setdefault(doc_id, []).append(p)
+        packed: dict[str, tuple] = {}
+        for t, docs in postings.items():
+            doc_ids = np.array(sorted(docs), dtype=np.int64)
+            tfs = np.array([len(docs[d]) for d in doc_ids], dtype=np.int64)
+            pos = [np.array(docs[d], dtype=np.int64) for d in doc_ids]
+            packed[t] = (doc_ids, tfs, pos)
+        return OracleIndex(
+            doc_count=len(ordered),
+            sum_total_tf=int(lengths.sum()),
+            urls=urls,
+            norms=int_to_byte4_np(lengths),
+            postings=packed,
+            analyzer=analyzer,
+        )
+
+    # ---- stats ----
+    def doc_freq(self, term: str) -> int:
+        e = self.postings.get(term)
+        return 0 if e is None else int(e[0].size)
+
+    def avgdl(self) -> float:
+        return bm25.avgdl(self.sum_total_tf, self.doc_count)
+
+    def _scorer(self, idf_value: float) -> bm25.BM25Scorer:
+        return bm25.BM25Scorer.build(idf_value, self.avgdl())
+
+    # ---- scoring (recursive; returns sorted doc ids + f32 scores) ----
+    def score_query(self, q: ast.Query) -> tuple[np.ndarray, np.ndarray]:
+        q = ast.rewrite(q)
+        if isinstance(q, ast.MatchNoDocsQuery):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        if isinstance(q, ast.MatchAllDocsQuery):
+            docs = np.arange(self.doc_count, dtype=np.int64)
+            return docs, np.ones(docs.size, np.float32)
+        if isinstance(q, ast.TermQuery):
+            e = self.postings.get(q.term)
+            if e is None:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            docs, tfs, _ = e
+            sc = self._scorer(bm25.idf(docs.size, self.doc_count))
+            return docs, sc.score(tfs, self.norms[docs])
+        if isinstance(q, ast.PhraseQuery):
+            return self._score_phrase(q)
+        if isinstance(q, ast.BooleanQuery):
+            return self._score_bool(q)
+        raise TypeError(f"unsupported query {q!r}")
+
+    def _score_phrase(self, q: ast.PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
+        entries = [self.postings.get(t) for t in q.terms]
+        if any(e is None for e in entries):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        # doc-level intersection
+        docs = entries[0][0]
+        for e in entries[1:]:
+            docs = np.intersect1d(docs, e[0], assume_unique=True)
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        freqs = np.zeros(docs.size, dtype=np.int64)
+        for i, d in enumerate(docs):
+            # candidate start positions: positions of term0 shifted to offset 0
+            cand = None
+            for e, rel in zip(entries, q.positions):
+                j = int(np.searchsorted(e[0], d))
+                pos = e[2][j] - rel
+                cand = pos if cand is None else np.intersect1d(cand, pos, assume_unique=False)
+                if cand.size == 0:
+                    break
+            freqs[i] = 0 if cand is None else cand.size
+        hit = freqs > 0
+        docs, freqs = docs[hit], freqs[hit]
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        idf_sum = bm25.idf_phrase(
+            [self.doc_freq(t) for t in q.terms], self.doc_count
+        )
+        sc = self._scorer(idf_sum)
+        return docs, sc.score(freqs, self.norms[docs])
+
+    def _score_bool(self, q: ast.BooleanQuery) -> tuple[np.ndarray, np.ndarray]:
+        scored: list[tuple[np.ndarray, np.ndarray]] = []  # contribute to score
+        must_sets: list[np.ndarray] = []
+        for c in q.must:
+            d, s = self.score_query(c)
+            scored.append((d, s))
+            must_sets.append(d)
+        for c in q.filter:
+            d, _ = self.score_query(c)
+            must_sets.append(d)
+        should = [self.score_query(c) for c in q.should]
+        msm = q.min_should_match
+
+        if must_sets:
+            cand = must_sets[0]
+            for d in must_sets[1:]:
+                cand = np.intersect1d(cand, d, assume_unique=True)
+        else:
+            # pure disjunction: union of should docs
+            if not should:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            cand = np.unique(np.concatenate([d for d, _ in should])) if should else np.empty(0, np.int64)
+        # min_should_match among should clauses
+        if should and (msm > 0 or not must_sets):
+            need = max(msm, 1) if not must_sets else msm
+            if need > 0:
+                cnt = np.zeros(cand.size, dtype=np.int64)
+                for d, _ in should:
+                    cnt += np.isin(cand, d, assume_unique=True)
+                cand = cand[cnt >= need]
+        for c in q.must_not:
+            d, _ = self.score_query(c)
+            cand = np.setdiff1d(cand, d, assume_unique=True)
+        if cand.size == 0:
+            return cand.astype(np.int64), np.empty(0, np.float32)
+        # score: double accumulation of matching scoring clauses, f32 cast
+        acc = np.zeros(cand.size, dtype=np.float64)
+        for d, s in scored + should:
+            idx = np.searchsorted(d, cand)
+            idx = np.clip(idx, 0, max(d.size - 1, 0))
+            m = (d.size > 0) & (d[idx] == cand) if d.size else np.zeros(cand.size, bool)
+            acc[m] += s[idx[m]].astype(np.float64)
+        return cand, acc.astype(np.float32)
+
+    def top_k(self, q: ast.Query, k: int = 10) -> "list[tuple[int, float, str]]":
+        docs, scores = self.score_query(q)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        return [
+            (int(docs[i]), float(scores[i]), self.urls[int(docs[i])]) for i in order
+        ]

@@ -1,0 +1,117 @@
+"""Query AST — the logical algebra of SURVEY.md §2.2.
+
+Mirrors the reference's Query classes (``search/TermQuery.java``,
+``search/BooleanQuery.java:45-147``, ``search/PhraseQuery.java:76-153``)
+as plain dataclasses, plus the Boolean simplification rewrites of
+``BooleanQuery.java:269-330`` (empty -> no-match, single-clause
+inlining, nested flattening).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Query:
+    pass
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    # terms with their query positions (holes allowed for stopword gaps:
+    # PhraseQuery supports explicit positions; analyzer-produced gaps keep
+    # original position indices)
+    terms: tuple
+    positions: tuple
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    must: tuple = field(default=())
+    should: tuple = field(default=())
+    must_not: tuple = field(default=())
+    filter: tuple = field(default=())
+    min_should_match: int = 0
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+def rewrite(q: Query) -> Query:
+    """Boolean simplifications to fixpoint (BooleanQuery.java:269-330,
+    IndexSearcher.rewrite loop at IndexSearcher.java:860)."""
+    while True:
+        q2 = _rewrite_once(q)
+        if q2 == q:
+            return q
+        q = q2
+
+
+def _rewrite_once(q: Query) -> Query:
+    if not isinstance(q, BooleanQuery):
+        return q
+    must = tuple(rewrite(c) for c in q.must)
+    should = tuple(rewrite(c) for c in q.should)
+    must_not = tuple(rewrite(c) for c in q.must_not)
+    filt = tuple(rewrite(c) for c in q.filter)
+    # MatchNoDocs propagation
+    if any(isinstance(c, MatchNoDocsQuery) for c in must + filt):
+        return MatchNoDocsQuery()
+    should = tuple(c for c in should if not isinstance(c, MatchNoDocsQuery))
+    must_not = tuple(c for c in must_not if not isinstance(c, MatchNoDocsQuery))
+    if not must and not should and not filt:
+        return MatchNoDocsQuery()  # pure-negative or empty
+    if q.min_should_match > len(should) and not (must or filt) :
+        return MatchNoDocsQuery()
+    # single scoring clause inlining
+    if len(must) == 1 and not should and not must_not and not filt:
+        return must[0]
+    if len(should) == 1 and not must and not must_not and not filt and q.min_should_match <= 1:
+        return should[0]
+    # flatten nested pure-SHOULD disjunctions / pure-MUST conjunctions
+    new_should = []
+    for c in should:
+        if isinstance(c, BooleanQuery) and c.should and not (c.must or c.must_not or c.filter) and c.min_should_match <= 1:
+            new_should.extend(c.should)
+        else:
+            new_should.append(c)
+    new_must = []
+    for c in must:
+        if isinstance(c, BooleanQuery) and c.must and not (c.should or c.must_not or c.filter):
+            new_must.extend(c.must)
+        else:
+            new_must.append(c)
+    return BooleanQuery(
+        must=tuple(new_must),
+        should=tuple(new_should),
+        must_not=must_not,
+        filter=filt,
+        min_should_match=q.min_should_match,
+    )
+
+
+def query_terms(q: Query) -> set:
+    """All terms a query touches (for postings pruning)."""
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, BooleanQuery):
+        out: set = set()
+        for c in q.must + q.should + q.must_not + q.filter:
+            out |= query_terms(c)
+        return out
+    return set()

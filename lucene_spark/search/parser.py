@@ -1,0 +1,98 @@
+"""Parser for the reference query-set syntax.
+
+Covers the shapes of ``lucene/benchmark/conf/query-terms.txt`` /
+``query-phrases.txt`` (see SURVEY.md §3.3): bare terms, ``a AND b``,
+``x OR y``, parentheses, and ``"quoted phrases"``. Query terms get the
+same analysis as indexed text (``QueryParserBase`` runs the analyzer on
+each clause), so phrases with stopwords acquire position gaps.
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucene_spark.analysis.analyzer import Analyzer
+from lucene_spark.search.ast import (
+    BooleanQuery,
+    MatchNoDocsQuery,
+    PhraseQuery,
+    Query,
+    TermQuery,
+    rewrite,
+)
+
+_TOK = re.compile(r'"[^"]*"|\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+')
+
+
+def parse(query: str, analyzer: Analyzer) -> Query:
+    tokens = _TOK.findall(query)
+    q, rest = _parse_or(tokens, 0, analyzer)
+    if rest != len(tokens):
+        raise ValueError(f"trailing tokens in query: {query!r}")
+    return rewrite(q)
+
+
+def _parse_or(toks, i, analyzer):
+    left, i = _parse_and(toks, i, analyzer)
+    clauses = [left]
+    while i < len(toks) and toks[i] == "OR":
+        right, i = _parse_and(toks, i + 1, analyzer)
+        clauses.append(right)
+    if len(clauses) == 1:
+        return left, i
+    return BooleanQuery(should=tuple(clauses), min_should_match=1), i
+
+
+def _parse_and(toks, i, analyzer):
+    left, i = _parse_unit(toks, i, analyzer)
+    must = [left]
+    must_not: list[Query] = []
+    while i < len(toks) and toks[i] in ("AND", "NOT"):
+        op = toks[i]
+        if op == "AND" and i + 1 < len(toks) and toks[i + 1] == "NOT":
+            right, i = _parse_unit(toks, i + 2, analyzer)
+            must_not.append(right)
+        elif op == "NOT":
+            right, i = _parse_unit(toks, i + 1, analyzer)
+            must_not.append(right)
+        else:
+            right, i = _parse_unit(toks, i + 1, analyzer)
+            must.append(right)
+    if len(must) == 1 and not must_not:
+        return must[0], i
+    return BooleanQuery(must=tuple(must), must_not=tuple(must_not)), i
+
+
+def _parse_unit(toks, i, analyzer):
+    if i >= len(toks):
+        raise ValueError("unexpected end of query")
+    t = toks[i]
+    if t == "(":
+        q, i = _parse_or(toks, i + 1, analyzer)
+        if i >= len(toks) or toks[i] != ")":
+            raise ValueError("missing )")
+        return q, i + 1
+    if t.startswith('"'):
+        return _phrase(t[1:-1], analyzer), i + 1
+    # single clause: analyze; may expand to several tokens -> phrase-like?
+    # Lucene's classic QueryParser turns a multi-token analysis of one
+    # whitespace clause into a phrase/boolean; our clauses are single terms.
+    terms, positions = analyzer.tokenize_one(t)
+    if not terms:
+        return MatchNoDocsQuery(), i + 1
+    if len(terms) == 1:
+        return TermQuery(terms[0]), i + 1
+    return PhraseQuery(terms=tuple(terms), positions=tuple(positions)), i + 1
+
+
+def _phrase(text: str, analyzer: Analyzer) -> Query:
+    terms, positions = analyzer.tokenize_one(text)
+    if not terms:
+        return MatchNoDocsQuery()
+    if len(terms) == 1:
+        return TermQuery(terms[0])
+    # normalize positions to start at the first surviving token's position,
+    # preserving gaps (stopword holes) — PhraseQuery.Builder.add semantics
+    base = positions[0]
+    rel = tuple(p - base for p in positions)
+    return PhraseQuery(terms=tuple(terms), positions=rel)
