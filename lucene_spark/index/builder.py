@@ -1,0 +1,352 @@
+"""Distributed inverted-index build: DataFrame -> immutable segments.
+
+The Spark translation of SURVEY.md §3.1: one shuffle
+(``groupBy(pid = pmod(hash(url), P))``) then an embarrassingly parallel
+per-group segment build — each group plays the role of one Lucene DWPT
+(``index/DocumentsWriterPerThread.java``): analyze, invert, block-encode
+postings, write one immutable segment, emit a manifest row. Commit =
+write ``commits/gen_N.json`` listing all segments (the ``segments_N``
+analog, ``index/SegmentInfos.java:55-106``).
+
+Scale design (10^12 docs):
+- The only shuffle is the hash repartition; P (num_segments) is chosen so
+  one segment's docs fit a task (e.g. 2-8M web pages / 1-4 GB text).
+- Doc IDs are deterministic: ``doc_id = doc_base(pid) + rank(url within
+  segment)`` — reproducible builds, reproducible tie-breaks.
+- Resume: each task first checks its segment manifest; if present with a
+  matching input hash it returns the recorded metrics without rebuilding
+  (idempotent re-run after failure = only missing segments rebuild).
+- Lineage + metrics per segment: input hash, doc/term/postings counts,
+  encoded bytes (the north rule's checkpoint/lineage/metrics contract).
+
+Segment layout under ``index_dir`` (hive-partitioned so Spark reads get
+a ``segment_id`` column and partition pruning):
+    postings/segment_id=<sid>/data.parquet   sorted by term (min/max
+        row-group stats give term pruning — the .tip/FST analog)
+    term_stats/segment_id=<sid>/data.parquet (term, doc_freq, total_tf)
+    norms/segment_id=<sid>/data.parquet      one row: packed norm bytes
+        (the .nvd analog) + doc_base + counts
+    docmap/segment_id=<sid>/data.parquet     (doc_id, url)
+    manifest/segment_<sid>.json              lineage + metrics
+    commits/gen_<N>.json                     commit point
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lucene_spark.analysis.analyzer import Analyzer, ENGLISH
+
+POSTINGS_ROW_GROUP = 4096  # small row groups -> effective term min/max pruning
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    key_col: str = "url"
+    text_col: str = "text"
+    num_segments: int = 8
+    analyzer: Analyzer = field(default_factory=lambda: ENGLISH)
+    store_positions: bool = True
+    generation: int = 1
+
+
+def _segment_id(generation: int, pid: int) -> str:
+    return f"g{generation:04d}p{pid:05d}"
+
+
+def _input_hash(urls, texts) -> str:
+    h = hashlib.sha256()
+    for u, t in zip(urls, texts):
+        h.update(u.encode("utf-8"))
+        h.update(b"\x00")
+        h.update(hashlib.sha1((t or "").encode("utf-8")).digest())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def invert_partition(urls, texts, analyzer: Analyzer, store_positions: bool = True):
+    """Pure function: one segment's docs (url-sorted) -> encoded postings.
+
+    Returns (block_rows, term_stat_rows, norms_bytes, sum_total_tf).
+    All heavy lifting is vectorized numpy over the batch tokenization
+    (the IndexingChain.processDocument/invert analog, SURVEY §2.1).
+    """
+    from lucene_spark.codec.blocks import encode_term_postings
+    from lucene_spark.util.smallfloat import int_to_byte4_np
+
+    doc_idx, terms, positions, counts = analyzer.tokenize_batch(texts)
+    norms = int_to_byte4_np(counts)
+    block_rows: list = []
+    term_stats: list = []
+    if terms.size:
+        # sort tokens by (term, doc, position): FreqProxTermsWriter.flush
+        uniq, codes = np.unique(terms, return_inverse=True)
+        order = np.lexsort((positions, doc_idx, codes))
+        codes_s = codes[order]
+        docs_s = doc_idx[order].astype(np.int64)
+        pos_s = positions[order].astype(np.int64)
+        term_bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(codes_s)) + 1, [codes_s.size])
+        )
+        for ti in range(uniq.size):
+            s, e = term_bounds[ti], term_bounds[ti + 1]
+            d = docs_s[s:e]
+            p = pos_s[s:e]
+            # per-doc tf within this term
+            doc_change = np.concatenate(([True], d[1:] != d[:-1]))
+            doc_ids = d[doc_change]
+            tf = np.diff(np.concatenate((np.flatnonzero(doc_change), [d.size])))
+            rows = encode_term_postings(
+                doc_ids, tf, p, norms, with_positions=store_positions
+            )
+            term = str(uniq[ti])
+            for r in rows:
+                r["term"] = term
+            block_rows.extend(rows)
+            term_stats.append(
+                {"term": term, "doc_freq": int(doc_ids.size), "total_tf": int(tf.sum())}
+            )
+    return block_rows, term_stats, norms.tobytes(), int(counts.sum())
+
+
+def _write_segment_files(
+    index_dir: str,
+    sid: str,
+    block_rows: list,
+    term_stats: list,
+    norms_bytes: bytes,
+    doc_base: int,
+    urls: list,
+    sum_total_tf: int,
+) -> dict:
+    """Write one segment's parquet files (tmp dir + atomic rename)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp_root = os.path.join(index_dir, "_tmp", sid)
+    os.makedirs(tmp_root, exist_ok=True)
+
+    def commit_dir(kind: str) -> str:
+        final = os.path.join(index_dir, kind, f"segment_id={sid}")
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        tmp = os.path.join(tmp_root, kind)
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        return final
+
+    post_tbl = pa.table(
+        {
+            "term": pa.array([r["term"] for r in block_rows], pa.string()),
+            "block_id": pa.array([r["block_id"] for r in block_rows], pa.int32()),
+            "num_docs": pa.array([r["num_docs"] for r in block_rows], pa.int32()),
+            "first_doc": pa.array([r["first_doc"] for r in block_rows], pa.int64()),
+            "last_doc": pa.array([r["last_doc"] for r in block_rows], pa.int64()),
+            "docs_bin": pa.array([r["docs_bin"] for r in block_rows], pa.binary()),
+            "tfs_bin": pa.array([r["tfs_bin"] for r in block_rows], pa.binary()),
+            "pos_bin": pa.array([r["pos_bin"] for r in block_rows], pa.binary()),
+            "impact_tfs": pa.array(
+                [r["impact_tfs"] for r in block_rows], pa.list_(pa.int32())
+            ),
+            "impact_norms": pa.array(
+                [r["impact_norms"] for r in block_rows], pa.list_(pa.int32())
+            ),
+        }
+    )
+    os.makedirs(os.path.join(tmp_root, "postings"), exist_ok=True)
+    pq.write_table(
+        post_tbl,
+        os.path.join(tmp_root, "postings", "data.parquet"),
+        row_group_size=POSTINGS_ROW_GROUP,
+    )
+    ts_tbl = pa.table(
+        {
+            "term": pa.array([r["term"] for r in term_stats], pa.string()),
+            "doc_freq": pa.array([r["doc_freq"] for r in term_stats], pa.int64()),
+            "total_tf": pa.array([r["total_tf"] for r in term_stats], pa.int64()),
+        }
+    )
+    os.makedirs(os.path.join(tmp_root, "term_stats"), exist_ok=True)
+    pq.write_table(ts_tbl, os.path.join(tmp_root, "term_stats", "data.parquet"))
+    norms_tbl = pa.table(
+        {
+            "doc_base": pa.array([doc_base], pa.int64()),
+            "num_docs": pa.array([len(urls)], pa.int64()),
+            "sum_total_tf": pa.array([sum_total_tf], pa.int64()),
+            "norms_bin": pa.array([norms_bytes], pa.binary()),
+        }
+    )
+    os.makedirs(os.path.join(tmp_root, "norms"), exist_ok=True)
+    pq.write_table(norms_tbl, os.path.join(tmp_root, "norms", "data.parquet"))
+    docmap_tbl = pa.table(
+        {
+            "doc_id": pa.array(
+                (doc_base + np.arange(len(urls))).tolist(), pa.int64()
+            ),
+            "url": pa.array(urls, pa.string()),
+        }
+    )
+    os.makedirs(os.path.join(tmp_root, "docmap"), exist_ok=True)
+    pq.write_table(docmap_tbl, os.path.join(tmp_root, "docmap", "data.parquet"))
+
+    postings_bytes = sum(
+        len(r["docs_bin"]) + len(r["tfs_bin"]) + len(r["pos_bin"])
+        for r in block_rows
+    )
+    for kind in ("postings", "term_stats", "norms", "docmap"):
+        commit_dir(kind)
+    try:
+        os.rmdir(tmp_root)
+    except OSError:
+        pass
+    return {"postings_bytes": int(postings_bytes)}
+
+
+def build_segment_pdf(
+    pdf,
+    index_dir: str,
+    config: IndexConfig,
+    doc_base_map: dict,
+):
+    """The applyInPandas body: one pandas group (== one segment) in, one
+    manifest row out. Checks the segment manifest first (resume)."""
+    import pandas as pd
+
+    pid = int(pdf["__pid"].iloc[0])
+    sid = _segment_id(config.generation, pid)
+    pdf = pdf.sort_values(config.key_col, kind="mergesort")
+    urls = pdf[config.key_col].astype(str).tolist()
+    texts = pdf[config.text_col].fillna("").astype(str).tolist()
+    ih = _input_hash(urls, texts)
+    manifest_dir = os.path.join(index_dir, "manifest")
+    os.makedirs(manifest_dir, exist_ok=True)
+    manifest_path = os.path.join(manifest_dir, f"segment_{sid}.json")
+    doc_base = int(doc_base_map[pid])
+
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        if m.get("input_hash") == ih and m.get("doc_base") == doc_base:
+            m["status"] = "resumed"
+            return pd.DataFrame([_manifest_row(m)])
+
+    t0 = time.time()
+    block_rows, term_stats, norms_bytes, sum_tf = invert_partition(
+        urls, texts, config.analyzer, config.store_positions
+    )
+    extra = _write_segment_files(
+        index_dir, sid, block_rows, term_stats, norms_bytes, doc_base, urls, sum_tf
+    )
+    m = {
+        "segment_id": sid,
+        "pid": pid,
+        "generation": config.generation,
+        "doc_base": doc_base,
+        "num_docs": len(urls),
+        "num_terms": len(term_stats),
+        "num_postings": int(sum(r["num_docs"] for r in block_rows)),
+        "sum_total_tf": sum_tf,
+        "postings_bytes": extra["postings_bytes"],
+        "input_hash": ih,
+        "build_secs": round(time.time() - t0, 3),
+        "status": "built",
+    }
+    _atomic_write_json(manifest_path, m)
+    return pd.DataFrame([_manifest_row(m)])
+
+
+_MANIFEST_SCHEMA = (
+    "segment_id string, pid int, doc_base long, num_docs long, num_terms long, "
+    "num_postings long, sum_total_tf long, postings_bytes long, "
+    "input_hash string, status string"
+)
+
+
+def _manifest_row(m: dict) -> dict:
+    return {
+        "segment_id": m["segment_id"],
+        "pid": int(m["pid"]),
+        "doc_base": int(m["doc_base"]),
+        "num_docs": int(m["num_docs"]),
+        "num_terms": int(m["num_terms"]),
+        "num_postings": int(m["num_postings"]),
+        "sum_total_tf": int(m["sum_total_tf"]),
+        "postings_bytes": int(m["postings_bytes"]),
+        "input_hash": m["input_hash"],
+        "status": m["status"],
+    }
+
+
+def build_index(spark, df, index_dir: str, config: IndexConfig | None = None) -> dict:
+    """Build (or resume) an index over ``df`` and commit it.
+
+    df must contain ``config.key_col`` (unique) and ``config.text_col``.
+    Returns the commit dict (also written to ``commits/gen_N.json``).
+    """
+    import pyspark.sql.functions as F
+
+    config = config or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    p = config.num_segments
+    keyed = df.select(
+        F.col(config.key_col).cast("string").alias(config.key_col),
+        F.col(config.text_col).alias(config.text_col),
+    ).withColumn("__pid", F.pmod(F.hash(F.col(config.key_col)), F.lit(p)))
+
+    # tiny aggregation: docs per segment -> deterministic doc_base
+    counts = {r["__pid"]: r["cnt"] for r in keyed.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    doc_base_map: dict[int, int] = {}
+    base = 0
+    for pid in sorted(counts):
+        doc_base_map[pid] = base
+        base += counts[pid]
+
+    cfg = config
+    idx_dir = index_dir
+
+    def fn(pdf):
+        return build_segment_pdf(pdf, idx_dir, cfg, doc_base_map)
+
+    manifest_df = keyed.groupBy("__pid").applyInPandas(fn, schema=_MANIFEST_SCHEMA)
+    rows = [r.asDict() for r in manifest_df.collect()]
+    rows.sort(key=lambda r: r["pid"])
+    commit = {
+        "generation": config.generation,
+        "segments": rows,
+        "doc_count": int(sum(r["num_docs"] for r in rows)),
+        "sum_total_tf": int(sum(r["sum_total_tf"] for r in rows)),
+        "num_segments": len(rows),
+        "key_col": config.key_col,
+        "text_col": config.text_col,
+        "stopwords": sorted(config.analyzer.stopwords),
+        "store_positions": config.store_positions,
+    }
+    os.makedirs(os.path.join(index_dir, "commits"), exist_ok=True)
+    _atomic_write_json(
+        os.path.join(index_dir, "commits", f"gen_{config.generation:06d}.json"), commit
+    )
+    return commit
+
+
+def read_latest_commit(index_dir: str) -> dict:
+    cdir = os.path.join(index_dir, "commits")
+    gens = sorted(f for f in os.listdir(cdir) if f.startswith("gen_"))
+    if not gens:
+        raise FileNotFoundError(f"no commits under {cdir}")
+    with open(os.path.join(cdir, gens[-1])) as f:
+        return json.load(f)

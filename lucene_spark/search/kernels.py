@@ -1,0 +1,424 @@
+"""Per-segment scoring kernels: exhaustive baseline + block-max pruned top-k.
+
+Implements the dynamic-pruning machinery of SURVEY.md §2.9 in vectorized
+numpy (block/window-at-a-time, no per-posting Python):
+
+- Exhaustive: decode-everything brute force — the semantic baseline
+  (Catalyst's ORDER BY score LIMIT k analog) used for differential tests.
+- Term:   block skipping by impact-derived block-max score
+  (``search/ImpactsDISI.java:28-123``).
+- OR:     window-at-a-time MAXSCORE over 4096-doc windows
+  (``search/MaxScoreBulkScorer.java:28-51``): skip a window when the sum
+  of per-term window bounds cannot beat the current threshold.
+- AND:    block-max conjunction led by the rarest term
+  (``search/BlockMaxConjunctionBulkScorer.java:30-39``): lead blocks are
+  skipped on range mismatch or insufficient score bound.
+- Phrase: two-phase — doc-level conjunction approximation, then position
+  verification (``search/PhraseScorer.java:45-68`` /
+  ``ExactPhraseMatcher.java:108-160``); impact bounds from member terms
+  are valid because phraseFreq <= any member tf (monotonicity).
+
+Pruning engages only after ``total_hits_threshold`` (default 1000) hits,
+like ``IndexSearcher.java:100``; it is rank-safe (bounds are true upper
+bounds), so pruned == exhaustive == oracle on every query — asserted by
+the differential test suite.
+
+Float contract: leaf scores in the query dtype ('f32' = Lucene float32
+semantics); clause sums accumulate in float64 and cast back to f32 once
+(``search/WANDScorer.java:553-565``, ``ConjunctionScorer.java:57``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_spark.search import ast
+from lucene_spark.search.segment import SegmentView, TermBlocks
+
+TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.java:100
+WINDOW = 4096  # MaxScoreBulkScorer window / BooleanScorer.java:33-34
+
+
+def _final_scores(acc64: np.ndarray, dtype: str) -> np.ndarray:
+    return acc64.astype(np.float32) if dtype == "f32" else acc64
+
+
+def top_k_select(docs: np.ndarray, scores: np.ndarray, k: int):
+    """Sort by score desc, doc asc (HitQueue.java:76-82), take k."""
+    if docs.size == 0:
+        return docs, scores
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return docs[order], scores[order]
+
+
+class _TopK:
+    """Bounded top-k accumulator with Lucene's tie-break; tracks total hits
+    for the pruning threshold."""
+
+    def __init__(self, k: int, threshold: int):
+        self.k = k
+        self.threshold = threshold
+        self.docs = np.empty(0, np.int64)
+        self.scores = np.empty(0, np.float64)
+        self.hits = 0
+
+    def update(self, docs: np.ndarray, scores64: np.ndarray) -> None:
+        self.hits += int(docs.size)
+        if docs.size == 0:
+            return
+        d = np.concatenate([self.docs, docs])
+        s = np.concatenate([self.scores, scores64])
+        order = np.lexsort((d, -s))[: self.k]
+        self.docs, self.scores = d[order], s[order]
+
+    @property
+    def theta(self) -> float:
+        """Current pruning threshold: kth score once the heap is full AND
+        totalHitsThreshold hits were seen; else -inf (no pruning yet)."""
+        if self.docs.size >= self.k and self.hits >= self.threshold:
+            return float(self.scores[-1])
+        return -np.inf
+
+
+# ---------------------------------------------------------------- exhaustive
+
+
+def score_exhaustive(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str):
+    """(local doc ids sorted, scores) of ALL matching docs — brute force."""
+    if isinstance(q, ast.MatchNoDocsQuery):
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    if isinstance(q, ast.MatchAllDocsQuery):
+        d = np.arange(seg.max_doc, dtype=np.int64)
+        return d, np.ones(d.size, np.float64)
+    if isinstance(q, ast.TermQuery):
+        tb = seg.term_blocks(q.term)
+        if tb is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs, tfs = tb.decode_all()
+        s = scorers[("t", q.term)].score(tfs, seg.norms[docs])
+        return docs, s.astype(np.float64)
+    if isinstance(q, ast.PhraseQuery):
+        docs, freqs = _phrase_doc_freqs(seg, q)
+        if docs.size == 0:
+            return docs, np.empty(0, np.float64)
+        s = scorers[("p", q.terms)].score(freqs, seg.norms[docs])
+        return docs, s.astype(np.float64)
+    if isinstance(q, ast.BooleanQuery):
+        return _score_bool_exhaustive(seg, q, scorers, dtype)
+    raise TypeError(f"unsupported query {q!r}")
+
+
+def _clause_score32(seg, q, scorers, dtype):
+    """Clause (docs, per-clause score) with the nested f32 cast applied
+    (each nested scorer returns float in the reference)."""
+    d, s = score_exhaustive(seg, q, scorers, dtype)
+    if dtype == "f32":
+        s = s.astype(np.float32).astype(np.float64)
+    return d, s
+
+
+def _score_bool_exhaustive(seg, q: ast.BooleanQuery, scorers, dtype):
+    scored = [_clause_score32(seg, c, scorers, dtype) for c in q.must]
+    must_sets = [d for d, _ in scored]
+    for c in q.filter:
+        d, _ = score_exhaustive(seg, c, scorers, dtype)
+        must_sets.append(d)
+    should = [_clause_score32(seg, c, scorers, dtype) for c in q.should]
+    msm = q.min_should_match
+    if must_sets:
+        cand = must_sets[0]
+        for d in must_sets[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+    else:
+        if not should:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cand = np.unique(np.concatenate([d for d, _ in should]))
+    if should and (msm > 0 or not must_sets):
+        need = msm if must_sets else max(msm, 1)
+        if need > 0 and cand.size:
+            cnt = np.zeros(cand.size, dtype=np.int64)
+            for d, _ in should:
+                cnt += np.isin(cand, d, assume_unique=True)
+            cand = cand[cnt >= need]
+    for c in q.must_not:
+        d, _ = score_exhaustive(seg, c, scorers, dtype)
+        cand = np.setdiff1d(cand, d, assume_unique=True)
+    if cand.size == 0:
+        return cand.astype(np.int64), np.empty(0, np.float64)
+    acc = np.zeros(cand.size, dtype=np.float64)
+    for d, s in scored + should:
+        if d.size == 0:
+            continue
+        idx = np.searchsorted(d, cand)
+        idx_c = np.minimum(idx, d.size - 1)
+        m = d[idx_c] == cand
+        acc[m] += s[idx_c[m]]
+    return cand, acc
+
+
+# -------------------------------------------------------------- phrase match
+
+
+def _positions_for_docs(tb: TermBlocks, docs: np.ndarray) -> list:
+    """Per requested doc, its position array (doc must be present)."""
+    out: list = [None] * docs.size
+    bidx = np.searchsorted(tb.last_doc, docs, side="left")
+    for b in np.unique(bidx):
+        sel = np.flatnonzero(bidx == b)
+        bd, _ = tb.decode(int(b))
+        flat, bounds = tb.decode_positions(int(b))
+        j = np.searchsorted(bd, docs[sel])
+        for row, jj in zip(sel, j):
+            out[row] = flat[bounds[jj] : bounds[jj + 1]]
+    return out
+
+
+def _phrase_doc_freqs(seg: SegmentView, q: ast.PhraseQuery):
+    """Exact-phrase: doc-level AND then position intersection.
+    Returns (docs with phraseFreq>0, phraseFreqs)."""
+    tbs = [seg.term_blocks(t) for t in q.terms]
+    if any(tb is None for tb in tbs):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs = None
+    for tb in tbs:
+        d, _ = tb.decode_all()
+        docs = d if docs is None else np.intersect1d(docs, d, assume_unique=True)
+        if docs.size == 0:
+            return docs, np.empty(0, np.int64)
+    return _verify_phrase(seg, q, tbs, docs)
+
+
+def _verify_phrase(seg, q, tbs, docs):
+    pos_lists = [_positions_for_docs(tb, docs) for tb in tbs]
+    freqs = np.zeros(docs.size, dtype=np.int64)
+    rels = q.positions
+    for i in range(docs.size):
+        cand = pos_lists[0][i] - rels[0]
+        for lst, rel in zip(pos_lists[1:], rels[1:]):
+            cand = np.intersect1d(cand, lst[i] - rel, assume_unique=False)
+            if cand.size == 0:
+                break
+        freqs[i] = cand.size
+    hit = freqs > 0
+    return docs[hit], freqs[hit]
+
+
+# ------------------------------------------------------------ pruned kernels
+
+
+def _term_topk(seg, term, scorers, k, threshold, dtype):
+    tb = seg.term_blocks(term)
+    heap = _TopK(k, threshold)
+    if tb is None:
+        return heap
+    scorer = scorers[("t", term)]
+    bmax = tb.block_max_scores(scorer)
+    for b in range(tb.nblocks):
+        if bmax[b] <= heap.theta:
+            heap.hits += int(tb.num_docs[b])  # totalHits still counts skips
+            continue
+        d, t = tb.decode(b)
+        s = scorer.score(t, seg.norms[d]).astype(np.float64)
+        heap.update(d, s)
+    return heap
+
+
+def _or_topk(seg, leaves, scorers, k, threshold, dtype):
+    """leaves: list of (tb, scorer) — window MAXSCORE disjunction."""
+    heap = _TopK(k, threshold)
+    leaves = [(tb, sc, tb.block_max_scores(sc)) for tb, sc in leaves if tb is not None]
+    if not leaves:
+        return heap
+    nwin = (seg.max_doc + WINDOW - 1) // WINDOW
+    for w in range(nwin):
+        lo, hi = w * WINDOW, w * WINDOW + WINDOW - 1
+        bound = 0.0
+        active = []
+        for tb, sc, bm in leaves:
+            b0, b1 = tb.overlapping(lo, hi)
+            if b0 < b1:
+                bound += float(bm[b0:b1].max())
+                active.append((tb, sc, b0, b1))
+        if not active:
+            continue
+        theta = heap.theta
+        if bound <= theta:
+            # rank-safe skip; count matches approximately for the threshold:
+            # Lucene stops counting exactly too (totalHits becomes a lower
+            # bound once pruning starts) — we only need "enough" hits seen.
+            continue
+        acc = np.zeros(WINDOW, dtype=np.float64)
+        seen = np.zeros(WINDOW, dtype=bool)
+        for tb, sc, b0, b1 in active:
+            for b in range(b0, b1):
+                d, t = tb.decode(b)
+                i0 = int(np.searchsorted(d, lo))
+                i1 = int(np.searchsorted(d, hi, side="right"))
+                if i0 >= i1:
+                    continue
+                dw = d[i0:i1] - lo
+                s = sc.score(t[i0:i1], seg.norms[d[i0:i1]]).astype(np.float64)
+                acc[dw] += s
+                seen[dw] = True
+        idx = np.flatnonzero(seen)
+        if idx.size:
+            heap.update(idx + lo, acc[idx])
+    return heap
+
+
+def _and_topk(seg, terms, scorers, k, threshold, dtype):
+    """Block-max conjunction over term clauses, led by the rarest term."""
+    heap = _TopK(k, threshold)
+    tbs = []
+    for t in terms:
+        tb = seg.term_blocks(t)
+        if tb is None:
+            return heap
+        tbs.append((tb, scorers[("t", t)]))
+    tbs.sort(key=lambda e: e[0].doc_freq)
+    lead_tb, lead_sc = tbs[0]
+    rest = tbs[1:]
+    lead_bm = lead_tb.block_max_scores(lead_sc)
+    rest_bm = [(tb, sc, tb.block_max_scores(sc)) for tb, sc in rest]
+    for b in range(lead_tb.nblocks):
+        lo, hi = int(lead_tb.first_doc[b]), int(lead_tb.last_doc[b])
+        bound = float(lead_bm[b])
+        spans = []
+        ok = True
+        for tb, sc, bm in rest_bm:
+            b0, b1 = tb.overlapping(lo, hi)
+            if b0 >= b1:
+                ok = False
+                break
+            bound += float(bm[b0:b1].max())
+            spans.append((tb, sc, b0, b1))
+        if not ok or bound <= heap.theta:
+            continue
+        d, t = lead_tb.decode(b)
+        cand = d
+        for tb, sc, b0, b1 in spans:
+            other = np.concatenate([tb.decode(i)[0] for i in range(b0, b1)])
+            cand = cand[np.isin(cand, other, assume_unique=True)]
+            if cand.size == 0:
+                break
+        if cand.size == 0:
+            continue
+        acc = np.zeros(cand.size, dtype=np.float64)
+        # lead term tfs
+        sel = np.searchsorted(d, cand)
+        s = lead_sc.score(t[sel], seg.norms[cand])
+        acc += s.astype(np.float64)
+        for tb, sc, b0, b1 in spans:
+            od = np.concatenate([tb.decode(i)[0] for i in range(b0, b1)])
+            ot = np.concatenate([tb.decode(i)[1] for i in range(b0, b1)])
+            sel = np.searchsorted(od, cand)
+            s = sc.score(ot[sel], seg.norms[cand])
+            acc += s.astype(np.float64)
+        heap.update(cand, acc)
+    return heap
+
+
+def _phrase_topk(seg, q: ast.PhraseQuery, scorers, k, threshold, dtype):
+    """Two-phase pruned phrase: lead = rarest member term; block-max bound
+    via phrase scorer over member impacts (valid: phraseFreq <= member tf)."""
+    heap = _TopK(k, threshold)
+    tbs = [seg.term_blocks(t) for t in q.terms]
+    if any(tb is None for tb in tbs):
+        return heap
+    psc = scorers[("p", q.terms)]
+    order = np.argsort([tb.doc_freq for tb in tbs], kind="stable")
+    lead = tbs[int(order[0])]
+    bms = [tb.block_max_scores(psc) for tb in tbs]
+    for b in range(lead.nblocks):
+        lo, hi = int(lead.first_doc[b]), int(lead.last_doc[b])
+        # bound: min over member terms of their max phrase-scored impact
+        bound = np.inf
+        ok = True
+        for tb, bm in zip(tbs, bms):
+            b0, b1 = tb.overlapping(lo, hi)
+            if b0 >= b1:
+                ok = False
+                break
+            bound = min(bound, float(bm[b0:b1].max()))
+        if not ok or bound <= heap.theta:
+            continue
+        d, _ = lead.decode(b)
+        cand = d
+        for tb in tbs:
+            if tb is lead:
+                continue
+            b0, b1 = tb.overlapping(lo, hi)
+            other = np.concatenate([tb.decode(i)[0] for i in range(b0, b1)])
+            cand = cand[np.isin(cand, other, assume_unique=True)]
+            if cand.size == 0:
+                break
+        if cand.size == 0:
+            continue
+        docs, freqs = _verify_phrase(seg, q, tbs, cand)
+        if docs.size:
+            s = psc.score(freqs, seg.norms[docs]).astype(np.float64)
+            heap.update(docs, s)
+    return heap
+
+
+# ------------------------------------------------------------------- driver
+
+
+def _pure_or_terms(q: ast.BooleanQuery):
+    if q.must or q.must_not or q.filter or q.min_should_match > 1:
+        return None
+    leaves = []
+    for c in q.should:
+        if isinstance(c, ast.TermQuery):
+            leaves.append(c)
+        else:
+            return None
+    return leaves
+
+
+def _pure_and_terms(q: ast.BooleanQuery):
+    if q.should or q.must_not or q.filter:
+        return None
+    if all(isinstance(c, ast.TermQuery) for c in q.must):
+        return [c.term for c in q.must]
+    return None
+
+
+def search_segment(
+    seg: SegmentView,
+    q: ast.Query,
+    scorers: dict,
+    k: int,
+    pruned: bool = True,
+    dtype: str = "f32",
+    total_hits_threshold: int = TOTAL_HITS_THRESHOLD,
+):
+    """Top-k of one segment: (local doc ids, scores) sorted by
+    (score desc, doc asc). Strategy selection mirrors
+    ``BooleanScorerSupplier.java:287-418`` (see module docstring)."""
+    q = ast.rewrite(q)
+    if pruned:
+        if isinstance(q, ast.TermQuery):
+            heap = _term_topk(seg, q.term, scorers, k, total_hits_threshold, dtype)
+            return heap.docs, _final_scores(heap.scores, dtype)
+        if isinstance(q, ast.PhraseQuery):
+            heap = _phrase_topk(seg, q, scorers, k, total_hits_threshold, dtype)
+            return heap.docs, _final_scores(heap.scores, dtype)
+        if isinstance(q, ast.BooleanQuery):
+            or_leaves = _pure_or_terms(q)
+            if or_leaves is not None:
+                leaves = []
+                for c in or_leaves:
+                    tb = seg.term_blocks(c.term)
+                    leaves.append((tb, scorers[("t", c.term)]))
+                heap = _or_topk(seg, leaves, scorers, k, total_hits_threshold, dtype)
+                # nested f32 cast: each should-clause is a term scorer whose
+                # f32 output we already accumulate in f64 — matches WANDScorer
+                return heap.docs, _final_scores(heap.scores, dtype)
+            and_terms = _pure_and_terms(q)
+            if and_terms is not None:
+                heap = _and_topk(seg, and_terms, scorers, k, total_hits_threshold, dtype)
+                return heap.docs, _final_scores(heap.scores, dtype)
+    docs, acc = score_exhaustive(seg, q, scorers, dtype)
+    docs, acc = top_k_select(docs, acc, k)
+    return docs, _final_scores(acc, dtype)

@@ -1,0 +1,122 @@
+"""In-process multi-segment index — same kernels, no Spark.
+
+Used by the test suite to run the FULL fixture query set fast (the Spark
+integration tests cover the distributed plumbing on a subset). Semantics
+are identical by construction: the same ``invert_partition`` builds the
+segments, the same ``search_segment`` kernel scores them, the same
+(score desc, doc_id asc) merge reduces them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_spark.analysis.analyzer import Analyzer, ENGLISH
+from lucene_spark.index.builder import invert_partition
+from lucene_spark.search import ast as ast_mod
+from lucene_spark.search import kernels
+from lucene_spark.search.parser import parse
+from lucene_spark.search.scoring import GlobalStats, build_scorers
+from lucene_spark.search.segment import SegmentView
+from lucene_spark.util.spark_hash import pmod_partition
+
+
+class LocalIndex:
+    def __init__(self, segments, urls_by_segment, doc_count, sum_total_tf, analyzer):
+        self.segments: list[SegmentView] = segments
+        self.urls_by_segment = urls_by_segment
+        self.doc_count = doc_count
+        self.sum_total_tf = sum_total_tf
+        self.analyzer = analyzer
+
+    @staticmethod
+    def build(
+        rows: "list[dict]",
+        num_segments: int = 4,
+        analyzer: Analyzer = ENGLISH,
+        key_col: str = "url",
+        text_col: str = "text",
+        store_positions: bool = True,
+    ) -> "LocalIndex":
+        by_pid: dict[int, list] = {}
+        for r in rows:
+            by_pid.setdefault(pmod_partition(str(r[key_col]), num_segments), []).append(r)
+        segments = []
+        urls_by_segment = {}
+        doc_base = 0
+        total_tf = 0
+        for pid in sorted(by_pid):
+            grp = sorted(by_pid[pid], key=lambda r: str(r[key_col]))
+            urls = [str(r[key_col]) for r in grp]
+            texts = [r[text_col] or "" for r in grp]
+            block_rows, term_stats, norms_bytes, sum_tf = invert_partition(
+                urls, texts, analyzer, store_positions
+            )
+            rows_by_term: dict[str, list] = {}
+            for r in block_rows:
+                rows_by_term.setdefault(r["term"], []).append(r)
+            sid = f"local{pid:05d}"
+            seg = SegmentView.from_block_rows(
+                sid, doc_base, np.frombuffer(norms_bytes, dtype=np.uint8), rows_by_term
+            )
+            seg.term_stats = {t["term"]: (t["doc_freq"], t["total_tf"]) for t in term_stats}
+            segments.append(seg)
+            urls_by_segment[sid] = urls
+            doc_base += len(urls)
+            total_tf += sum_tf
+        return LocalIndex(segments, urls_by_segment, doc_base, total_tf, analyzer)
+
+    def global_stats(self, terms) -> GlobalStats:
+        df: dict[str, int] = {}
+        for seg in self.segments:
+            for t in terms:
+                e = seg.term_stats.get(t)
+                if e:
+                    df[t] = df.get(t, 0) + e[0]
+        return GlobalStats(self.doc_count, self.sum_total_tf, df)
+
+    def search(
+        self,
+        query,
+        k: int = 10,
+        pruned: bool = True,
+        dtype: str = "f32",
+        total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
+    ):
+        """[(global doc_id, score, url)] — identical contract to the
+        Spark Searcher and to OracleIndex.top_k."""
+        q = parse(query, self.analyzer) if isinstance(query, str) else ast_mod.rewrite(query)
+        terms = ast_mod.query_terms(q)
+        stats = self.global_stats(terms)
+        scorers = build_scorers(q, stats, dtype=dtype)
+        all_docs, all_scores = [], []
+        for seg in self.segments:
+            docs, scores = kernels.search_segment(
+                seg, q, scorers, k, pruned=pruned, dtype=dtype,
+                total_hits_threshold=total_hits_threshold,
+            )
+            all_docs.append(docs + seg.doc_base)
+            all_scores.append(np.asarray(scores, dtype=np.float64))
+        docs = np.concatenate(all_docs) if all_docs else np.empty(0, np.int64)
+        scores = np.concatenate(all_scores) if all_scores else np.empty(0, np.float64)
+        docs, scores = kernels.top_k_select(docs, scores, k)
+        out = []
+        for d, s in zip(docs, scores):
+            out.append((int(d), float(np.float32(s)) if dtype == "f32" else float(s), self.url_of(int(d))))
+        return out
+
+    def url_of(self, doc_id: int) -> str:
+        base = 0
+        for seg in self.segments:
+            if doc_id < seg.doc_base + seg.max_doc:
+                return self.urls_by_segment[seg.segment_id][doc_id - seg.doc_base]
+        raise KeyError(doc_id)
+
+    def count(self, query) -> int:
+        q = parse(query, self.analyzer) if isinstance(query, str) else ast_mod.rewrite(query)
+        terms = ast_mod.query_terms(q)
+        scorers = build_scorers(q, self.global_stats(terms), dtype="f32")
+        return sum(
+            int(kernels.score_exhaustive(seg, q, scorers, "f32")[0].size)
+            for seg in self.segments
+        )

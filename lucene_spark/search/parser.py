@@ -35,8 +35,11 @@ def parse(query: str, analyzer: Analyzer) -> Query:
 def _parse_or(toks, i, analyzer):
     left, i = _parse_and(toks, i, analyzer)
     clauses = [left]
-    while i < len(toks) and toks[i] == "OR":
-        right, i = _parse_and(toks, i + 1, analyzer)
+    # explicit OR, or adjacency (classic QueryParser default operator = OR)
+    while i < len(toks) and toks[i] != ")":
+        if toks[i] == "OR":
+            i += 1
+        right, i = _parse_and(toks, i, analyzer)
         clauses.append(right)
     if len(clauses) == 1:
         return left, i

@@ -1,0 +1,132 @@
+"""In-memory view of one segment's postings for the scoring kernels.
+
+The kernel side of SURVEY.md §3.2 steps 4-5: given the block rows of a
+segment (only the query's terms — term pruning happened at the Parquet
+scan), expose per-term block metadata (skip data + impacts,
+``index/Impacts.java`` analog) and lazy block decoding with a cache
+(each block is decoded at most once per query).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lucene_spark.codec import blocks as blk
+
+
+@dataclass
+class TermBlocks:
+    """One term's posting blocks within a segment, doc-range sorted."""
+
+    first_doc: np.ndarray  # int64[nblocks]
+    last_doc: np.ndarray  # int64[nblocks]
+    num_docs: np.ndarray  # int32[nblocks]
+    docs_bin: list
+    tfs_bin: list
+    pos_bin: list
+    impact_tfs: list  # list of int lists
+    impact_norms: list
+    doc_freq: int = 0
+    _cache: dict = field(default_factory=dict)
+
+    @property
+    def nblocks(self) -> int:
+        return int(self.first_doc.size)
+
+    def decode(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(local doc ids, tfs) of block i, cached."""
+        hit = self._cache.get(i)
+        if hit is None:
+            d = blk.decode_docs(int(self.first_doc[i]), self.docs_bin[i])
+            t = blk.decode_tfs(self.tfs_bin[i])
+            hit = (d, t)
+            self._cache[i] = hit
+        return hit
+
+    def decode_positions(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(flat positions, per-posting offsets) of block i."""
+        key = ("pos", i)
+        hit = self._cache.get(key)
+        if hit is None:
+            _, t = self.decode(i)
+            flat = blk.decode_positions(self.pos_bin[i], t)
+            bounds = np.concatenate(([0], np.cumsum(t)))
+            hit = (flat, bounds)
+            self._cache[key] = hit
+        return hit
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        """All (doc ids, tfs) of this term, concatenated."""
+        if self.nblocks == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        parts = [self.decode(i) for i in range(self.nblocks)]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+
+    def block_max_scores(self, scorer) -> np.ndarray:
+        """Per-block score upper bound from the competitive impacts
+        (MaxScoreCache.java:74-89 analog) — rank-safe by construction."""
+        key = ("bmax", id(scorer))
+        hit = self._cache.get(key)
+        if hit is None:
+            out = np.empty(self.nblocks, dtype=np.float64)
+            for i in range(self.nblocks):
+                tfs = np.asarray(self.impact_tfs[i], dtype=np.int64)
+                nbs = np.asarray(self.impact_norms[i], dtype=np.uint8)
+                out[i] = float(np.max(scorer.score(tfs, nbs)))
+            hit = out
+            self._cache[key] = hit
+        return hit
+
+    def overlapping(self, lo: int, hi: int) -> tuple[int, int]:
+        """Block index range [b0, b1) whose doc ranges intersect [lo, hi]."""
+        b0 = int(np.searchsorted(self.last_doc, lo, side="left"))
+        b1 = int(np.searchsorted(self.first_doc, hi, side="right"))
+        return b0, max(b0, b1)
+
+
+@dataclass
+class SegmentView:
+    """All query-relevant state of one segment inside the kernel."""
+
+    segment_id: str
+    doc_base: int
+    max_doc: int  # number of docs in this segment (local ids 0..max_doc-1)
+    norms: np.ndarray  # uint8[max_doc]
+    terms: dict  # term -> TermBlocks
+
+    def term_blocks(self, term: str) -> "TermBlocks | None":
+        return self.terms.get(term)
+
+    @staticmethod
+    def from_block_rows(
+        segment_id: str,
+        doc_base: int,
+        norms: np.ndarray,
+        rows_by_term: dict,
+    ) -> "SegmentView":
+        terms = {}
+        for term, rows in rows_by_term.items():
+            rows = sorted(rows, key=lambda r: r["block_id"])
+            terms[term] = TermBlocks(
+                first_doc=np.array([r["first_doc"] for r in rows], dtype=np.int64),
+                last_doc=np.array([r["last_doc"] for r in rows], dtype=np.int64),
+                num_docs=np.array([r["num_docs"] for r in rows], dtype=np.int32),
+                docs_bin=[r["docs_bin"] for r in rows],
+                tfs_bin=[r["tfs_bin"] for r in rows],
+                pos_bin=[r["pos_bin"] for r in rows],
+                impact_tfs=[list(r["impact_tfs"]) for r in rows],
+                impact_norms=[list(r["impact_norms"]) for r in rows],
+                doc_freq=int(sum(r["num_docs"] for r in rows)),
+            )
+        return SegmentView(
+            segment_id=segment_id,
+            doc_base=doc_base,
+            max_doc=int(len(norms)),
+            norms=np.asarray(norms, dtype=np.uint8),
+            terms=terms,
+        )

@@ -1,0 +1,85 @@
+"""Drive the engine end-to-end through its public API (verification).
+
+Build an index over the deterministic fixture corpus with Spark, then
+run real queries through Searcher — the same interface a user has.
+"""
+
+import shutil
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+
+from lucene_spark.analysis.analyzer import ENGLISH
+from lucene_spark.fixtures import make_pages
+from lucene_spark.index.builder import IndexConfig, build_index
+from lucene_spark.search.searcher import Searcher
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "6g")
+    .appName("drive")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+d = tempfile.mkdtemp(prefix="ls_index_")
+corpus = make_pages(600)
+df = spark.createDataFrame([(r["url"], r["text"]) for r in corpus], ["url", "text"])
+commit = build_index(spark, df, d, IndexConfig(num_segments=4, analyzer=ENGLISH))
+print(
+    f"COMMIT gen={commit['generation']} segments={commit['num_segments']} "
+    f"docs={commit['doc_count']} sum_tf={commit['sum_total_tf']}"
+)
+for s in commit["segments"]:
+    print(
+        f"  seg {s['segment_id']} docs={s['num_docs']} terms={s['num_terms']} "
+        f"postings={s['num_postings']} bytes={s['postings_bytes']} status={s['status']}"
+    )
+
+searcher = Searcher(spark, d)
+queries = [
+    "w0042",
+    "w0042 AND w0100",
+    "w0042 OR w0999 OR w3500",
+    '"w0007 w0042"',
+    '"w0100 of w0200"',  # stopword-gap phrase
+]
+for q in queries:
+    rows = searcher.search(q, k=5).collect()
+    print(f"QUERY {q!r} -> {len(rows)} hits")
+    for r in rows:
+        print(f"    doc={r['doc_id']} score={r['score']:.6f} url={r['url']}")
+    print(f"  count = {searcher.count(q)}")
+
+# --- probes ---
+print("PROBE zero-hit term:", searcher.search("zzznothing", k=5).collect())
+print("PROBE stopword-only query:", searcher.search("the of and", k=5).collect())
+try:
+    searcher.search('"unbalanced', k=5)
+    print("PROBE unbalanced quote: NO ERROR (check)")
+except Exception as e:
+    print(f"PROBE unbalanced quote -> {type(e).__name__}: {e}")
+try:
+    searcher.search("w0001 AND", k=5).collect()
+    print("PROBE trailing AND: NO ERROR (check)")
+except Exception as e:
+    print(f"PROBE trailing AND -> {type(e).__name__}: {e}")
+print("PROBE k=0:", searcher.search("w0042", k=0).collect())
+print("PROBE k=100000:", len(searcher.search("w0042", k=100000).collect()), "rows")
+# plan inspection: pushdown + no wide shuffle before the kernel
+import pyspark.sql.functions as F
+
+plan = (
+    searcher.postings.where(F.col("term").isin(["w0042"]))
+    ._jdf.queryExecution()
+    .executedPlan()
+    .toString()
+)
+print("PLAN pushdown line:", [l for l in plan.splitlines() if "PushedFilters" in l][:1])
+
+shutil.rmtree(d)
+spark.stop()
+print("DONE")
