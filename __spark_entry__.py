@@ -1,38 +1,426 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: distributed index build over the
+                     sf0.001 ``documents`` table + a pruned top-k BM25
+                     disjunction (float32 Lucene semantics).
+``queries()``      — one callable per implemented operator from
+                     SURVEY.md §2 (search engine) plus the
+                     training-data-pipeline ops (dedup / ANN / text
+                     analysis / multimodal).
+``oracle_sql()``   — DuckDB SQL recomputing each answer independently
+                     from the raw parquet. Float outputs are float64
+                     with engine-mirrored operation order (see
+                     lucene_spark/search/oracle_sql.py); the float32
+                     Lucene rank-identity contract is gated separately
+                     by the pytest oracle suite.
+
+Index-backed queries build (once per sf_dir, cached + checkpointed) a
+segment index under /tmp keyed by the corpus fingerprint; doc ids are
+range-partitioned so internal ids equal the source ``doc_id`` —
+reproducible tie-breaks on both sides of the gate.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# the driver's DuckDB gate runs at sf0.01; vector literals for the ANN
+# oracle SQL are read from there (the Spark side reads the same vectors
+# from its sf_dir argument, so both sides see identical data at gate
+# time).
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+_FORMAT_VERSION = "v3"
+_NUM_SEGMENTS = 4
+
+# ---- query fixtures (term df at sf0.01 in comments; AND lists are in
+# ascending-docFreq order — the engine's block-max-conjunction lead
+# order, which fixes the float64 accumulation order the oracle mirrors)
+TERM = "merge"            # df ~393/500
+TERM_RARE = "dup"         # df ~25/500 (the planted near-dup marker)
+AND_TERMS = ["key", "order"]            # df 373 < 386
+AND3_TERMS = ["key", "order", "batch"]  # df 373 < 386 < 402
+OR_TERMS = ["merge", "window", "scan"]
+NOT_MUST, NOT_NOT = ["merge"], ["window"]
+MSM_TERMS, MSM_N = ["key", "order", "batch"], 2
+PHRASE = ("key", "order")             # adjacent: offsets (0, 1)
+PHRASE_HOLE = ("key", "order", (0, 2))  # "key <stopword-hole> order"
+SYN_TERMS = ["sort", "order"]
+DISMAX_TERMS = ["merge", "join", "table"]
+K = 10
+
+
+# --------------------------------------------------------------- index mgmt
+
+_searchers: dict = {}
+
+
+def _corpus_key(sf_dir: str) -> str:
+    import hashlib
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    return hashlib.sha1(
+        f"{_FORMAT_VERSION}|{p}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+
+
+def _searcher(spark: SparkSession, sf_dir: str):
+    """Build-or-open the segment index for a corpus dir (cached)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from lucene_spark.analysis.analyzer import ENGLISH
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.searcher import Searcher
+
+    key = _corpus_key(sf_dir)
+    if key in _searchers:
+        return _searchers[key]
+    index_dir = os.path.join("/tmp", "lucene_spark_idx", key)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    chunk = max(1, math.ceil(n / _NUM_SEGMENTS))
+    pages = docs.select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"),
+        F.col("text"),
+    )
+    cfg = IndexConfig(
+        num_segments=_NUM_SEGMENTS,
+        analyzer=ENGLISH,
+        # range partitioning on doc_id keeps internal ids == doc_id
+        # (deterministic tie-breaks mirrored by the oracle's ORDER BY)
+        pid_expr=f"int(cast(url as bigint) / {chunk})",
+    )
+    build_index(spark, pages, index_dir, cfg)  # resumes if already built
+    s = Searcher(spark, index_dir)
+    _searchers[key] = s
+    return s
+
+
+def _docs_view(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView(
+        "documents"
+    )
+
+
+def _emb_view(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).createOrReplaceTempView(
+        "embeddings"
+    )
+
+
+def _vec(sf_dir: str, vec_id: int) -> list:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    return t["embedding"][ids.index(vec_id)].as_py()
+
+
+def _centroids(sf_dir: str, c: int = 8) -> list:
+    return [_vec(sf_dir, i) for i in range(c)]
+
+
+def _out_docs(df: DataFrame, *extra: str) -> DataFrame:
+    """Map internal hit rows back to source doc_id (+extras)."""
+    import pyspark.sql.functions as F
+
+    return df.select(
+        F.col("url").cast("long").alias("doc_id"), *[F.col(c) for c in extra]
+    ).orderBy("doc_id")
+
+
+def _topk_docs(df: DataFrame) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    return df.select(
+        F.col("url").cast("long").alias("doc_id"), F.col("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+# ------------------------------------------------------------------- entry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: build the inverted index, run a pruned
+    top-10 disjunctive BM25 query (float32 Lucene semantics)."""
+    s = _searcher(spark, "/root/testdata/sf0.001")
+    return _topk_docs(s.search(" OR ".join(OR_TERMS), k=K, pruned=True, dtype="f32"))
+
+
+# ----------------------------------------------------------------- queries
+
+
+def _ast():
+    from lucene_spark.search import ast
+
+    return ast
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    import pyspark.sql.functions as F
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from lucene_spark.ops import ann, dedup, media, text
+    from lucene_spark.ops.dialect import SPARK
+
+    q: dict[str, Callable] = {}
+
+    # ---- search engine (index-backed) ----
+    def term_postings(spark, sf_dir):
+        return _out_docs(_searcher(spark, sf_dir).term_postings_df(TERM), "tf")
+
+    def term_postings_rare(spark, sf_dir):
+        return _out_docs(_searcher(spark, sf_dir).term_postings_df(TERM_RARE), "tf")
+
+    def term_topk(spark, sf_dir):
+        return _topk_docs(
+            _searcher(spark, sf_dir).search(TERM, k=K, pruned=True, dtype="f64")
+        )
+
+    def term_topk_rare(spark, sf_dir):
+        return _topk_docs(
+            _searcher(spark, sf_dir).search(TERM_RARE, k=K, pruned=True, dtype="f64")
+        )
+
+    def bool_and_topk(spark, sf_dir):
+        ast = _ast()
+        qq = ast.BooleanQuery(must=tuple(ast.TermQuery(t) for t in AND3_TERMS))
+        return _topk_docs(
+            _searcher(spark, sf_dir).search(qq, k=K, pruned=True, dtype="f64")
+        )
+
+    def bool_or_topk(spark, sf_dir):
+        ast = _ast()
+        qq = ast.BooleanQuery(
+            should=tuple(ast.TermQuery(t) for t in OR_TERMS), min_should_match=1
+        )
+        return _topk_docs(
+            _searcher(spark, sf_dir).search(qq, k=K, pruned=True, dtype="f64")
+        )
+
+    def bool_and_match(spark, sf_dir):
+        ast = _ast()
+        qq = ast.BooleanQuery(must=tuple(ast.TermQuery(t) for t in AND_TERMS))
+        return _out_docs(_searcher(spark, sf_dir).match_docs(qq))
+
+    def bool_not_match(spark, sf_dir):
+        ast = _ast()
+        qq = ast.BooleanQuery(
+            must=tuple(ast.TermQuery(t) for t in NOT_MUST),
+            must_not=tuple(ast.TermQuery(t) for t in NOT_NOT),
+        )
+        return _out_docs(_searcher(spark, sf_dir).match_docs(qq))
+
+    def bool_msm_match(spark, sf_dir):
+        ast = _ast()
+        qq = ast.BooleanQuery(
+            should=tuple(ast.TermQuery(t) for t in MSM_TERMS),
+            min_should_match=MSM_N,
+        )
+        return _out_docs(_searcher(spark, sf_dir).match_docs(qq))
+
+    def phrase_match(spark, sf_dir):
+        return _out_docs(
+            _searcher(spark, sf_dir).phrase_freqs_df(f'"{PHRASE[0]} {PHRASE[1]}"'),
+            "freq",
+        )
+
+    def phrase_hole_match(spark, sf_dir):
+        ast = _ast()
+        t1, t2, offs = PHRASE_HOLE
+        qq = ast.PhraseQuery(terms=(t1, t2), positions=offs)
+        return _out_docs(_searcher(spark, sf_dir).phrase_freqs_df(qq), "freq")
+
+    def phrase_topk(spark, sf_dir):
+        return _topk_docs(
+            _searcher(spark, sf_dir).search(
+                f'"{PHRASE[0]} {PHRASE[1]}"', k=K, pruned=True, dtype="f64"
+            )
+        )
+
+    def total_hits(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        n = s.count(" AND ".join(AND_TERMS))
+        return spark.createDataFrame([(n,)], "n long")
+
+    def collection_stats(spark, sf_dir):
+        return (
+            _searcher(spark, sf_dir)
+            .term_dictionary()
+            .select(
+                "term",
+                F.col("doc_freq").cast("long").alias("doc_freq"),
+                F.col("total_tf").cast("long").alias("total_tf"),
+            )
+            .orderBy("term")
+        )
+
+    def prefix_match(spark, sf_dir):
+        return _out_docs(_searcher(spark, sf_dir).multi_term_docs("prefix", "sc"))
+
+    def regexp_match(spark, sf_dir):
+        return _out_docs(_searcher(spark, sf_dir).multi_term_docs("regexp", "ow$"))
+
+    def range_match(spark, sf_dir):
+        return _out_docs(
+            _searcher(spark, sf_dir).multi_term_docs("range", "ba", "da")
+        )
+
+    def set_match(spark, sf_dir):
+        return _out_docs(
+            _searcher(spark, sf_dir).multi_term_docs(
+                "in_set", ["merge", "scan", "vector", "zzz_nonexistent"]
+            )
+        )
+
+    def fuzzy_match(spark, sf_dir):
+        return _out_docs(
+            _searcher(spark, sf_dir).multi_term_docs("fuzzy", "scan", 1)
+        )
+
+    def synonym_scores(spark, sf_dir):
+        return _out_docs(
+            _searcher(spark, sf_dir).synonym_scores_df(SYN_TERMS, dtype="f64"),
+            "score",
+        )
+
+    def dismax_scores(spark, sf_dir):
+        return _out_docs(
+            _searcher(spark, sf_dir).dismax_scores_df(
+                DISMAX_TERMS, tie_breaker=0.0, dtype="f64"
+            ),
+            "score",
+        )
+
+    # ---- training-data pipeline ops (DataFrame/SQL over raw tables) ----
+    def _sql_docs(sql_builder):
+        def run(spark, sf_dir):
+            _docs_view(spark, sf_dir)
+            return spark.sql(sql_builder(SPARK))
+
+        return run
+
+    def dedup_minhash_pairs(spark, sf_dir):
+        _docs_view(spark, sf_dir)
+        return dedup.minhash_pairs_df(spark)
+
+    def media_features(spark, sf_dir):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return media.media_features_df(spark, docs)
+
+    def emb_cosine_topk(spark, sf_dir):
+        _emb_view(spark, sf_dir)
+        return spark.sql(ann.cosine_topk_sql(SPARK, _vec(sf_dir, 0), k=10))
+
+    def emb_ivf_assign(spark, sf_dir):
+        _emb_view(spark, sf_dir)
+        return spark.sql(ann.ivf_assign_sql(SPARK, _centroids(sf_dir)))
+
+    def emb_ivf_topk(spark, sf_dir):
+        _emb_view(spark, sf_dir)
+        return spark.sql(
+            ann.ivf_topk_sql(SPARK, _vec(sf_dir, 1), _centroids(sf_dir), k=5)
+        )
+
+    q.update(
+        term_postings=term_postings,
+        term_postings_rare=term_postings_rare,
+        term_topk=term_topk,
+        term_topk_rare=term_topk_rare,
+        bool_and_topk=bool_and_topk,
+        bool_or_topk=bool_or_topk,
+        bool_and_match=bool_and_match,
+        bool_not_match=bool_not_match,
+        bool_msm_match=bool_msm_match,
+        phrase_match=phrase_match,
+        phrase_hole_match=phrase_hole_match,
+        phrase_topk=phrase_topk,
+        total_hits=total_hits,
+        collection_stats=collection_stats,
+        prefix_match=prefix_match,
+        regexp_match=regexp_match,
+        range_match=range_match,
+        set_match=set_match,
+        fuzzy_match=fuzzy_match,
+        synonym_scores=synonym_scores,
+        dismax_scores=dismax_scores,
+        token_count=_sql_docs(text.token_count_sql),
+        quality_score=_sql_docs(text.quality_sql),
+        lang_id=_sql_docs(text.lang_id_sql),
+        fingerprint=_sql_docs(text.fingerprint_sql),
+        dedup_exact=_sql_docs(dedup.exact_groups_sql),
+        dedup_jaccard_pairs=_sql_docs(lambda d: dedup.jaccard_pairs_sql(d, threshold=0.8)),
+        dedup_minhash_bands=_sql_docs(lambda d: dedup.minhash_bands_spark_sql()),
+        dedup_minhash_pairs=dedup_minhash_pairs,
+        dedup_simhash=_sql_docs(lambda d: dedup.simhash_spark_sql()),
+        media_features=media_features,
+        emb_cosine_topk=emb_cosine_topk,
+        emb_ivf_assign=emb_ivf_assign,
+        emb_ivf_topk=emb_ivf_topk,
+    )
+    return q
+
+
+# -------------------------------------------------------------- oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_spark.ops import ann, dedup, media, text
+    from lucene_spark.ops.dialect import DUCK
+    from lucene_spark.search import oracle_sql as osql
+
+    t1, t2, hole_offs = PHRASE_HOLE
+    qvec0 = _vec(ORACLE_SF_DIR, 0)
+    qvec1 = _vec(ORACLE_SF_DIR, 1)
+    cents = _centroids(ORACLE_SF_DIR)
+
+    and_count = f"""WITH {osql.base_ctes()}
+SELECT CAST(count(*) AS BIGINT) AS n FROM docs
+WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
+  AND len(list_filter(toks, t -> t = '{AND_TERMS[1]}')) > 0"""
+
+    return {
+        "term_postings": osql.term_postings_sql(TERM),
+        "term_postings_rare": osql.term_postings_sql(TERM_RARE),
+        "term_topk": osql.term_topk_sql(TERM, K),
+        "term_topk_rare": osql.term_topk_sql(TERM_RARE, K),
+        "bool_and_topk": osql.bool_topk_sql(AND3_TERMS, [], K),
+        "bool_or_topk": osql.bool_topk_sql([], OR_TERMS, K),
+        "bool_and_match": osql.match_sql(must=AND_TERMS),
+        "bool_not_match": osql.match_sql(must=NOT_MUST, must_not=NOT_NOT),
+        "bool_msm_match": osql.match_sql(should=MSM_TERMS, min_should_match=MSM_N),
+        "phrase_match": osql.phrase_match_sql(list(PHRASE), [0, 1]),
+        "phrase_hole_match": osql.phrase_match_sql([t1, t2], list(hole_offs)),
+        "phrase_topk": osql.phrase_topk_sql(list(PHRASE), [0, 1], K),
+        "total_hits": and_count,
+        "collection_stats": osql.collection_stats_sql(),
+        "prefix_match": osql.multiterm_match_sql("t LIKE 'sc%'"),
+        "regexp_match": osql.multiterm_match_sql("regexp_matches(t, 'ow$')"),
+        "range_match": osql.multiterm_match_sql("t >= 'ba' AND t < 'da'"),
+        "set_match": osql.multiterm_match_sql(
+            "t IN ('merge', 'scan', 'vector', 'zzz_nonexistent')"
+        ),
+        "fuzzy_match": osql.multiterm_match_sql("levenshtein(t, 'scan') <= 1"),
+        "synonym_scores": osql.synonym_scores_sql(SYN_TERMS),
+        "dismax_scores": osql.dismax_scores_sql(DISMAX_TERMS),
+        "token_count": text.token_count_sql(DUCK),
+        "quality_score": text.quality_sql(DUCK),
+        "lang_id": text.lang_id_sql(DUCK),
+        "fingerprint": text.fingerprint_sql(DUCK),
+        "dedup_exact": dedup.exact_groups_sql(DUCK),
+        "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(DUCK, threshold=0.8),
+        "dedup_minhash_bands": dedup.minhash_bands_sql(DUCK),
+        "dedup_minhash_pairs": dedup.minhash_pairs_sql(DUCK),
+        "dedup_simhash": dedup.simhash_sql(DUCK),
+        "media_features": media.media_features_oracle_sql(),
+        "emb_cosine_topk": ann.cosine_topk_sql(DUCK, qvec0, k=10),
+        "emb_ivf_assign": ann.ivf_assign_sql(DUCK, cents),
+        "emb_ivf_topk": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5),
+    }

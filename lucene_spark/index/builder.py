@@ -54,6 +54,12 @@ class IndexConfig:
     analyzer: Analyzer = field(default_factory=lambda: ENGLISH)
     store_positions: bool = True
     generation: int = 1
+    # Optional SQL expression for the segment-assignment column. Default
+    # (None) = hash(key) scatter (uniform load). A range expression (e.g.
+    # "int(cast(url as bigint) / 128)") keeps doc-id order aligned with
+    # key order — used where reproducible global ordering matters more
+    # than perfect balance.
+    pid_expr: str | None = None
 
 
 def _segment_id(generation: int, pid: int) -> str:
@@ -306,7 +312,13 @@ def build_index(spark, df, index_dir: str, config: IndexConfig | None = None) ->
     keyed = df.select(
         F.col(config.key_col).cast("string").alias(config.key_col),
         F.col(config.text_col).alias(config.text_col),
-    ).withColumn("__pid", F.pmod(F.hash(F.col(config.key_col)), F.lit(p)))
+    )
+    if config.pid_expr:
+        keyed = keyed.withColumn("__pid", F.expr(config.pid_expr).cast("int"))
+    else:
+        keyed = keyed.withColumn(
+            "__pid", F.pmod(F.hash(F.col(config.key_col)), F.lit(p))
+        )
 
     # tiny aggregation: docs per segment -> deterministic doc_base
     counts = {r["__pid"]: r["cnt"] for r in keyed.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}

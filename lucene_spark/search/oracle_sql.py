@@ -1,0 +1,250 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+Generates ANSI-ish SQL (DuckDB dialect, list lambdas) that recomputes
+the engine's answers directly from the raw ``documents`` parquet —
+tokenization, SmallFloat length quantization, global stats, and the
+float64 BM25 of :class:`lucene_spark.search.scoring.ScorerF64` — with
+the exact same operation order, so Spark and DuckDB agree bitwise.
+
+Why f64 here: the rank-identity contract vs Lucene is float32 and is
+gated by the pytest oracle (tests/test_rank_identity.py). The driver
+gate instead cross-checks the *whole distributed pipeline* (analysis,
+postings, stats, top-k plumbing) against an independent engine, which
+requires IEEE-double reproducibility: every float op below mirrors
+``ScorerF64`` / the f64 kernel accumulation op-for-op.
+
+On this corpus (ASCII ``[a-z0-9 .,!?'\\n-]`` text without medial
+joiners) the UAX#29 analyzer reduces to lowercase alnum runs, so the
+SQL tokenizer ``regexp_extract_all(lower(text), '[a-z0-9]+')`` is
+exactly the analyzer (tests assert this equivalence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_spark.analysis.analyzer import ENGLISH_STOP_WORDS
+from lucene_spark.util.smallfloat import LENGTH_TABLE
+
+K1 = 1.2
+B = 0.75
+
+_STOP = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+_LT = ", ".join(repr(float(v)) for v in np.asarray(LENGTH_TABLE, dtype=np.float64))
+
+
+def base_ctes(table: str = "documents") -> str:
+    """tok/docs/stats CTEs: filtered tokens (33-word stop list), raw
+    tokens (positions with stopword holes), doc length, SmallFloat-
+    quantized length (largest LENGTH_TABLE value <= dl — exact for the
+    floor-monotone intToByte4), and global collection stats."""
+    return f"""
+tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS raw,
+         list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     t -> t NOT IN ({_STOP})) AS toks
+  FROM {table}
+),
+docs AS (
+  SELECT doc_id, raw, toks, len(toks) AS dl,
+         list_max(list_filter([{_LT}], v -> v <= CAST(len(toks) AS DOUBLE))) AS qdl
+  FROM tok
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg
+  FROM docs
+)"""
+
+
+def _tf(term: str) -> str:
+    return f"len(list_filter(toks, t -> t = '{term}'))"
+
+
+def _df_cte(terms) -> str:
+    """dfs CTE: one row, global docFreq per term."""
+    cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE {_tf(t)} > 0) AS BIGINT) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    return f"dfs AS (SELECT {cols} FROM docs)"
+
+
+def _idf(i: int) -> str:
+    """float64 idf with ScorerF64's op order:
+    ln(1 + (n - df + 0.5) / (df + 0.5))."""
+    return (
+        f"ln(1.0 + (CAST(n - df_{i} AS DOUBLE) + 0.5) / "
+        f"(CAST(df_{i} AS DOUBLE) + 0.5))"
+    )
+
+
+def _nf() -> str:
+    """norm factor k1*(1-b + (b*qdl)/avg) — ScorerF64.norm_factor."""
+    return f"{K1} * ({1.0 - B} + ({B} * qdl) / avg)"
+
+
+def _score(idf_expr: str, tf_expr: str) -> str:
+    """ScorerF64.score: w - w / (1 + tf/nf)."""
+    return (
+        f"({idf_expr}) - ({idf_expr}) / "
+        f"(1.0 + CAST({tf_expr} AS DOUBLE) / ({_nf()}))"
+    )
+
+
+def term_postings_sql(term: str, table: str = "documents") -> str:
+    """(doc_id, tf) for one term — the postings-list contract."""
+    return f"""WITH {base_ctes(table)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({_tf(term)} AS BIGINT) AS tf
+FROM docs WHERE {_tf(term)} > 0
+ORDER BY doc_id"""
+
+
+def collection_stats_sql(table: str = "documents") -> str:
+    """(term, doc_freq, total_tf) for every term — the full term
+    dictionary with global stats."""
+    return f"""WITH {base_ctes(table)},
+flat AS (SELECT doc_id, unnest(toks) AS t FROM docs)
+SELECT t AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+       CAST(count(*) AS BIGINT) AS total_tf
+FROM flat GROUP BY t ORDER BY term"""
+
+
+def term_topk_sql(term: str, k: int = 10, table: str = "documents") -> str:
+    return f"""WITH {base_ctes(table)},
+{_df_cte([term])}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {_score(_idf(0), _tf(term))} AS score
+FROM docs, stats, dfs
+WHERE {_tf(term)} > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def bool_topk_sql(
+    must: list, should: list, k: int = 10, table: str = "documents"
+) -> str:
+    """Top-k for pure-AND (``must``) or pure-OR (``should``) term
+    queries in f64. IMPORTANT float contract: the engine accumulates
+    clause scores left-to-right; the SQL sum below is written in the
+    same clause order (for AND, callers must pass terms in ascending-
+    docFreq order — the block-max-conjunction lead order)."""
+    terms = list(must) + list(should)
+    parts = []
+    for i, t in enumerate(terms):
+        s = _score(_idf(i), _tf(t))
+        if should:
+            parts.append(f"(CASE WHEN {_tf(t)} > 0 THEN {s} ELSE 0.0 END)")
+        else:
+            parts.append(f"({s})")
+    score = "0.0 + " + " + ".join(parts)
+    if must:
+        match = " AND ".join(f"{_tf(t)} > 0" for t in must)
+    else:
+        match = " OR ".join(f"{_tf(t)} > 0" for t in should)
+    return f"""WITH {base_ctes(table)},
+{_df_cte(terms)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {score} AS score
+FROM docs, stats, dfs
+WHERE {match}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def match_sql(
+    must=(), should=(), must_not=(), min_should_match: int = 0,
+    table: str = "documents",
+) -> str:
+    """(doc_id) membership for a Boolean term query — the unscored
+    FILTER/MUST_NOT/minimumNumberShouldMatch algebra."""
+    conds = [f"{_tf(t)} > 0" for t in must]
+    conds += [f"NOT ({_tf(t)} > 0)" for t in must_not]
+    if should:
+        msm = max(min_should_match, 0 if must else 1)
+        hits = " + ".join(
+            f"(CASE WHEN {_tf(t)} > 0 THEN 1 ELSE 0 END)" for t in should
+        )
+        conds.append(f"({hits}) >= {msm}")
+    where = " AND ".join(conds) if conds else "FALSE"
+    return f"""WITH {base_ctes(table)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM docs WHERE {where}
+ORDER BY doc_id"""
+
+
+def _phrase_freq(terms, offsets) -> str:
+    """Occurrences of the positioned phrase in the RAW token list
+    (stopword holes match any filler — Lucene position semantics)."""
+    max_off = max(offsets)
+    conds = " AND ".join(
+        f"raw[i + {off}] = '{t}'" for t, off in zip(terms, offsets)
+    )
+    return f"len(list_filter(range(1, len(raw) + 1 - {max_off}), i -> {conds}))"
+
+
+def phrase_match_sql(terms, offsets, table: str = "documents") -> str:
+    """(doc_id, freq) of exact-phrase occurrences."""
+    pf = _phrase_freq(terms, offsets)
+    return f"""WITH {base_ctes(table)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({pf} AS BIGINT) AS freq
+FROM docs WHERE {pf} > 0
+ORDER BY doc_id"""
+
+
+def phrase_topk_sql(terms, offsets, k: int = 10, table: str = "documents") -> str:
+    """Top-k BM25 phrase: idf = sum of member idfs (left-to-right),
+    freq = phraseFreq."""
+    pf = _phrase_freq(terms, offsets)
+    idf_sum = "0.0 + " + " + ".join(_idf(i) for i in range(len(terms)))
+    return f"""WITH {base_ctes(table)},
+{_df_cte(terms)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {_score(f"({idf_sum})", pf)} AS score
+FROM docs, stats, dfs
+WHERE {pf} > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def multiterm_match_sql(token_pred: str, table: str = "documents") -> str:
+    """(doc_id) docs containing any token satisfying ``token_pred``
+    (a predicate over token variable ``t``) — the constant-score
+    MultiTermQuery rewrite (prefix/wildcard/range/set/fuzzy)."""
+    return f"""WITH {base_ctes(table)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM docs
+WHERE len(list_filter(toks, t -> {token_pred})) > 0
+ORDER BY doc_id"""
+
+
+def synonym_scores_sql(terms, table: str = "documents") -> str:
+    """(doc_id, score) SynonymQuery: pseudo-term df = max member df,
+    per-doc freq = sum of member tfs, one BM25 scorer."""
+    tf_sum = " + ".join(_tf(t) for t in terms)
+    df_max = "greatest(" + ", ".join(f"df_{i}" for i in range(len(terms))) + ")"
+    idf = (
+        f"ln(1.0 + (CAST(n - {df_max} AS DOUBLE) + 0.5) / "
+        f"(CAST({df_max} AS DOUBLE) + 0.5))"
+    )
+    return f"""WITH {base_ctes(table)},
+{_df_cte(terms)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {_score(f"({idf})", f"({tf_sum})")} AS score
+FROM docs, stats, dfs
+WHERE ({tf_sum}) > 0
+ORDER BY doc_id"""
+
+
+def dismax_scores_sql(terms, table: str = "documents") -> str:
+    """(doc_id, score) DisjunctionMax with tieBreaker=0: score = max
+    over matching clauses (order-free float: a single max)."""
+    cases = ", ".join(
+        f"(CASE WHEN {_tf(t)} > 0 THEN {_score(_idf(i), _tf(t))} END)"
+        for i, t in enumerate(terms)
+    )
+    match = " OR ".join(f"{_tf(t)} > 0" for t in terms)
+    return f"""WITH {base_ctes(table)},
+{_df_cte(terms)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       list_max(list_filter([{cases}], x -> x IS NOT NULL)) AS score
+FROM docs, stats, dfs
+WHERE {match}
+ORDER BY doc_id"""

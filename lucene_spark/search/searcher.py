@@ -146,14 +146,7 @@ class Searcher:
                 }
             )
 
-        filtered = self.postings
-        if terms:
-            filtered = filtered.where(F.col("term").isin(list(terms)))
-        else:
-            filtered = filtered.where(F.lit(False))
-        per_seg = filtered.groupBy("segment_id").applyInPandas(
-            kernel, schema="doc_id long, score double"
-        )
+        per_seg = self._per_segment(terms, kernel, "doc_id long, score double")
         topk = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         out = (
             self.docmap.join(F.broadcast(topk), "doc_id")
@@ -189,10 +182,293 @@ class Searcher:
             docs, _ = kernels.score_exhaustive(seg, kq, scorers, "f32")
             return pd.DataFrame({"n": [int(docs.size)]})
 
-        per_seg = (
-            self.postings.where(F.col("term").isin(list(terms)))
-            .groupBy("segment_id")
-            .applyInPandas(kernel, schema="n long")
-        )
+        per_seg = self._per_segment(terms, kernel, "n long")
         row = per_seg.agg(F.sum("n").alias("total")).collect()[0]
         return int(row["total"] or 0)
+
+    # ---- generic per-segment kernel scaffolding -------------------------
+    def _per_segment(self, terms, kernel, schema):
+        """Term-pruned postings scan -> groupBy(segment) -> kernel rows.
+        The scan's ``term IN (...)`` predicate is pushed to Parquet
+        row-group stats; ``segment_id IN (live)`` prunes dead (merged-
+        away) segment directories at the partition level."""
+        import pyspark.sql.functions as F
+
+        filtered = self.postings.where(
+            F.col("segment_id").isin(list(self.live_segments))
+        )
+        if terms is not None:
+            if not terms:
+                filtered = filtered.where(F.lit(False))
+            else:
+                filtered = filtered.where(F.col("term").isin(list(terms)))
+        return filtered.groupBy("segment_id").applyInPandas(kernel, schema=schema)
+
+    def _with_url(self, df, cols):
+        """Join internal doc ids back to urls (broadcast the small hit
+        side into the docmap scan)."""
+        import pyspark.sql.functions as F
+
+        return self.docmap.join(F.broadcast(df), "doc_id").select(*cols)
+
+    def _stats_for(self, q):
+        terms = ast_mod.query_terms(q)
+        tstats = self.global_term_stats(terms)
+        return GlobalStats(
+            doc_count=int(self.commit["doc_count"]),
+            sum_total_tf=int(self.commit["sum_total_tf"]),
+            doc_freq={t: v[0] for t, v in tstats.items()},
+        ), terms
+
+    # ---- match sets / postings access (driver-correctness surface) ------
+    def match_docs(self, query):
+        """All docs matching ``query`` (membership only): DataFrame
+        (doc_id, url). The exhaustive-matching analog of
+        ConstantScoreQuery + a collector that keeps every doc."""
+        q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
+        stats, terms = self._stats_for(q)
+        scorers = build_scorers(q, stats, dtype="f64")
+        index_dir = self.index_dir
+        kq = q
+
+        def kernel(key, pdf):
+            import pandas as pd
+
+            if pdf.empty:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            seg = _load_segment_view(index_dir, str(key[0]), pdf)
+            docs, _ = kernels.score_exhaustive(seg, kq, scorers, "f64")
+            return pd.DataFrame({"doc_id": (docs + seg.doc_base).astype("int64")})
+
+        per_seg = self._per_segment(terms, kernel, "doc_id long")
+        return self._with_url(per_seg, ["doc_id", "url"])
+
+    def term_postings_df(self, term: str):
+        """One term's full postings: DataFrame (doc_id, url, tf) — the
+        PostingsEnum(FREQS) analog, decoded distributed."""
+        term = self.analyzer.normalize(term)
+        index_dir = self.index_dir
+
+        def kernel(key, pdf):
+            import pandas as pd
+
+            if pdf.empty:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "tf": pd.Series([], dtype="int64")}
+                )
+            seg = _load_segment_view(index_dir, str(key[0]), pdf)
+            tb = seg.term_blocks(term)
+            if tb is None:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "tf": pd.Series([], dtype="int64")}
+                )
+            docs, tfs = tb.decode_all()
+            return pd.DataFrame(
+                {"doc_id": (docs + seg.doc_base).astype("int64"),
+                 "tf": tfs.astype("int64")}
+            )
+
+        per_seg = self._per_segment({term}, kernel, "doc_id long, tf long")
+        return self._with_url(per_seg, ["doc_id", "url", "tf"])
+
+    def phrase_freqs_df(self, query):
+        """Exact-phrase occurrences: DataFrame (doc_id, url, freq) for
+        every doc where phraseFreq > 0 (two-phase: doc AND + position
+        verify)."""
+        q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
+        if not isinstance(q, ast_mod.PhraseQuery):
+            raise TypeError(f"not a phrase query: {query!r}")
+        index_dir = self.index_dir
+        kq = q
+
+        def kernel(key, pdf):
+            import pandas as pd
+
+            if pdf.empty:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "freq": pd.Series([], dtype="int64")}
+                )
+            seg = _load_segment_view(index_dir, str(key[0]), pdf)
+            docs, freqs = kernels._phrase_doc_freqs(seg, kq)
+            return pd.DataFrame(
+                {"doc_id": (docs + seg.doc_base).astype("int64"),
+                 "freq": freqs.astype("int64")}
+            )
+
+        per_seg = self._per_segment(set(q.terms), kernel, "doc_id long, freq long")
+        return self._with_url(per_seg, ["doc_id", "url", "freq"])
+
+    # ---- term dictionary / multi-term expansion -------------------------
+    def term_dictionary(self):
+        """Global (term, doc_freq, total_tf) — TermsEnum over all live
+        segments, aggregated (Catalyst does the partial aggregation
+        map-side)."""
+        import pyspark.sql.functions as F
+
+        return (
+            self.term_stats.where(
+                F.col("segment_id").isin(list(self.live_segments))
+            )
+            .groupBy("term")
+            .agg(
+                F.sum("doc_freq").alias("doc_freq"),
+                F.sum("total_tf").alias("total_tf"),
+            )
+        )
+
+    def expand_terms(self, mode: str, *args) -> list:
+        """MultiTermQuery term expansion against the term dictionary
+        (``search/MultiTermQuery.java`` rewrite): returns the sorted
+        matching terms. Modes: prefix(p) | regexp(r) | range(lo, hi) |
+        in_set(terms) | fuzzy(term, max_edits)."""
+        import pyspark.sql.functions as F
+
+        td = self.term_dictionary()
+        if mode == "prefix":
+            td = td.where(F.col("term").startswith(args[0]))
+        elif mode == "regexp":
+            td = td.where(F.col("term").rlike(args[0]))
+        elif mode == "range":
+            lo, hi = args
+            td = td.where((F.col("term") >= lo) & (F.col("term") < hi))
+        elif mode == "in_set":
+            td = td.where(F.col("term").isin(list(args[0])))
+        elif mode == "fuzzy":
+            base, max_edits = args
+            td = td.where(F.levenshtein(F.col("term"), F.lit(base)) <= max_edits)
+        else:
+            raise ValueError(f"unknown expansion mode {mode!r}")
+        return sorted(r["term"] for r in td.select("term").collect())
+
+    def multi_term_docs(self, mode: str, *args):
+        """Docs matching ANY expanded term (constant-score rewrite of
+        the MultiTermQuery family): DataFrame (doc_id, url)."""
+        terms = self.expand_terms(mode, *args)
+        if not terms:
+            q = ast_mod.MatchNoDocsQuery()
+        else:
+            q = ast_mod.BooleanQuery(
+                should=tuple(ast_mod.TermQuery(t) for t in terms),
+                min_should_match=1,
+            )
+        return self.match_docs(q)
+
+    # ---- synonym / dismax scoring ---------------------------------------
+    def synonym_scores_df(self, terms, dtype: str = "f64"):
+        """SynonymQuery semantics (``search/SynonymQuery.java:211-228``):
+        pseudo-term stats df=max(df_i), ttf=sum(ttf_i); per-doc tf = sum
+        of member tfs; one BM25 scorer. DataFrame (doc_id, url, score)."""
+        from lucene_spark.search.scoring import ScorerF64, idf_f64
+        from lucene_spark.similarity import bm25
+
+        terms = [self.analyzer.normalize(t) for t in terms]
+        tstats = self.global_term_stats(set(terms))
+        if not tstats:
+            return self.spark.createDataFrame([], "doc_id long, url string, score double")
+        df_max = max(v[0] for v in tstats.values())
+        doc_count = int(self.commit["doc_count"])
+        sum_total_tf = int(self.commit["sum_total_tf"])
+        if dtype == "f32":
+            scorer = bm25.BM25Scorer.build(
+                bm25.idf(df_max, doc_count), bm25.avgdl(sum_total_tf, doc_count)
+            )
+        else:
+            scorer = ScorerF64(
+                idf_f64(df_max, doc_count), sum_total_tf / float(doc_count)
+            )
+        index_dir = self.index_dir
+        kterms = list(terms)
+
+        def kernel(key, pdf):
+            import pandas as pd
+
+            if pdf.empty:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")}
+                )
+            seg = _load_segment_view(index_dir, str(key[0]), pdf)
+            agg: dict = {}
+            all_docs = []
+            all_tfs = []
+            for t in kterms:
+                tb = seg.term_blocks(t)
+                if tb is None:
+                    continue
+                d, f = tb.decode_all()
+                all_docs.append(d)
+                all_tfs.append(f)
+            if not all_docs:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")}
+                )
+            d = np.concatenate(all_docs)
+            f = np.concatenate(all_tfs)
+            uniq, inv = np.unique(d, return_inverse=True)
+            tf_sum = np.bincount(inv, weights=f.astype(np.float64)).astype(np.int64)
+            s = scorer.score(tf_sum, seg.norms[uniq]).astype(np.float64)
+            return pd.DataFrame(
+                {"doc_id": (uniq + seg.doc_base).astype("int64"), "score": s}
+            )
+
+        per_seg = self._per_segment(set(terms), kernel, "doc_id long, score double")
+        return self._with_url(per_seg, ["doc_id", "url", "score"])
+
+    def term_scores_df(self, terms, dtype: str = "f64"):
+        """Per (doc, term) BM25 scores for a term set — the building
+        block for DataFrame-native score combiners (DisjunctionMax).
+        DataFrame (doc_id, term, score)."""
+        terms = [self.analyzer.normalize(t) for t in terms]
+        q = ast_mod.BooleanQuery(
+            should=tuple(ast_mod.TermQuery(t) for t in terms), min_should_match=1
+        )
+        stats, tset = self._stats_for(q)
+        scorers = build_scorers(q, stats, dtype=dtype)
+        index_dir = self.index_dir
+        kterms = list(dict.fromkeys(terms))
+
+        def kernel(key, pdf):
+            import pandas as pd
+
+            out_d, out_t, out_s = [], [], []
+            if not pdf.empty:
+                seg = _load_segment_view(index_dir, str(key[0]), pdf)
+                for t in kterms:
+                    tb = seg.term_blocks(t)
+                    if tb is None:
+                        continue
+                    d, f = tb.decode_all()
+                    s = scorers[("t", t)].score(f, seg.norms[d]).astype(np.float64)
+                    out_d.append((d + seg.doc_base).astype("int64"))
+                    out_t.extend([t] * d.size)
+                    out_s.append(s)
+            import numpy as _np
+
+            return pd.DataFrame(
+                {
+                    "doc_id": _np.concatenate(out_d) if out_d else _np.empty(0, "int64"),
+                    "term": pd.Series(out_t, dtype="object"),
+                    "score": _np.concatenate(out_s) if out_s else _np.empty(0, "float64"),
+                }
+            )
+
+        return self._per_segment(tset, kernel, "doc_id long, term string, score double")
+
+    def dismax_scores_df(self, terms, tie_breaker: float = 0.0, dtype: str = "f64"):
+        """DisjunctionMaxQuery (``search/DisjunctionMaxQuery.java:30-59``):
+        score = max(clauses) + tie * sum(non-max clauses). DataFrame
+        (doc_id, url, score). With tie=0 the result is float-order-free."""
+        import pyspark.sql.functions as F
+
+        per = self.term_scores_df(terms, dtype=dtype)
+        agg = per.groupBy("doc_id").agg(
+            F.max("score").alias("mx"),
+            F.sum("score").alias("sm"),
+        )
+        score = F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))
+        out = agg.select("doc_id", score.alias("score"))
+        return self._with_url(out, ["doc_id", "url", "score"])
