@@ -56,6 +56,34 @@ _TOKEN_RE = re.compile(
 # runs of only underscores are not UAX#29 words (ExtendNumLet alone)
 _ONLY_UNDERSCORE = re.compile(r"_+$")
 
+# ASCII specialization of _TOKEN_RE (identical matches on ASCII input:
+# the Han/Hiragana/Katakana branches can never fire and \w reduces to
+# [0-9A-Za-z_]) — explicit byte classes skip the per-char Unicode
+# property lookups, ~2-3x faster on web-scale English text
+_ASCII_TOKEN_RE = re.compile(
+    r"[0-9A-Za-z_]+(?:(?:['.]|(?<=[0-9]),(?=[0-9]))[0-9A-Za-z_]+)*"
+)
+
+# a doc is "simple" if its tokens are plain [0-9A-Za-z_] runs — no
+# medial apostrophe/period/comma joins possible. Simple ASCII docs take
+# the fully-vectorized (object-free) numpy tokenizer.
+_COMPLEX_ASCII = re.compile(r"[0-9A-Za-z_]['.,][0-9A-Za-z_]")
+
+_WORD_BYTE = np.zeros(256, dtype=bool)
+for _c in range(256):
+    _WORD_BYTE[_c] = chr(_c).isascii() and (chr(_c).isalnum() or chr(_c) == "_")
+
+# polynomial-hash weights for the vectorized term coder (two independent
+# bases; a token's key is (h1, h2, len) — collision-checked, and the
+# object fallback engages on the ~2^-100 mismatch)
+_M64 = (1 << 64) - 1
+_POW1 = np.array(
+    [pow(1099511628211, i, 1 << 64) for i in range(256)], dtype=np.uint64
+)
+_POW2 = np.array(
+    [pow(2654435761, i, 1 << 64) for i in range(256)], dtype=np.uint64
+)
+
 # Java Character.toLowerCase(int) divergences from 1-char Python lower():
 # U+0130 LATIN CAPITAL LETTER I WITH DOT ABOVE -> 'i' (simple mapping).
 _SPECIAL_LOWER = {0x130: "i"}
@@ -89,6 +117,12 @@ class Analyzer:
     stopwords: frozenset = field(default_factory=frozenset)
     max_token_length: int = 255
     lowercase: bool = True
+    # opt-in: the object-free numpy tokenizer (_vector_tokens). It wins
+    # on machines with healthy page-allocation throughput; on VMs where
+    # first-touch page faults are slow (this sandbox: ~0.4 GB/s fault-in
+    # vs 7.6 GB/s steady-state) the pymalloc-recycled object path is
+    # faster, so the default stays False.
+    vectorized: bool = False
 
     def tokenize_one(self, text: str) -> tuple[list[str], list[int]]:
         """(terms, positions) for one document — reference path for tests."""
@@ -115,81 +149,190 @@ class Analyzer:
         (StandardAnalyzer.java:98-101)."""
         return java_lower(term) if self.lowercase else term
 
+    def _doc_tokens(self, text: str) -> list:
+        """One document's raw lowercased word tokens (fast path: C-level
+        ``findall`` on the pre-lowered ASCII text — equivalent because
+        ASCII case never changes word-break classes; non-ASCII docs take
+        the per-token ``java_lower`` path)."""
+        if text.isascii():
+            return _ASCII_TOKEN_RE.findall(text.lower() if self.lowercase else text)
+        toks = _TOKEN_RE.findall(text)
+        if self.lowercase:
+            return [java_lower(t) for t in toks]
+        return toks
+
+    def _vector_tokens(self, texts: list):
+        """Fully-vectorized tokenizer+coder for batches of simple ASCII
+        docs (tokens are plain ``[0-9A-Za-z_]`` runs — no medial
+        apostrophe/period/comma joins present). No per-token Python
+        objects: byte-class masks find token spans, two independent
+        polynomial hashes group identical tokens (collision-verified;
+        the object path takes over on the astronomically-rare clash).
+
+        Returns ``(doc_idx int32, codes int64, uniq object[],
+        counts_raw int64)`` or None when inapplicable.
+        """
+        joined = "\x1e".join(texts)
+        if not joined.isascii() or _COMPLEX_ASCII.search(joined):
+            return None
+        if self.lowercase:
+            joined = joined.lower()
+        arr = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        ndocs = len(texts)
+        isw = _WORD_BYTE[arr]
+        prev = np.concatenate(([False], isw[:-1]))
+        nxt = np.concatenate((isw[1:], [False]))
+        starts = np.flatnonzero(isw & ~prev)
+        ends = np.flatnonzero(isw & ~nxt) + 1
+        ntok = int(starts.size)
+        if ntok == 0:
+            return (
+                np.empty(0, np.int32),
+                np.empty(0, np.int64),
+                np.empty(0, object),
+                np.zeros(ndocs, np.int64),
+            )
+        lens_tok = (ends - starts).astype(np.int64)
+        doc_lens = np.fromiter(map(len, texts), dtype=np.int64, count=ndocs)
+        doc_starts = np.concatenate(([0], np.cumsum(doc_lens + 1)))[:-1]
+        doc_idx = (
+            np.searchsorted(doc_starts, starts, side="right") - 1
+        ).astype(np.int32)
+
+        sel = np.flatnonzero(isw)  # all token bytes, stream order
+        tok_first = np.concatenate(([0], np.cumsum(lens_tok)))[:-1]
+        rel = np.minimum(
+            np.arange(sel.size, dtype=np.int64) - np.repeat(tok_first, lens_tok),
+            255,
+        )
+        vals = arr[sel].astype(np.uint64)
+        h1 = np.add.reduceat(vals * _POW1[rel], tok_first)
+        h2 = np.add.reduceat(vals * _POW2[rel], tok_first)
+        _, first, inv = np.unique(h1, return_index=True, return_inverse=True)
+        # collision check: within every h1-group, (h2, len) must agree
+        if not (
+            np.array_equal(h2, h2[first][inv])
+            and np.array_equal(lens_tok, lens_tok[first][inv])
+        ):
+            return None  # 64-bit clash: fall back to the object path
+        uniq = np.array(
+            [joined[starts[i] : ends[i]] for i in first], dtype=object
+        )
+        counts_raw = np.bincount(doc_idx, minlength=ndocs).astype(np.int64)
+        return doc_idx, inv.astype(np.int64), uniq, counts_raw
+
+    def tokenize_batch_coded(
+        self, texts: "list[str] | np.ndarray"
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Tokenize a batch into integer term codes (the hot path of the
+        distributed segment build — object-string work is minimized
+        because the inverting sort/group runs on int codes).
+
+        Returns ``(doc_idx int32, codes int64, uniq_terms object[],
+        positions int32, doc_token_counts int64)`` with ``uniq_terms``
+        SORTED and codes referring to that sorted order.
+        """
+        import itertools
+
+        texts = ["" if t is None else t for t in texts]
+        ndocs = len(texts)
+        vec = self._vector_tokens(texts) if (ndocs and self.vectorized) else None
+        if vec is not None:
+            doc_idx, codes, uniq, counts_raw = vec
+            n = codes.size
+            if n == 0:
+                return (
+                    np.empty(0, np.int32),
+                    np.empty(0, np.int64),
+                    np.empty(0, object),
+                    np.empty(0, np.int32),
+                    np.zeros(ndocs, np.int64),
+                )
+        else:
+            per_doc = [self._doc_tokens(t) for t in texts]
+            counts_raw = np.fromiter(map(len, per_doc), dtype=np.int64, count=ndocs)
+            flat = list(itertools.chain.from_iterable(per_doc))
+            n = len(flat)
+            if n == 0:
+                return (
+                    np.empty(0, np.int32),
+                    np.empty(0, np.int64),
+                    np.empty(0, object),
+                    np.empty(0, np.int32),
+                    np.zeros(ndocs, np.int64),
+                )
+            doc_idx = np.repeat(np.arange(ndocs, dtype=np.int32), counts_raw)
+
+            # one dict pass assigns provisional integer codes; ALL further
+            # per-token logic (word-ness, length cap, stopwords) runs as
+            # boolean lookups over the ~|vocab| unique terms, not the ~10^6
+            # token stream — the object-string work is O(unique), not O(n)
+            code_of: dict = {}
+            setd = code_of.setdefault
+            codes = np.fromiter(
+                (setd(t, len(code_of)) for t in flat), dtype=np.int64, count=n
+            )
+            uniq = np.array(list(code_of.keys()), dtype=object)
+        nu = uniq.size
+        # pure-underscore runs are not UAX#29 words: no position consumed
+        is_word_u = np.fromiter(
+            (("_" not in t) or not _ONLY_UNDERSCORE.fullmatch(t) for t in uniq),
+            dtype=bool,
+            count=nu,
+        )
+        len_ok_u = np.fromiter(
+            (len(t) <= self.max_token_length for t in uniq), dtype=bool, count=nu
+        )
+        if self.stopwords:
+            sw = self.stopwords
+            stop_u = np.fromiter((t in sw for t in uniq), dtype=bool, count=nu)
+        else:
+            stop_u = np.zeros(nu, dtype=bool)
+
+        # positions: running count of WORD tokens within each doc
+        # (overlong + stopword tokens consume positions; underscore runs
+        # do not)
+        is_word_t = is_word_u[codes]
+        c = np.cumsum(is_word_t, dtype=np.int64)
+        doc_first = np.concatenate(([0], np.cumsum(counts_raw)))[:-1]
+        cpad = np.concatenate(([0], c))
+        before_doc = cpad[doc_first]  # words strictly before each doc start
+        positions = ((c - is_word_t) - before_doc[doc_idx]).astype(np.int32)
+
+        keep = is_word_t & len_ok_u[codes] & ~stop_u[codes]
+        doc_idx = doc_idx[keep]
+        codes = codes[keep]
+        positions = positions[keep]
+        token_counts = np.bincount(doc_idx, minlength=ndocs).astype(np.int64)
+
+        # compact the code space to surviving terms, sorted
+        used = np.zeros(nu, dtype=bool)
+        used[codes] = True
+        used_idx = np.flatnonzero(used)
+        used_terms = uniq[used_idx]
+        order = np.argsort(used_terms, kind="stable")
+        remap = np.full(nu, -1, dtype=np.int64)
+        remap[used_idx[order]] = np.arange(used_idx.size)
+        return (
+            doc_idx.astype(np.int32),
+            remap[codes],
+            used_terms[order],
+            positions,
+            token_counts,
+        )
+
     def tokenize_batch(
         self, texts: "list[str] | np.ndarray"
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        """Tokenize a batch of documents with ONE regex pass.
+        """Tokenize a batch of documents.
 
         Returns flat arrays ``(doc_idx int32, terms object, positions int32,
         doc_token_counts int64)`` where ``doc_token_counts[d]`` is the number
         of emitted tokens of document d (== its norm length).
-
-        Documents are joined with U+001E (record separator, never a word
-        char) so token spans cannot cross document boundaries.
         """
-        texts = ["" if t is None else t for t in texts]
-        ndocs = len(texts)
-        joined = "\x1e".join(texts)
-        # char offset where each doc starts in `joined`
-        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=ndocs)
-        doc_starts = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
-
-        raw: list[str] = []
-        starts: list[int] = []
-        for m in _TOKEN_RE.finditer(joined):
-            raw.append(m.group())
-            starts.append(m.start())
-        if not raw:
-            return (
-                np.empty(0, np.int32),
-                np.empty(0, object),
-                np.empty(0, np.int32),
-                np.zeros(ndocs, np.int64),
-            )
-        starts_arr = np.asarray(starts, dtype=np.int64)
-        doc_idx = (np.searchsorted(doc_starts, starts_arr, side="right") - 1).astype(
-            np.int32
-        )
-        tok_lens = np.fromiter((len(t) for t in raw), dtype=np.int64, count=len(raw))
-        is_word = np.fromiter(
-            (not _ONLY_UNDERSCORE.fullmatch(t) for t in raw),
-            dtype=bool,
-            count=len(raw),
-        )
-        # positions: running count within each doc over word tokens
-        # (doc_idx is nondecreasing because finditer is in order)
-        keep_word = is_word
-        word_doc = doc_idx[keep_word]
-        pos_global = np.arange(word_doc.size, dtype=np.int64)
-        doc_first = np.zeros(ndocs, dtype=np.int64)
-        first_idx = np.searchsorted(word_doc, np.arange(ndocs))
-        # tokens per doc boundaries
-        counts_per_doc = np.bincount(word_doc, minlength=ndocs)
-        doc_first = np.concatenate(([0], np.cumsum(counts_per_doc)))[:-1]
-        positions = (pos_global - doc_first[word_doc]).astype(np.int32)
-
-        words = [raw[i] for i in np.flatnonzero(keep_word)]
-        word_lens = tok_lens[keep_word]
-
-        # drop overlong (position already consumed), lowercase, drop stopwords
-        keep = word_lens <= self.max_token_length
-        if self.lowercase:
-            terms_list = [java_lower(words[i]) for i in np.flatnonzero(keep)]
-        else:
-            terms_list = [words[i] for i in np.flatnonzero(keep)]
-        out_doc = word_doc[keep]
-        out_pos = positions[keep]
-        if self.stopwords:
-            sw = self.stopwords
-            keep2 = np.fromiter(
-                (t not in sw for t in terms_list), dtype=bool, count=len(terms_list)
-            )
-            terms_list = [t for t, k in zip(terms_list, keep2) if k]
-            out_doc = out_doc[keep2]
-            out_pos = out_pos[keep2]
-        token_counts = np.bincount(out_doc, minlength=ndocs).astype(np.int64)
-        terms_arr = np.array(terms_list, dtype=object)
-        return out_doc.astype(np.int32), terms_arr, out_pos.astype(np.int32), token_counts
+        doc_idx, codes, uniq, positions, counts = self.tokenize_batch_coded(texts)
+        terms_arr = uniq[codes] if codes.size else np.empty(0, object)
+        return doc_idx, terms_arr, positions, counts
 
 
 STANDARD = Analyzer()  # empty stop set, like `new StandardAnalyzer()`

@@ -93,13 +93,13 @@ def invert_partition(urls, texts, analyzer: Analyzer, store_positions: bool = Tr
     from lucene_spark.codec.blocks import encode_term_postings
     from lucene_spark.util.smallfloat import int_to_byte4_np
 
-    doc_idx, terms, positions, counts = analyzer.tokenize_batch(texts)
+    doc_idx, codes, uniq, positions, counts = analyzer.tokenize_batch_coded(texts)
     norms = int_to_byte4_np(counts)
     block_rows: list = []
     term_stats: list = []
-    if terms.size:
+    if codes.size:
         # sort tokens by (term, doc, position): FreqProxTermsWriter.flush
-        uniq, codes = np.unique(terms, return_inverse=True)
+        # (int term codes — no object-string comparisons on the hot path)
         order = np.lexsort((positions, doc_idx, codes))
         codes_s = codes[order]
         docs_s = doc_idx[order].astype(np.int64)
@@ -298,10 +298,18 @@ def _manifest_row(m: dict) -> dict:
     }
 
 
-def build_index(spark, df, index_dir: str, config: IndexConfig | None = None) -> dict:
+def build_index(
+    spark,
+    df,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    doc_base_offset: int = 0,
+) -> dict:
     """Build (or resume) an index over ``df`` and commit it.
 
     df must contain ``config.key_col`` (unique) and ``config.text_col``.
+    ``doc_base_offset`` shifts all assigned doc ids (streaming appends
+    continue the dense global id space — see streaming/nrt.py).
     Returns the commit dict (also written to ``commits/gen_N.json``).
     """
     import pyspark.sql.functions as F
@@ -323,7 +331,7 @@ def build_index(spark, df, index_dir: str, config: IndexConfig | None = None) ->
     # tiny aggregation: docs per segment -> deterministic doc_base
     counts = {r["__pid"]: r["cnt"] for r in keyed.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     doc_base_map: dict[int, int] = {}
-    base = 0
+    base = int(doc_base_offset)
     for pid in sorted(counts):
         doc_base_map[pid] = base
         base += counts[pid]
@@ -334,7 +342,15 @@ def build_index(spark, df, index_dir: str, config: IndexConfig | None = None) ->
     def fn(pdf):
         return build_segment_pdf(pdf, idx_dir, cfg, doc_base_map)
 
-    manifest_df = keyed.groupBy("__pid").applyInPandas(fn, schema=_MANIFEST_SCHEMA)
+    # explicit-count repartition (REPARTITION_BY_NUM): one task per
+    # segment. Without it AQE coalesces the pre-applyInPandas shuffle to
+    # ~data/64MB partitions, capping build parallelism at a handful of
+    # tasks no matter how many cores the cluster has.
+    manifest_df = (
+        keyed.repartition(p, "__pid")
+        .groupBy("__pid")
+        .applyInPandas(fn, schema=_MANIFEST_SCHEMA)
+    )
     rows = [r.asDict() for r in manifest_df.collect()]
     rows.sort(key=lambda r: r["pid"])
     commit = {

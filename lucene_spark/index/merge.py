@@ -1,0 +1,388 @@
+"""Tiered merge / compaction of committed segments.
+
+The Spark translation of SURVEY.md §3.4 (``index/TieredMergePolicy.java``
++ ``index/SegmentMerger.java``):
+
+- ``find_merge`` clones the tiered-policy geometry (segsPerTier=8,
+  floorSegmentBytes=16 MB, maxMergedSegmentBytes=5 GB — defaults from
+  ``TieredMergePolicy.java:85-91``) and candidate scoring
+  ``skew * totalBytes^0.05`` (``:686-733``, nonDelRatio=1: we carry no
+  deletes).
+- ``merge_segments`` re-writes a group of segments as one. Because our
+  doc IDs are already *global* (``doc_id = doc_base + local``) and the
+  block codec stores the first doc of each block absolutely in the
+  ``first_doc`` column (deltas are base-relative — see codec/blocks.py),
+  merging is a metadata-level transform: shift ``first_doc``/``last_doc``
+  per source segment, renumber ``block_id`` per term in (segment-order,
+  block) order, concatenate norm blobs, and sum term stats. No posting
+  payload is re-encoded. Divergence from Lucene noted: Lucene renumbers
+  doc IDs at merge (``index/DocIDMerger.java``); we preserve them, which
+  is why candidate groups must be doc_base-CONTIGUOUS runs — this keeps
+  every query answer (ids, scores, tie-breaks) bit-identical across
+  merges, which the equivalence tests assert.
+
+Scale design (north rule: hot-term skew, two-phase merge):
+- the merge job shuffles once on ``salt = hash(term) % S``; each salt
+  task sorts its terms' blocks and writes one shard file
+  (``data_<salt>.parquet``) of the new segment — the salted two-phase
+  posting merge of SURVEY §4.4. A hot term ("the" at 10^9 docs) is
+  *block rows*, not postings, so even one salt's share is metadata-sized.
+- mid-list short blocks (tails of source segments) are valid in the
+  format (``num_docs`` per block); they cost a little scan efficiency
+  until the next merge rewrites them — same tradeoff Lucene accepts for
+  unmerged tail blocks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+from lucene_spark.index.builder import (
+    POSTINGS_ROW_GROUP,
+    _atomic_write_json,
+    read_latest_commit,
+)
+
+# TieredMergePolicy.java:85-91 defaults
+SEGS_PER_TIER = 8
+FLOOR_SEGMENT_BYTES = 16 * 1024 * 1024
+MAX_MERGED_SEGMENT_BYTES = 5 * 1024 * 1024 * 1024
+MAX_MERGE_AT_ONCE = 8
+
+
+def _size(seg: dict, floor_bytes: int) -> int:
+    return max(int(seg["postings_bytes"]), floor_bytes)
+
+
+def find_merge(
+    segments: list,
+    segs_per_tier: int = SEGS_PER_TIER,
+    floor_bytes: int = FLOOR_SEGMENT_BYTES,
+    max_merged_bytes: int = MAX_MERGED_SEGMENT_BYTES,
+    max_merge_at_once: int = MAX_MERGE_AT_ONCE,
+) -> list | None:
+    """Pick the best merge group (list of manifest rows, doc_base order)
+    or None if the index satisfies the tier geometry.
+
+    Tier budget (TieredMergePolicy.findMerges:324-420): levels of
+    ``segsPerTier`` segments each, sizes growing by ``segsPerTier`` per
+    level above the floor; allowed count = sum over levels.
+    """
+    segs = sorted(segments, key=lambda s: s["doc_base"])
+    if len(segs) <= 1:
+        return None
+    total = sum(_size(s, floor_bytes) for s in segs)
+    # allowed segment count from tier geometry
+    level_size = floor_bytes
+    remaining = total
+    allowed = 0.0
+    while True:
+        seg_count_level = remaining / level_size
+        if seg_count_level < segs_per_tier:
+            allowed += np.ceil(seg_count_level)
+            break
+        allowed += segs_per_tier
+        remaining -= segs_per_tier * level_size
+        level_size *= segs_per_tier
+    if len(segs) <= max(2, int(allowed)):
+        return None
+    # enumerate contiguous windows (doc-id preservation requires runs)
+    best = None
+    best_score = None
+    for w in range(2, min(max_merge_at_once, len(segs)) + 1):
+        for i in range(0, len(segs) - w + 1):
+            grp = segs[i : i + w]
+            sizes = [_size(s, floor_bytes) for s in grp]
+            tot = sum(sizes)
+            if tot > max_merged_bytes:
+                continue
+            # skew: biggest / total, floored by perfect balance 1/w
+            skew = max(sizes) / tot
+            score = skew * tot**0.05 / w  # prefer balanced, wider merges
+            if best_score is None or score < best_score:
+                best, best_score = grp, score
+    return best
+
+
+_POSTINGS_MERGE_SCHEMA = (
+    "term string, block_id int, num_docs int, first_doc long, last_doc long, "
+    "docs_bin binary, tfs_bin binary, pos_bin binary, "
+    "impact_tfs array<int>, impact_norms array<int>, salt int"
+)
+
+
+def merge_segments(
+    spark,
+    index_dir: str,
+    group_segment_ids: list,
+    generation: int,
+    num_salts: int = 4,
+) -> dict:
+    """Merge a contiguous group into one new segment and commit a new
+    generation. Returns the new commit dict. Idempotent per segment
+    (manifest check), like the builder."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    commit = read_latest_commit(index_dir)
+    by_id = {s["segment_id"]: s for s in commit["segments"]}
+    group = sorted(
+        (by_id[sid] for sid in group_segment_ids), key=lambda s: s["doc_base"]
+    )
+    # contiguity check (doc-id preservation contract)
+    base = group[0]["doc_base"]
+    for s in group:
+        if s["doc_base"] != base:
+            raise ValueError("merge group must be doc_base-contiguous")
+        base += s["num_docs"]
+    new_base = int(group[0]["doc_base"])
+    new_sid = f"g{generation:04d}m{new_base:012d}"
+    manifest_path = os.path.join(index_dir, "manifest", f"segment_{new_sid}.json")
+    tmp_root = os.path.join(index_dir, "_tmp", new_sid)
+
+    if not os.path.exists(manifest_path):
+        t0 = time.time()
+        os.makedirs(os.path.join(tmp_root, "postings"), exist_ok=True)
+        # (segment_id, shift, seg_order) — broadcast-sized dimension
+        dim = spark.createDataFrame(
+            [
+                (s["segment_id"], int(s["doc_base"] - new_base), i)
+                for i, s in enumerate(group)
+            ],
+            "segment_id string, shift long, seg_order int",
+        )
+        posts = spark.read.parquet(os.path.join(index_dir, "postings")).where(
+            F.col("segment_id").isin([s["segment_id"] for s in group])
+        )
+        shifted = (
+            posts.join(F.broadcast(dim), "segment_id")
+            .select(
+                "term",
+                "block_id",
+                "num_docs",
+                (F.col("first_doc") + F.col("shift")).alias("first_doc"),
+                (F.col("last_doc") + F.col("shift")).alias("last_doc"),
+                "docs_bin",
+                "tfs_bin",
+                "pos_bin",
+                "impact_tfs",
+                "impact_norms",
+                "seg_order",
+                F.pmod(F.hash("term"), F.lit(num_salts)).alias("salt"),
+            )
+        )
+        shard_dir = os.path.join(tmp_root, "postings")
+
+        def write_shard(key, pdf):
+            import pandas as pd
+
+            salt = int(key[0])
+            pdf = pdf.sort_values(
+                ["term", "seg_order", "block_id"], kind="mergesort"
+            )
+            # renumber blocks per term in merged doc order
+            pdf["block_id"] = pdf.groupby("term").cumcount().astype("int32")
+            tbl = pa.table(
+                {
+                    "term": pa.array(pdf["term"], pa.string()),
+                    "block_id": pa.array(pdf["block_id"], pa.int32()),
+                    "num_docs": pa.array(pdf["num_docs"], pa.int32()),
+                    "first_doc": pa.array(pdf["first_doc"], pa.int64()),
+                    "last_doc": pa.array(pdf["last_doc"], pa.int64()),
+                    "docs_bin": pa.array(pdf["docs_bin"], pa.binary()),
+                    "tfs_bin": pa.array(pdf["tfs_bin"], pa.binary()),
+                    "pos_bin": pa.array(pdf["pos_bin"], pa.binary()),
+                    "impact_tfs": pa.array(
+                        [list(v) for v in pdf["impact_tfs"]], pa.list_(pa.int32())
+                    ),
+                    "impact_norms": pa.array(
+                        [list(v) for v in pdf["impact_norms"]], pa.list_(pa.int32())
+                    ),
+                }
+            )
+            pq.write_table(
+                tbl,
+                os.path.join(shard_dir, f"data_{salt:04d}.parquet"),
+                row_group_size=POSTINGS_ROW_GROUP,
+            )
+            return pd.DataFrame(
+                {"salt": [salt], "blocks": [len(pdf)],
+                 "bytes": [int(sum(len(b) for b in pdf["docs_bin"])
+                           + sum(len(b) for b in pdf["tfs_bin"])
+                           + sum(len(b) for b in pdf["pos_bin"]))]}
+            )
+
+        shards = (
+            shifted.repartition(num_salts, "salt")
+            .groupBy("salt")
+            .applyInPandas(write_shard, schema="salt int, blocks long, bytes long")
+            .collect()
+        )
+        postings_bytes = int(sum(r["bytes"] for r in shards))
+
+        # term_stats: global per-term sums for the group (small agg)
+        ts = (
+            spark.read.parquet(os.path.join(index_dir, "term_stats"))
+            .where(F.col("segment_id").isin([s["segment_id"] for s in group]))
+            .groupBy("term")
+            .agg(F.sum("doc_freq").alias("doc_freq"), F.sum("total_tf").alias("total_tf"))
+            .orderBy("term")
+            .toPandas()
+        )
+        os.makedirs(os.path.join(tmp_root, "term_stats"), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "term": pa.array(ts["term"], pa.string()),
+                    "doc_freq": pa.array(ts["doc_freq"], pa.int64()),
+                    "total_tf": pa.array(ts["total_tf"], pa.int64()),
+                }
+            ),
+            os.path.join(tmp_root, "term_stats", "data.parquet"),
+        )
+
+        # norms: concatenate packed blobs in doc_base order
+        blobs = []
+        for s in group:
+            nt = pq.read_table(
+                os.path.join(
+                    index_dir, "norms", f"segment_id={s['segment_id']}", "data.parquet"
+                )
+            )
+            blobs.append(nt["norms_bin"][0].as_py())
+        norms_bin = b"".join(blobs)
+        num_docs = int(sum(s["num_docs"] for s in group))
+        assert len(norms_bin) == num_docs
+        os.makedirs(os.path.join(tmp_root, "norms"), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_base": pa.array([new_base], pa.int64()),
+                    "num_docs": pa.array([num_docs], pa.int64()),
+                    "sum_total_tf": pa.array(
+                        [int(sum(s["sum_total_tf"] for s in group))], pa.int64()
+                    ),
+                    "norms_bin": pa.array([norms_bin], pa.binary()),
+                }
+            ),
+            os.path.join(tmp_root, "norms", "data.parquet"),
+        )
+
+        # docmap: doc ids unchanged — union the source partitions
+        dm = (
+            spark.read.parquet(os.path.join(index_dir, "docmap"))
+            .where(F.col("segment_id").isin([s["segment_id"] for s in group]))
+            .select("doc_id", "url")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        os.makedirs(os.path.join(tmp_root, "docmap"), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(dm["doc_id"], pa.int64()),
+                    "url": pa.array(dm["url"], pa.string()),
+                }
+            ),
+            os.path.join(tmp_root, "docmap", "data.parquet"),
+        )
+
+        # atomic publish (same pattern as the builder)
+        import shutil
+
+        for kind in ("postings", "term_stats", "norms", "docmap"):
+            final = os.path.join(index_dir, kind, f"segment_id={new_sid}")
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            os.replace(os.path.join(tmp_root, kind), final)
+        m = {
+            "segment_id": new_sid,
+            "pid": -1,
+            "generation": generation,
+            "doc_base": new_base,
+            "num_docs": num_docs,
+            "num_terms": int(len(ts)),
+            "num_postings": int(sum(s["num_postings"] for s in group)),
+            "sum_total_tf": int(sum(s["sum_total_tf"] for s in group)),
+            "postings_bytes": postings_bytes,
+            "input_hash": "+".join(s["input_hash"] for s in group),
+            "merged_from": [s["segment_id"] for s in group],
+            "build_secs": round(time.time() - t0, 3),
+            "status": "merged",
+        }
+        _atomic_write_json(manifest_path, m)
+    else:
+        with open(manifest_path) as f:
+            m = json.load(f)
+
+    # new commit: merged segment replaces its sources
+    merged_ids = set(group_segment_ids)
+    new_segments = [s for s in commit["segments"] if s["segment_id"] not in merged_ids]
+    new_segments.append(
+        {
+            k: m[k]
+            for k in (
+                "segment_id", "pid", "doc_base", "num_docs", "num_terms",
+                "num_postings", "sum_total_tf", "postings_bytes", "input_hash",
+                "status",
+            )
+        }
+    )
+    new_segments.sort(key=lambda s: s["doc_base"])
+    new_commit = dict(commit)
+    new_commit["generation"] = generation
+    new_commit["segments"] = new_segments
+    new_commit["num_segments"] = len(new_segments)
+    _atomic_write_json(
+        os.path.join(index_dir, "commits", f"gen_{generation:06d}.json"), new_commit
+    )
+    return new_commit
+
+
+def compact(
+    spark,
+    index_dir: str,
+    segs_per_tier: int = SEGS_PER_TIER,
+    floor_bytes: int = FLOOR_SEGMENT_BYTES,
+    max_merged_bytes: int = MAX_MERGED_SEGMENT_BYTES,
+    num_salts: int = 4,
+) -> dict:
+    """Run tiered merges until the geometry is satisfied (the
+    ConcurrentMergeScheduler loop, serialized)."""
+    commit = read_latest_commit(index_dir)
+    while True:
+        grp = find_merge(
+            commit["segments"],
+            segs_per_tier=segs_per_tier,
+            floor_bytes=floor_bytes,
+            max_merged_bytes=max_merged_bytes,
+        )
+        if not grp:
+            return commit
+        commit = merge_segments(
+            spark,
+            index_dir,
+            [s["segment_id"] for s in grp],
+            generation=commit["generation"] + 1,
+            num_salts=num_salts,
+        )
+
+
+def force_merge(spark, index_dir: str, num_salts: int = 4) -> dict:
+    """forceMerge(1): merge everything into a single segment."""
+    commit = read_latest_commit(index_dir)
+    if len(commit["segments"]) <= 1:
+        return commit
+    return merge_segments(
+        spark,
+        index_dir,
+        [s["segment_id"] for s in commit["segments"]],
+        generation=commit["generation"] + 1,
+        num_salts=num_salts,
+    )

@@ -71,7 +71,17 @@ def _load_segment_view(index_dir: str, segment_id: str, pdf_postings) -> Segment
 class Searcher:
     """IndexSearcher analog over a committed index directory."""
 
-    def __init__(self, spark, index_dir: str, analyzer: Analyzer | None = None):
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        analyzer: Analyzer | None = None,
+        cache_stats: bool = False,
+    ):
+        """``cache_stats=True`` memory-caches the term_stats table
+        (TermStates/collectionStatistics lookups become in-memory scans
+        — the LRUQueryCache analog for hot stats; suitable when the
+        term dictionary fits executor memory)."""
         from lucene_spark.analysis.analyzer import ENGLISH, Analyzer as _A
 
         self.spark = spark
@@ -81,10 +91,37 @@ class Searcher:
             sw = frozenset(self.commit.get("stopwords", []))
             analyzer = _A(stopwords=sw)
         self.analyzer = analyzer
+        import pyspark.sql.functions as F
+
+        self.live_segments = {s["segment_id"] for s in self.commit["segments"]}
+        live = list(self.live_segments)
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
-        self.docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
-        self.live_segments = {s["segment_id"] for s in self.commit["segments"]}
+        # dead (merged-away) segment files stay on disk until vacuumed;
+        # every scan must partition-prune to the live set (the docmap
+        # especially — dead segments carry the SAME doc ids)
+        self.docmap = spark.read.parquet(os.path.join(index_dir, "docmap")).where(
+            F.col("segment_id").isin(live)
+        )
+        if cache_stats:
+            self.term_stats = self.term_stats.cache()
+
+    def refresh(self) -> bool:
+        """SearcherManager.maybeRefresh analog: re-open the latest
+        commit generation. Returns True if a newer generation was
+        loaded. Cheap: only the commit JSON and the docmap filter are
+        rebuilt (segments are immutable)."""
+        import pyspark.sql.functions as F
+
+        latest = read_latest_commit(self.index_dir)
+        if latest["generation"] == self.commit["generation"]:
+            return False
+        self.commit = latest
+        self.live_segments = {s["segment_id"] for s in latest["segments"]}
+        self.docmap = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).where(F.col("segment_id").isin(list(self.live_segments)))
+        return True
 
     # ---- stats (SURVEY §2.4: global CollectionStatistics/TermStatistics) --
     def global_term_stats(self, terms: "set[str]") -> dict:
@@ -202,7 +239,15 @@ class Searcher:
                 filtered = filtered.where(F.lit(False))
             else:
                 filtered = filtered.where(F.col("term").isin(list(terms)))
-        return filtered.groupBy("segment_id").applyInPandas(kernel, schema=schema)
+        # explicit-count repartition: one kernel task per segment (AQE
+        # would otherwise coalesce the small term-pruned block rows into
+        # one task and serialize the per-segment kernels)
+        n = max(1, len(self.live_segments))
+        return (
+            filtered.repartition(n, "segment_id")
+            .groupBy("segment_id")
+            .applyInPandas(kernel, schema=schema)
+        )
 
     def _with_url(self, df, cols):
         """Join internal doc ids back to urls (broadcast the small hit

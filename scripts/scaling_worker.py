@@ -1,0 +1,104 @@
+"""One scaling-benchmark run: build + query the index at a given core
+count. Invoked as a subprocess per parallelism level (fresh JVM).
+
+Usage: python scripts/scaling_worker.py <cpus> <corpus.parquet> <out.json>
+
+The job is IDENTICAL at every level (same input, same num_segments=64
+partitioning, same query set); only `local[cpus]` changes — the
+sandbox stand-in for N vs 4N executors (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NUM_SEGMENTS = 64
+
+
+def main(cpus: int, corpus: str, out_path: str) -> None:
+    from pyspark.sql import SparkSession
+
+    from lucene_spark.analysis.analyzer import ENGLISH
+    from lucene_spark.fixtures import make_queries
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.searcher import Searcher
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        # small input splits: the single-file corpus must fan out past
+        # the default 128MB split size for the map side to use the cores
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .appName(f"scaling_{cpus}")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(corpus)
+    n_docs = df.count()
+    index_dir = tempfile.mkdtemp(prefix=f"ls_scale_{cpus}_")
+    try:
+        t0 = time.time()
+        build_index(
+            spark, df, index_dir,
+            IndexConfig(num_segments=NUM_SEGMENTS, analyzer=ENGLISH),
+        )
+        build_s = time.time() - t0
+
+        searcher = Searcher(spark, index_dir, cache_stats=True)
+        searcher.search("w0000", k=10).collect()  # warm
+        qset = [q["query"] for q in make_queries()]
+        lat: dict = {}
+        t0 = time.time()
+        for q in qset:
+            tq = time.time()
+            searcher.search(q, k=10, pruned=True, dtype="f32").collect()
+            lat[q] = time.time() - tq
+        query_s = time.time() - t0
+        vals = sorted(lat.values())
+
+        # concurrent client load: Spark's scheduler interleaves jobs, so
+        # query THROUGHPUT (not single-query latency) is what scales
+        # with cores — the per-node QPS figure of the reference harness
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run_q(q):
+            searcher.search(q, k=10, pruned=True, dtype="f32").collect()
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(run_q, qset))
+        conc_s = time.time() - t0
+
+        out = {
+            "cpus": cpus,
+            "docs": n_docs,
+            "build_secs": round(build_s, 3),
+            "docs_per_sec": round(n_docs / build_s, 1),
+            "num_queries": len(qset),
+            "query_total_secs": round(query_s, 3),
+            "qps_sequential": round(len(qset) / query_s, 3),
+            "qps_concurrent8": round(len(qset) / conc_s, 3),
+            "query_p50_secs": round(vals[len(vals) // 2], 4),
+            "query_p95_secs": round(vals[int(len(vals) * 0.95)], 4),
+        }
+        with open(out_path, "w") as f:
+            json.dump(out, f)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), sys.argv[2], sys.argv[3])

@@ -1,0 +1,150 @@
+"""Training-pipeline ops: Spark result == DuckDB oracle (bitwise, incl.
+float64 columns) on a tiny deterministic corpus — the in-repo replica
+of the driver's correctness gate for the ops layer."""
+
+import math
+
+import duckdb
+import pytest
+
+from lucene_spark.ops import ann, dedup, media, text
+from lucene_spark.ops.dialect import DUCK, SPARK
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "pack my box with five dozen liquor jugs extra tail words here"),
+    (4, "sphinx of black quartz judge my vow"),
+    (5, "a an and of to"),  # stopwords only
+    (6, "short"),
+    (7, "numbers 123 mixed 456 tokens 789 galore"),
+]
+
+VECS = [
+    (0, [1.0, 0.0, 0.5, 0.25]),
+    (1, [0.9, 0.1, 0.4, 0.2]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.1, 0.9, 0.1, 0.0]),
+    (4, [0.5, 0.5, 0.5, 0.5]),
+    (5, [1.0, 0.0, 0.5, 0.25]),
+]
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    spark.createDataFrame(DOCS, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in VECS],
+        "vec_id long, embedding array<float>",
+    ).createOrReplaceTempView("embeddings")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in DOCS)
+        + ") AS t(doc_id, text)"
+    )
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {[float(x) for x in v]}::FLOAT[])" for i, v in VECS
+        )
+        + ") AS t(vec_id, embedding)"
+    )
+    return spark, con
+
+
+def _compare(spark, con, spark_sql, duck_sql):
+    sdf = spark.sql(spark_sql)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(r[c] for c in scols) for r in sdf.collect()
+    )
+    res = con.execute(duck_sql)
+    ocols = sorted(d[0] for d in res.description)
+    rows = res.fetchall()
+    name_idx = {d[0]: i for i, d in enumerate(res.description)}
+    orows = sorted(tuple(r[name_idx[c]] for c in ocols) for r in rows)
+    assert scols == ocols
+    assert len(srows) == len(orows)
+    for a, b in zip(srows, orows):
+        for x, y in zip(a, b):
+            if isinstance(x, float):
+                assert (x == y) or (math.isnan(x) and math.isnan(y)), (a, b)
+            else:
+                assert x == y, (a, b)
+
+
+@pytest.mark.parametrize(
+    "builder",
+    [
+        text.token_count_sql,
+        text.quality_sql,
+        text.lang_id_sql,
+        text.fingerprint_sql,
+        dedup.exact_groups_sql,
+        lambda d: dedup.jaccard_pairs_sql(d, threshold=0.5),
+        dedup.minhash_bands_sql,
+        dedup.minhash_pairs_sql,
+        dedup.simhash_sql,
+    ],
+    ids=[
+        "token_count", "quality", "lang_id", "fingerprint", "exact_dups",
+        "jaccard", "minhash_bands", "minhash_pairs", "simhash",
+    ],
+)
+def test_text_dedup_ops(views, builder):
+    spark, con = views
+    _compare(spark, con, builder(SPARK), builder(DUCK))
+
+
+def test_spark_optimized_dedup_variants(views):
+    """The Spark-optimized (explode+aggregate) formulations must equal
+    the portable array-lambda form."""
+    spark, con = views
+    _compare(spark, con, dedup.minhash_bands_spark_sql(par=2), dedup.minhash_bands_sql(DUCK))
+    _compare(spark, con, dedup.minhash_pairs_spark_sql(par=2), dedup.minhash_pairs_sql(DUCK))
+    _compare(spark, con, dedup.simhash_spark_sql(par=2), dedup.simhash_sql(DUCK))
+
+
+def test_ann_ops(views):
+    spark, con = views
+    q = [float(x) for x in VECS[0][1]]
+    cents = [[float(x) for x in v] for _, v in VECS[:2]]
+    _compare(
+        spark, con,
+        ann.cosine_topk_sql(SPARK, q, k=4, dim=4),
+        ann.cosine_topk_sql(DUCK, q, k=4, dim=4),
+    )
+    _compare(
+        spark, con,
+        ann.ivf_assign_sql(SPARK, cents, dim=4),
+        ann.ivf_assign_sql(DUCK, cents, dim=4),
+    )
+    _compare(
+        spark, con,
+        ann.ivf_topk_sql(SPARK, q, cents, k=3, dim=4),
+        ann.ivf_topk_sql(DUCK, q, cents, k=3, dim=4),
+    )
+
+
+def test_media_features(views):
+    spark, con = views
+    docs = spark.table("documents")
+    sdf = media.media_features_df(spark, docs)
+    srows = {r["doc_id"]: r for r in sdf.collect()}
+    orows = con.execute(media.media_features_oracle_sql()).fetchall()
+    cols = [d[0] for d in con.execute(media.media_features_oracle_sql()).description]
+    assert len(srows) == len(orows)
+    for row in orows:
+        d = dict(zip(cols, row))
+        s = srows[d["doc_id"]]
+        for c in cols:
+            assert s[c] == d[c], (c, s[c], d[c])
+
+
+def test_media_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        media.decode_image(b"\x89PNG...")
