@@ -50,6 +50,10 @@ PHRASE = ("key", "order")             # adjacent: offsets (0, 1)
 PHRASE_HOLE = ("key", "order", (0, 2))  # "key <stopword-hole> order"
 SYN_TERMS = ["sort", "order"]
 DISMAX_TERMS = ["merge", "join", "table"]
+MP_SLOTS = (("key", "table"), ("order", "scan"))  # term alternatives/slot
+MP_OFFS = (0, 1)
+BOOSTS = [("merge", 2.5), ("window", 0.5)]  # dyadic => exact doubles
+CONST_MUST, CONST_NOT = ["merge"], ["scan"]
 K = 10
 
 
@@ -245,6 +249,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def multi_phrase_match(spark, sf_dir):
+        ast = _ast()
+        qq = ast.MultiPhraseQuery(slots=MP_SLOTS, positions=MP_OFFS)
+        return _out_docs(_searcher(spark, sf_dir).phrase_freqs_df(qq), "freq")
+
+    def multi_phrase_topk(spark, sf_dir):
+        ast = _ast()
+        qq = ast.MultiPhraseQuery(slots=MP_SLOTS, positions=MP_OFFS)
+        return _topk_docs(
+            _searcher(spark, sf_dir).search(qq, k=K, pruned=True, dtype="f64")
+        )
+
+    def boost_or_topk(spark, sf_dir):
+        ast = _ast()
+        qq = ast.BooleanQuery(
+            should=tuple(
+                ast.BoostQuery(ast.TermQuery(t), b) for t, b in BOOSTS
+            ),
+            min_should_match=1,
+        )
+        return _topk_docs(
+            _searcher(spark, sf_dir).search(qq, k=K, pruned=True, dtype="f64")
+        )
+
+    def const_score_match(spark, sf_dir):
+        ast = _ast()
+        qq = ast.ConstantScoreQuery(
+            ast.BooleanQuery(
+                must=tuple(ast.TermQuery(t) for t in CONST_MUST),
+                must_not=tuple(ast.TermQuery(t) for t in CONST_NOT),
+            ),
+            boost=1.0,
+        )
+        return _out_docs(
+            _searcher(spark, sf_dir).score_docs_df(qq, dtype="f64"), "score"
+        )
+
     def total_hits(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         n = s.count(" AND ".join(AND_TERMS))
@@ -342,6 +383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         phrase_match=phrase_match,
         phrase_hole_match=phrase_hole_match,
         phrase_topk=phrase_topk,
+        multi_phrase_match=multi_phrase_match,
+        multi_phrase_topk=multi_phrase_topk,
+        boost_or_topk=boost_or_topk,
+        const_score_match=const_score_match,
         total_hits=total_hits,
         collection_stats=collection_stats,
         prefix_match=prefix_match,
@@ -399,6 +444,12 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "phrase_match": osql.phrase_match_sql(list(PHRASE), [0, 1]),
         "phrase_hole_match": osql.phrase_match_sql([t1, t2], list(hole_offs)),
         "phrase_topk": osql.phrase_topk_sql(list(PHRASE), [0, 1], K),
+        "multi_phrase_match": osql.multi_phrase_match_sql(MP_SLOTS, MP_OFFS),
+        "multi_phrase_topk": osql.multi_phrase_topk_sql(MP_SLOTS, MP_OFFS, K),
+        "boost_or_topk": osql.boosted_or_topk_sql(BOOSTS, K),
+        "const_score_match": osql.constant_score_match_sql(
+            CONST_MUST, CONST_NOT, 1.0
+        ),
         "total_hits": and_count,
         "collection_stats": osql.collection_stats_sql(),
         "prefix_match": osql.multiterm_match_sql("t LIKE 'sc%'"),

@@ -82,31 +82,88 @@ class OracleIndex:
     def avgdl(self) -> float:
         return bm25.avgdl(self.sum_total_tf, self.doc_count)
 
-    def _scorer(self, idf_value: float) -> bm25.BM25Scorer:
-        return bm25.BM25Scorer.build(idf_value, self.avgdl())
+    def _scorer(self, idf_value: float, boost: float = 1.0) -> bm25.BM25Scorer:
+        return bm25.BM25Scorer.build(idf_value, self.avgdl(), boost=boost)
 
     # ---- scoring (recursive; returns sorted doc ids + f32 scores) ----
-    def score_query(self, q: ast.Query) -> tuple[np.ndarray, np.ndarray]:
+    def score_query(
+        self, q: ast.Query, boost: float = 1.0
+    ) -> tuple[np.ndarray, np.ndarray]:
         q = ast.rewrite(q)
         if isinstance(q, ast.MatchNoDocsQuery):
             return np.empty(0, np.int64), np.empty(0, np.float32)
         if isinstance(q, ast.MatchAllDocsQuery):
             docs = np.arange(self.doc_count, dtype=np.int64)
-            return docs, np.ones(docs.size, np.float32)
+            return docs, np.full(docs.size, np.float32(boost), np.float32)
+        if isinstance(q, ast.BoostQuery):
+            return self.score_query(q.query, boost * q.boost)
+        if isinstance(q, ast.ConstantScoreQuery):
+            docs, _ = self.score_query(q.query, 1.0)
+            return docs, np.full(docs.size, np.float32(boost), np.float32)
         if isinstance(q, ast.TermQuery):
             e = self.postings.get(q.term)
             if e is None:
                 return np.empty(0, np.int64), np.empty(0, np.float32)
             docs, tfs, _ = e
-            sc = self._scorer(bm25.idf(docs.size, self.doc_count))
+            sc = self._scorer(bm25.idf(docs.size, self.doc_count), boost)
             return docs, sc.score(tfs, self.norms[docs])
         if isinstance(q, ast.PhraseQuery):
-            return self._score_phrase(q)
+            return self._score_phrase(q, boost)
+        if isinstance(q, ast.MultiPhraseQuery):
+            return self._score_multi_phrase(q, boost)
         if isinstance(q, ast.BooleanQuery):
-            return self._score_bool(q)
+            return self._score_bool(q, boost)
         raise TypeError(f"unsupported query {q!r}")
 
-    def _score_phrase(self, q: ast.PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
+    def _score_multi_phrase(
+        self, q: "ast.MultiPhraseQuery", boost: float = 1.0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """MultiPhraseQuery: any member term per slot; slot positions =
+        union of member positions; idf = sum over ALL member terms
+        (MultiPhraseQuery.java:218-237)."""
+        slot_entries = []
+        for slot in q.slots:
+            es = [self.postings[t] for t in slot if t in self.postings]
+            if not es:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            slot_entries.append(es)
+        docs = None
+        for es in slot_entries:
+            d = np.unique(np.concatenate([e[0] for e in es]))
+            docs = d if docs is None else np.intersect1d(docs, d, assume_unique=True)
+            if docs.size == 0:
+                return docs, np.empty(0, np.float32)
+        freqs = np.zeros(docs.size, dtype=np.int64)
+        for i, d in enumerate(docs):
+            cand = None
+            for es, rel in zip(slot_entries, q.positions):
+                pos_parts = []
+                for e in es:
+                    j = int(np.searchsorted(e[0], d))
+                    if j < e[0].size and e[0][j] == d:
+                        pos_parts.append(e[2][j])
+                if not pos_parts:
+                    cand = np.empty(0, np.int64)
+                    break
+                pos = np.unique(np.concatenate(pos_parts)) - rel
+                cand = pos if cand is None else np.intersect1d(cand, pos)
+                if cand.size == 0:
+                    break
+            freqs[i] = 0 if cand is None else cand.size
+        hit = freqs > 0
+        docs, freqs = docs[hit], freqs[hit]
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        all_terms = [t for slot in q.slots for t in slot]
+        idf_sum = bm25.idf_phrase(
+            [self.doc_freq(t) for t in all_terms], self.doc_count
+        )
+        sc = self._scorer(idf_sum, boost)
+        return docs, sc.score(freqs, self.norms[docs])
+
+    def _score_phrase(
+        self, q: ast.PhraseQuery, boost: float = 1.0
+    ) -> tuple[np.ndarray, np.ndarray]:
         entries = [self.postings.get(t) for t in q.terms]
         if any(e is None for e in entries):
             return np.empty(0, np.int64), np.empty(0, np.float32)
@@ -134,20 +191,22 @@ class OracleIndex:
         idf_sum = bm25.idf_phrase(
             [self.doc_freq(t) for t in q.terms], self.doc_count
         )
-        sc = self._scorer(idf_sum)
+        sc = self._scorer(idf_sum, boost)
         return docs, sc.score(freqs, self.norms[docs])
 
-    def _score_bool(self, q: ast.BooleanQuery) -> tuple[np.ndarray, np.ndarray]:
+    def _score_bool(
+        self, q: ast.BooleanQuery, boost: float = 1.0
+    ) -> tuple[np.ndarray, np.ndarray]:
         scored: list[tuple[np.ndarray, np.ndarray]] = []  # contribute to score
         must_sets: list[np.ndarray] = []
         for c in q.must:
-            d, s = self.score_query(c)
+            d, s = self.score_query(c, boost)
             scored.append((d, s))
             must_sets.append(d)
         for c in q.filter:
             d, _ = self.score_query(c)
             must_sets.append(d)
-        should = [self.score_query(c) for c in q.should]
+        should = [self.score_query(c, boost) for c in q.should]
         msm = q.min_should_match
 
         if must_sets:

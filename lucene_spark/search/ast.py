@@ -32,6 +32,34 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with term alternatives per position
+    (``search/MultiPhraseQuery.java``): ``slots[k]`` is the tuple of
+    acceptable terms at relative position ``positions[k]``. idf is the
+    sum over ALL member terms (``MultiPhraseQuery.java:218-237``)."""
+
+    slots: tuple  # tuple[tuple[str, ...], ...]
+    positions: tuple
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    """Scoring decorator: child scores multiplied by ``boost``
+    (float32 multiply at weight creation, ``search/BoostQuery.java``)."""
+
+    query: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Matching docs all score ``boost`` (``search/ConstantScoreQuery.java``)."""
+
+    query: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BooleanQuery(Query):
     must: tuple = field(default=())
     should: tuple = field(default=())
@@ -61,6 +89,18 @@ def rewrite(q: Query) -> Query:
 
 
 def _rewrite_once(q: Query) -> Query:
+    if isinstance(q, BoostQuery):
+        c = rewrite(q.query)
+        if isinstance(c, MatchNoDocsQuery):
+            return c
+        if q.boost == 1.0:
+            return c
+        return BoostQuery(c, q.boost)
+    if isinstance(q, ConstantScoreQuery):
+        c = rewrite(q.query)
+        if isinstance(c, MatchNoDocsQuery):
+            return c
+        return ConstantScoreQuery(c, q.boost)
     if not isinstance(q, BooleanQuery):
         return q
     must = tuple(rewrite(c) for c in q.must)
@@ -109,6 +149,10 @@ def query_terms(q: Query) -> set:
         return {q.term}
     if isinstance(q, PhraseQuery):
         return set(q.terms)
+    if isinstance(q, MultiPhraseQuery):
+        return {t for slot in q.slots for t in slot}
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return query_terms(q.query)
     if isinstance(q, BooleanQuery):
         out: set = set()
         for c in q.must + q.should + q.must_not + q.filter:

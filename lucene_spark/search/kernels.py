@@ -83,47 +83,69 @@ class _TopK:
 # ---------------------------------------------------------------- exhaustive
 
 
-def score_exhaustive(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str):
-    """(local doc ids sorted, scores) of ALL matching docs — brute force."""
+def score_exhaustive(
+    seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost: float = 1.0
+):
+    """(local doc ids sorted, scores) of ALL matching docs — brute force.
+
+    ``boost`` is the accumulated BoostQuery multiplier on the path from
+    the root; it selects the leaf scorer whose float32 weight already
+    folds the boost in (never a post-hoc multiply — BoostQuery.java /
+    BM25Similarity.java:218 order of operations).
+    """
     if isinstance(q, ast.MatchNoDocsQuery):
         return np.empty(0, np.int64), np.empty(0, np.float64)
     if isinstance(q, ast.MatchAllDocsQuery):
         d = np.arange(seg.max_doc, dtype=np.int64)
-        return d, np.ones(d.size, np.float64)
+        return d, np.full(d.size, float(np.float32(boost)), np.float64)
+    if isinstance(q, ast.BoostQuery):
+        return score_exhaustive(seg, q.query, scorers, dtype, boost * q.boost)
+    if isinstance(q, ast.ConstantScoreQuery):
+        docs, _ = score_exhaustive(seg, q.query, scorers, dtype, 1.0)
+        c = float(np.float32(boost)) if dtype == "f32" else float(boost)
+        return docs, np.full(docs.size, c, np.float64)
     if isinstance(q, ast.TermQuery):
         tb = seg.term_blocks(q.term)
         if tb is None:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         docs, tfs = tb.decode_all()
-        s = scorers[("t", q.term)].score(tfs, seg.norms[docs])
+        sc = scorers[("t", q.term, boost)] if boost != 1.0 else scorers[("t", q.term)]
+        s = sc.score(tfs, seg.norms[docs])
         return docs, s.astype(np.float64)
     if isinstance(q, ast.PhraseQuery):
         docs, freqs = _phrase_doc_freqs(seg, q)
         if docs.size == 0:
             return docs, np.empty(0, np.float64)
-        s = scorers[("p", q.terms)].score(freqs, seg.norms[docs])
+        sc = scorers[("p", q.terms, boost)] if boost != 1.0 else scorers[("p", q.terms)]
+        s = sc.score(freqs, seg.norms[docs])
+        return docs, s.astype(np.float64)
+    if isinstance(q, ast.MultiPhraseQuery):
+        docs, freqs = _multi_phrase_doc_freqs(seg, q)
+        if docs.size == 0:
+            return docs, np.empty(0, np.float64)
+        s = scorers[("mp", q.slots, boost)].score(freqs, seg.norms[docs])
         return docs, s.astype(np.float64)
     if isinstance(q, ast.BooleanQuery):
-        return _score_bool_exhaustive(seg, q, scorers, dtype)
+        return _score_bool_exhaustive(seg, q, scorers, dtype, boost)
     raise TypeError(f"unsupported query {q!r}")
 
 
-def _clause_score32(seg, q, scorers, dtype):
+def _clause_score32(seg, q, scorers, dtype, boost=1.0):
     """Clause (docs, per-clause score) with the nested f32 cast applied
     (each nested scorer returns float in the reference)."""
-    d, s = score_exhaustive(seg, q, scorers, dtype)
+    d, s = score_exhaustive(seg, q, scorers, dtype, boost)
     if dtype == "f32":
         s = s.astype(np.float32).astype(np.float64)
     return d, s
 
 
-def _score_bool_exhaustive(seg, q: ast.BooleanQuery, scorers, dtype):
-    scored = [_clause_score32(seg, c, scorers, dtype) for c in q.must]
+def _score_bool_exhaustive(seg, q: ast.BooleanQuery, scorers, dtype, boost=1.0):
+    scored = [_clause_score32(seg, c, scorers, dtype, boost) for c in q.must]
     must_sets = [d for d, _ in scored]
     for c in q.filter:
         d, _ = score_exhaustive(seg, c, scorers, dtype)
         must_sets.append(d)
-    should = [_clause_score32(seg, c, scorers, dtype) for c in q.should]
+    should = [_clause_score32(seg, c, scorers, dtype, boost) for c in q.should]
     msm = q.min_should_match
     if must_sets:
         cand = must_sets[0]
@@ -195,6 +217,65 @@ def _verify_phrase(seg, q, tbs, docs):
     for i in range(docs.size):
         cand = pos_lists[0][i] - rels[0]
         for lst, rel in zip(pos_lists[1:], rels[1:]):
+            cand = np.intersect1d(cand, lst[i] - rel, assume_unique=False)
+            if cand.size == 0:
+                break
+        freqs[i] = cand.size
+    hit = freqs > 0
+    return docs[hit], freqs[hit]
+
+
+_EMPTY_POS = np.empty(0, np.int64)
+
+
+def _positions_for_docs_opt(tb: TermBlocks, docs: np.ndarray) -> list:
+    """Like ``_positions_for_docs`` but tolerates absent docs (empty
+    position array) — needed for per-slot unions in MultiPhrase."""
+    out: list = [_EMPTY_POS] * docs.size
+    bidx = np.searchsorted(tb.last_doc, docs, side="left")
+    for b in np.unique(bidx):
+        if b >= tb.nblocks:
+            continue
+        sel = np.flatnonzero(bidx == b)
+        bd, _ = tb.decode(int(b))
+        flat, bounds = tb.decode_positions(int(b))
+        j = np.searchsorted(bd, docs[sel])
+        for row, jj in zip(sel, j):
+            if jj < bd.size and bd[jj] == docs[row]:
+                out[row] = flat[bounds[jj] : bounds[jj + 1]]
+    return out
+
+
+def _multi_phrase_doc_freqs(seg: SegmentView, q: ast.MultiPhraseQuery):
+    """MultiPhraseQuery matching (``search/MultiPhraseQuery.java`` via
+    ``UnionPostingsEnum``): each slot accepts any of its member terms;
+    slot positions are the union of member positions."""
+    slot_tbs: list = []
+    for slot in q.slots:
+        tbs = [tb for tb in (seg.term_blocks(t) for t in slot) if tb is not None]
+        if not tbs:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        slot_tbs.append(tbs)
+    docs = None
+    for tbs in slot_tbs:
+        d = np.unique(np.concatenate([tb.decode_all()[0] for tb in tbs]))
+        docs = d if docs is None else np.intersect1d(docs, d, assume_unique=True)
+        if docs.size == 0:
+            return docs, np.empty(0, np.int64)
+    # per-slot, per-doc unioned positions
+    slot_pos = []
+    for tbs in slot_tbs:
+        per_member = [_positions_for_docs_opt(tb, docs) for tb in tbs]
+        merged = [
+            np.unique(np.concatenate([pm[i] for pm in per_member]))
+            for i in range(docs.size)
+        ]
+        slot_pos.append(merged)
+    freqs = np.zeros(docs.size, dtype=np.int64)
+    rels = q.positions
+    for i in range(docs.size):
+        cand = slot_pos[0][i] - rels[0]
+        for lst, rel in zip(slot_pos[1:], rels[1:]):
             cand = np.intersect1d(cand, lst[i] - rel, assume_unique=False)
             if cand.size == 0:
                 break

@@ -205,6 +205,76 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def _multi_phrase_freq(slots, offsets) -> str:
+    """Occurrences of a multi-phrase (term alternatives per slot) in the
+    raw token list."""
+    max_off = max(offsets)
+    conds = []
+    for slot, off in zip(slots, offsets):
+        alts = ", ".join(f"'{t}'" for t in slot)
+        conds.append(f"raw[i + {off}] IN ({alts})")
+    cond = " AND ".join(conds)
+    return f"len(list_filter(range(1, len(raw) + 1 - {max_off}), i -> {cond}))"
+
+
+def multi_phrase_match_sql(slots, offsets, table: str = "documents") -> str:
+    """(doc_id, freq) for a MultiPhraseQuery."""
+    pf = _multi_phrase_freq(slots, offsets)
+    return f"""WITH {base_ctes(table)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({pf} AS BIGINT) AS freq
+FROM docs WHERE {pf} > 0
+ORDER BY doc_id"""
+
+
+def multi_phrase_topk_sql(slots, offsets, k: int = 10, table: str = "documents") -> str:
+    """Top-k MultiPhrase BM25: idf = sum over ALL member terms
+    (MultiPhraseQuery.java:218-237), freq = multi-phrase occurrences."""
+    all_terms = [t for slot in slots for t in slot]
+    pf = _multi_phrase_freq(slots, offsets)
+    idf_sum = "0.0 + " + " + ".join(_idf(i) for i in range(len(all_terms)))
+    return f"""WITH {base_ctes(table)},
+{_df_cte(all_terms)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {_score(f"({idf_sum})", pf)} AS score
+FROM docs, stats, dfs
+WHERE {pf} > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def boosted_or_topk_sql(term_boosts, k: int = 10, table: str = "documents") -> str:
+    """Top-k for ``t1^b1 OR t2^b2 ...``: clause weight = boost * idf
+    (BoostQuery folded into the leaf weight). Boosts should be dyadic
+    rationals (exact doubles) for bitwise oracle parity."""
+    terms = [t for t, _ in term_boosts]
+    parts = []
+    for i, (t, b) in enumerate(term_boosts):
+        w = f"({b!r} * ({_idf(i)}))"
+        s = _score(w, _tf(t))
+        parts.append(f"(CASE WHEN {_tf(t)} > 0 THEN {s} ELSE 0.0 END)")
+    score = "0.0 + " + " + ".join(parts)
+    match = " OR ".join(f"{_tf(t)} > 0" for t in terms)
+    return f"""WITH {base_ctes(table)},
+{_df_cte(terms)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {score} AS score
+FROM docs, stats, dfs
+WHERE {match}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def constant_score_match_sql(must, must_not=(), boost: float = 1.0,
+                             table: str = "documents") -> str:
+    """(doc_id, score=boost) — ConstantScoreQuery over a Boolean
+    filter."""
+    conds = [f"{_tf(t)} > 0" for t in must]
+    conds += [f"NOT ({_tf(t)} > 0)" for t in must_not]
+    where = " AND ".join(conds)
+    return f"""WITH {base_ctes(table)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({boost!r} AS DOUBLE) AS score
+FROM docs WHERE {where}
+ORDER BY doc_id"""
+
+
 def multiterm_match_sql(token_pred: str, table: str = "documents") -> str:
     """(doc_id) docs containing any token satisfying ``token_pred``
     (a predicate over token variable ``t``) — the constant-score

@@ -37,11 +37,12 @@ class GlobalStats:
 class ScorerF64:
     """Double-precision BM25 on quantized lengths (oracle-SQL parity).
 
-    score = idf - idf / (1 + tf / (k1*(1-b+b*qlen/avg)))  — all float64.
+    score = w - w / (1 + tf / (k1*(1-b+b*qlen/avg))), w = boost*idf —
+    all float64.
     """
 
-    def __init__(self, idf_value: float, avg: float, k1=1.2, b=0.75):
-        self.weight = float(idf_value)
+    def __init__(self, idf_value: float, avg: float, boost: float = 1.0, k1=1.2, b=0.75):
+        self.weight = float(boost) * float(idf_value)
         self.norm_factor = k1 * (1.0 - b + b * LENGTH_TABLE.astype(np.float64) / avg)
 
     def score(self, freq, norm_bytes):
@@ -55,43 +56,59 @@ def idf_f64(doc_freq: int, doc_count: int) -> float:
 
 
 def build_scorers(q: ast.Query, stats: GlobalStats, dtype: str = "f32") -> dict:
-    """scorer per scoring leaf: term -> scorer, phrase term-tuple -> scorer."""
+    """One BM25 scorer per scoring leaf, keyed BOTH by the AST node
+    itself (frozen dataclasses hash by value; BoostQuery leaves get
+    their boost folded into the float32 weight, ``BoostQuery.java`` +
+    ``BM25Similarity.java:218``) and by the legacy tuple keys
+    (("t", term) / ("p", terms)) the kernels use for unboosted leaves."""
     out: dict = {}
     av32 = bm25.avgdl(stats.sum_total_tf, stats.doc_count)
     av64 = stats.sum_total_tf / float(stats.doc_count)
 
-    def add_term(t: str):
-        if ("t", t) in out:
-            return
+    def leaf_scorer(idf32: float, idf64: float, boost: float):
         if dtype == "f32":
-            out[("t", t)] = bm25.BM25Scorer.build(
-                bm25.idf(stats.df(t), stats.doc_count), av32
-            )
-        else:
-            out[("t", t)] = ScorerF64(idf_f64(stats.df(t), stats.doc_count), av64)
+            return bm25.BM25Scorer.build(idf32, av32, boost=boost)
+        return ScorerF64(idf64, av64, boost=boost)
 
-    def add_phrase(terms: tuple):
-        if ("p", terms) in out:
-            return
-        if dtype == "f32":
-            idf_sum = bm25.idf_phrase(
-                [stats.df(t) for t in terms], stats.doc_count
-            )
-            out[("p", terms)] = bm25.BM25Scorer.build(idf_sum, av32)
-        else:
-            idf_sum = sum(idf_f64(stats.df(t), stats.doc_count) for t in terms)
-            out[("p", terms)] = ScorerF64(idf_sum, av64)
+    def term_scorer(t: str, boost: float):
+        return leaf_scorer(
+            bm25.idf(stats.df(t), stats.doc_count),
+            idf_f64(stats.df(t), stats.doc_count),
+            boost,
+        )
 
-    def walk(node: ast.Query):
+    def phrase_scorer(terms: tuple, boost: float):
+        return leaf_scorer(
+            bm25.idf_phrase([stats.df(t) for t in terms], stats.doc_count),
+            sum(idf_f64(stats.df(t), stats.doc_count) for t in terms),
+            boost,
+        )
+
+    def walk(node: ast.Query, boost: float = 1.0):
         if isinstance(node, ast.TermQuery):
-            add_term(node.term)
+            out.setdefault(("t", node.term, boost), term_scorer(node.term, boost))
+            if boost == 1.0:
+                out.setdefault(("t", node.term), out[("t", node.term, 1.0)])
         elif isinstance(node, ast.PhraseQuery):
-            add_phrase(node.terms)
+            out.setdefault(("p", node.terms, boost), phrase_scorer(node.terms, boost))
+            if boost == 1.0:
+                out.setdefault(("p", node.terms), out[("p", node.terms, 1.0)])
             for t in node.terms:
-                add_term(t)
+                walk(ast.TermQuery(t))
+        elif isinstance(node, ast.MultiPhraseQuery):
+            all_terms = tuple(t for slot in node.slots for t in slot)
+            out.setdefault(("mp", node.slots, boost), phrase_scorer(all_terms, boost))
+            for t in all_terms:
+                walk(ast.TermQuery(t))
+        elif isinstance(node, ast.BoostQuery):
+            walk(node.query, boost * node.boost)
+        elif isinstance(node, ast.ConstantScoreQuery):
+            # child needs no scorer of its own, but phrase leaves still
+            # need member-term scorers for block-max bounds
+            walk(node.query, 1.0)
         elif isinstance(node, ast.BooleanQuery):
             for c in node.must + node.should + node.must_not + node.filter:
-                walk(c)
+                walk(c, boost)
 
     walk(q)
     return out

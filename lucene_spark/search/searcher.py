@@ -288,6 +288,36 @@ class Searcher:
         per_seg = self._per_segment(terms, kernel, "doc_id long")
         return self._with_url(per_seg, ["doc_id", "url"])
 
+    def score_docs_df(self, query, dtype: str = "f64"):
+        """ALL matching docs with scores (exhaustive): DataFrame
+        (doc_id, url, score) — the unscored-limit collector analog for
+        arbitrary query trees (incl. Boost/ConstantScore/MultiPhrase)."""
+        q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
+        stats, terms = self._stats_for(q)
+        scorers = build_scorers(q, stats, dtype=dtype)
+        index_dir = self.index_dir
+        kq, kd = q, dtype
+
+        def kernel(key, pdf):
+            import pandas as pd
+
+            if pdf.empty:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")}
+                )
+            seg = _load_segment_view(index_dir, str(key[0]), pdf)
+            docs, scores = kernels.score_exhaustive(seg, kq, scorers, kd)
+            if kd == "f32":
+                scores = scores.astype(np.float32).astype(np.float64)
+            return pd.DataFrame(
+                {"doc_id": (docs + seg.doc_base).astype("int64"),
+                 "score": np.asarray(scores, dtype=np.float64)}
+            )
+
+        per_seg = self._per_segment(terms, kernel, "doc_id long, score double")
+        return self._with_url(per_seg, ["doc_id", "url", "score"])
+
     def term_postings_df(self, term: str):
         """One term's full postings: DataFrame (doc_id, url, tf) — the
         PostingsEnum(FREQS) analog, decoded distributed."""
@@ -323,7 +353,13 @@ class Searcher:
         every doc where phraseFreq > 0 (two-phase: doc AND + position
         verify)."""
         q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
-        if not isinstance(q, ast_mod.PhraseQuery):
+        if isinstance(q, ast_mod.PhraseQuery):
+            matcher = kernels._phrase_doc_freqs
+            terms = set(q.terms)
+        elif isinstance(q, ast_mod.MultiPhraseQuery):
+            matcher = kernels._multi_phrase_doc_freqs
+            terms = ast_mod.query_terms(q)
+        else:
             raise TypeError(f"not a phrase query: {query!r}")
         index_dir = self.index_dir
         kq = q
@@ -337,13 +373,13 @@ class Searcher:
                      "freq": pd.Series([], dtype="int64")}
                 )
             seg = _load_segment_view(index_dir, str(key[0]), pdf)
-            docs, freqs = kernels._phrase_doc_freqs(seg, kq)
+            docs, freqs = matcher(seg, kq)
             return pd.DataFrame(
                 {"doc_id": (docs + seg.doc_base).astype("int64"),
                  "freq": freqs.astype("int64")}
             )
 
-        per_seg = self._per_segment(set(q.terms), kernel, "doc_id long, freq long")
+        per_seg = self._per_segment(terms, kernel, "doc_id long, freq long")
         return self._with_url(per_seg, ["doc_id", "url", "freq"])
 
     # ---- term dictionary / multi-term expansion -------------------------
