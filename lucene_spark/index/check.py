@@ -1,0 +1,149 @@
+"""Index integrity verification — the ``CheckIndex`` analog
+(``lucene/core/src/java/org/apache/lucene/index/CheckIndex.java:1107``
+testPostings and friends): cross-checks terms <-> postings <-> norms <->
+stats for every live segment of a commit.
+
+Runs distributed: one task per segment via the same term-pruned scan
+scaffolding the searcher uses, emitting a per-segment report row; any
+violation raises inside the task (fail fast, like CheckIndex's exorcise
+mode being off)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from lucene_spark.index.builder import read_latest_commit
+
+
+def _check_segment(index_dir: str, segment_id: str, seg_meta: dict, pdf) -> dict:
+    """All invariants for one segment. Returns counters."""
+    import pyarrow.parquet as pq
+
+    from lucene_spark.codec import blocks as blk
+    from lucene_spark.similarity import bm25
+
+    nt = pq.read_table(
+        os.path.join(index_dir, "norms", f"segment_id={segment_id}", "data.parquet")
+    )
+    norms = np.frombuffer(nt["norms_bin"][0].as_py(), dtype=np.uint8)
+    num_docs = int(nt["num_docs"][0].as_py())
+    assert norms.size == num_docs, "norms length != num_docs"
+    assert num_docs == int(seg_meta["num_docs"]), "manifest num_docs mismatch"
+
+    st = pq.read_table(
+        os.path.join(
+            index_dir, "term_stats", f"segment_id={segment_id}", "data.parquet"
+        )
+    )
+    stats = {
+        t: (int(df_), int(ttf))
+        for t, df_, ttf in zip(
+            st["term"].to_pylist(),
+            st["doc_freq"].to_pylist(),
+            st["total_tf"].to_pylist(),
+        )
+    }
+
+    n_terms = n_blocks = n_postings = 0
+    sum_tf = 0
+    scorer = bm25.BM25Scorer.build(1.0, 10.0)  # any scorer: bounds are per-impact
+    for term, grp in pdf.groupby("term", sort=True):
+        grp = grp.sort_values("block_id")
+        assert list(grp["block_id"]) == list(range(len(grp))), (
+            f"{term}: block ids not dense/ordered"
+        )
+        df_seen = 0
+        tf_seen = 0
+        prev_last = -1
+        for r in grp.itertuples(index=False):
+            docs = blk.decode_docs(int(r.first_doc), r.docs_bin)
+            tfs = blk.decode_tfs(r.tfs_bin)
+            assert docs.size == int(r.num_docs), f"{term}: block size mismatch"
+            assert tfs.size == docs.size, f"{term}: tf count mismatch"
+            assert (tfs >= 1).all(), f"{term}: tf < 1"
+            assert docs[0] == int(r.first_doc) and docs[-1] == int(r.last_doc), (
+                f"{term}: skip bounds wrong"
+            )
+            assert (np.diff(docs) > 0).all(), f"{term}: docs not strictly increasing"
+            assert docs[0] > prev_last, f"{term}: blocks overlap"
+            assert 0 <= docs[0] and docs[-1] < num_docs, f"{term}: doc out of range"
+            prev_last = int(docs[-1])
+            # positions: counts match tfs, strictly increasing per doc
+            if len(r.pos_bin):
+                pos = blk.decode_positions(r.pos_bin, tfs)
+                bounds = np.concatenate(([0], np.cumsum(tfs)))
+                for j in range(docs.size):
+                    p = pos[bounds[j] : bounds[j + 1]]
+                    assert (np.diff(p) > 0).all() and (p >= 0).all(), (
+                        f"{term}: positions not increasing"
+                    )
+            # impacts are rank-safe upper bounds for this block
+            itfs = np.asarray(list(r.impact_tfs), dtype=np.int64)
+            inorms = np.asarray(list(r.impact_norms), dtype=np.uint8)
+            assert itfs.size > 0, f"{term}: empty impacts"
+            bound = float(scorer.score(itfs, inorms).max())
+            true_max = float(scorer.score(tfs, norms[docs]).max())
+            assert bound >= true_max - 1e-7, f"{term}: impact bound too low"
+            df_seen += docs.size
+            tf_seen += int(tfs.sum())
+            n_blocks += 1
+        assert term in stats, f"{term}: missing from term_stats"
+        assert stats[term] == (df_seen, tf_seen), f"{term}: stats mismatch"
+        n_terms += 1
+        n_postings += df_seen
+        sum_tf += tf_seen
+    assert n_terms == len(stats), "term_stats has terms absent from postings"
+    assert sum_tf == int(nt["sum_total_tf"][0].as_py()), "segment sum_total_tf wrong"
+    return {
+        "segment_id": segment_id,
+        "n_terms": n_terms,
+        "n_blocks": n_blocks,
+        "n_postings": n_postings,
+        "sum_tf": sum_tf,
+    }
+
+
+def check_index(spark, index_dir: str) -> dict:
+    """Verify every live segment; returns totals. Raises on violation."""
+    import pyspark.sql.functions as F
+
+    commit = read_latest_commit(index_dir)
+    metas = {s["segment_id"]: s for s in commit["segments"]}
+    live = list(metas)
+    posts = spark.read.parquet(os.path.join(index_dir, "postings")).where(
+        F.col("segment_id").isin(live)
+    )
+
+    def kernel(key, pdf):
+        import pandas as pd
+
+        sid = str(key[0])
+        rep = _check_segment(index_dir, sid, metas[sid], pdf)
+        return pd.DataFrame([rep])
+
+    rows = (
+        posts.repartition(len(live), "segment_id")
+        .groupBy("segment_id")
+        .applyInPandas(
+            kernel,
+            schema="segment_id string, n_terms long, n_blocks long, "
+                   "n_postings long, sum_tf long",
+        )
+        .collect()
+    )
+    assert {r["segment_id"] for r in rows} == set(live), "segment missing postings"
+    totals = {
+        "segments": len(rows),
+        "terms": int(sum(r["n_terms"] for r in rows)),
+        "blocks": int(sum(r["n_blocks"] for r in rows)),
+        "postings": int(sum(r["n_postings"] for r in rows)),
+    }
+    doc_total = sum(m["num_docs"] for m in metas.values())
+    assert doc_total == commit["doc_count"], "commit doc_count mismatch"
+    # doc-base ranges must partition the id space without overlap
+    segs = sorted(metas.values(), key=lambda s: s["doc_base"])
+    for a, b in zip(segs, segs[1:]):
+        assert a["doc_base"] + a["num_docs"] <= b["doc_base"], "doc ranges overlap"
+    return totals

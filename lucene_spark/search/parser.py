@@ -14,6 +14,7 @@ import re
 from lucene_spark.analysis.analyzer import Analyzer
 from lucene_spark.search.ast import (
     BooleanQuery,
+    BoostQuery,
     MatchNoDocsQuery,
     PhraseQuery,
     Query,
@@ -66,6 +67,18 @@ def _parse_and(toks, i, analyzer):
     return BooleanQuery(must=tuple(must), must_not=tuple(must_not)), i
 
 
+def _apply_boost(q: Query, toks, i):
+    """Consume a trailing ``^<boost>`` token (classic QueryParser boost
+    syntax, ``queryparser/classic/QueryParser.jj``)."""
+    if i < len(toks) and toks[i].startswith("^"):
+        try:
+            b = float(toks[i][1:])
+        except ValueError as e:
+            raise ValueError(f"bad boost {toks[i]!r}") from e
+        return BoostQuery(q, b), i + 1
+    return q, i
+
+
 def _parse_unit(toks, i, analyzer):
     if i >= len(toks):
         raise ValueError("unexpected end of query")
@@ -74,9 +87,18 @@ def _parse_unit(toks, i, analyzer):
         q, i = _parse_or(toks, i + 1, analyzer)
         if i >= len(toks) or toks[i] != ")":
             raise ValueError("missing )")
-        return q, i + 1
+        return _apply_boost(q, toks, i + 1)
     if t.startswith('"'):
-        return _phrase(t[1:-1], analyzer), i + 1
+        return _apply_boost(_phrase(t[1:-1], analyzer), toks, i + 1)
+    # inline boost: term^2.5 (the analyzer would split on '^' anyway)
+    boost = None
+    if "^" in t and not t.startswith("^"):
+        base, _, btxt = t.rpartition("^")
+        try:
+            boost = float(btxt)
+            t = base
+        except ValueError:
+            boost = None
     # single clause: analyze; may expand to several tokens -> phrase-like?
     # Lucene's classic QueryParser turns a multi-token analysis of one
     # whitespace clause into a phrase/boolean; our clauses are single terms.
@@ -84,8 +106,12 @@ def _parse_unit(toks, i, analyzer):
     if not terms:
         return MatchNoDocsQuery(), i + 1
     if len(terms) == 1:
-        return TermQuery(terms[0]), i + 1
-    return PhraseQuery(terms=tuple(terms), positions=tuple(positions)), i + 1
+        q: Query = TermQuery(terms[0])
+    else:
+        q = PhraseQuery(terms=tuple(terms), positions=tuple(positions))
+    if boost is not None:
+        q = BoostQuery(q, boost)
+    return q, i + 1
 
 
 def _phrase(text: str, analyzer: Analyzer) -> Query:
