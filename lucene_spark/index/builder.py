@@ -60,6 +60,13 @@ class IndexConfig:
     # key order — used where reproducible global ordering matters more
     # than perfect balance.
     pid_expr: str | None = None
+    # doc_base assignment: "counted" = dense global ids via a pre-pass
+    # count per segment (one extra scan); "strided" = doc_base =
+    # pid * doc_stride with NO pre-pass (ids sparse but still globally
+    # ordered by (pid, key) — identical tie-break order, one less job;
+    # the production default for throughput-critical builds).
+    doc_base_mode: str = "counted"
+    doc_stride: int = 1 << 33
 
 
 def _segment_id(generation: int, pid: int) -> str:
@@ -328,13 +335,18 @@ def build_index(
             "__pid", F.pmod(F.hash(F.col(config.key_col)), F.lit(p))
         )
 
-    # tiny aggregation: docs per segment -> deterministic doc_base
-    counts = {r["__pid"]: r["cnt"] for r in keyed.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
-    doc_base_map: dict[int, int] = {}
-    base = int(doc_base_offset)
-    for pid in sorted(counts):
-        doc_base_map[pid] = base
-        base += counts[pid]
+    if config.doc_base_mode == "strided":
+        doc_base_map = {
+            pid: int(doc_base_offset) + pid * config.doc_stride for pid in range(p)
+        }
+    else:
+        # tiny aggregation: docs per segment -> deterministic dense doc_base
+        counts = {r["__pid"]: r["cnt"] for r in keyed.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+        doc_base_map = {}
+        base = int(doc_base_offset)
+        for pid in sorted(counts):
+            doc_base_map[pid] = base
+            base += counts[pid]
 
     cfg = config
     idx_dir = index_dir

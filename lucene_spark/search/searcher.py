@@ -192,6 +192,86 @@ class Searcher:
         )
         return out
 
+    def search_many(
+        self,
+        queries,
+        k: int = 10,
+        pruned: bool = True,
+        dtype: str = "f32",
+        total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
+    ):
+        """Batched query evaluation: ONE stats job + ONE postings scan
+        answers the whole query set — the Spark-native shape for query
+        THROUGHPUT (per-query jobs are driver-scheduling-bound; a batch
+        amortizes the scan and runs every (segment, query) kernel in the
+        same stage). Returns DataFrame (query_id, doc_id, score, url)
+        with per-query rank contract identical to ``search``.
+
+        ``queries``: list of query strings/ASTs, or {query_id: query}.
+        """
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        if not isinstance(queries, dict):
+            queries = {str(i): q for i, q in enumerate(queries)}
+        parsed = {
+            qid: (self.parse(q) if isinstance(q, str) else ast_mod.rewrite(q))
+            for qid, q in queries.items()
+        }
+        all_terms: set = set()
+        for q in parsed.values():
+            all_terms |= ast_mod.query_terms(q)
+        tstats = self.global_term_stats(all_terms)
+        stats = GlobalStats(
+            doc_count=int(self.commit["doc_count"]),
+            sum_total_tf=int(self.commit["sum_total_tf"]),
+            doc_freq={t: v[0] for t, v in tstats.items()},
+        )
+        scorers: dict = {}
+        for q in parsed.values():
+            scorers.update(build_scorers(q, stats, dtype=dtype))
+        index_dir = self.index_dir
+        kqs, kk, kp, kd, kt = parsed, k, pruned, dtype, total_hits_threshold
+
+        def kernel(key, pdf):
+            import pandas as pd
+
+            out_q, out_d, out_s = [], [], []
+            if not pdf.empty:
+                seg = _load_segment_view(index_dir, str(key[0]), pdf)
+                for qid, q in kqs.items():
+                    docs, scores = kernels.search_segment(
+                        seg, q, scorers, kk, pruned=kp, dtype=kd,
+                        total_hits_threshold=kt,
+                    )
+                    out_q.extend([qid] * docs.size)
+                    out_d.append((docs + seg.doc_base).astype("int64"))
+                    out_s.append(np.asarray(scores, dtype=np.float64))
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="object"),
+                    "doc_id": np.concatenate(out_d) if out_d else np.empty(0, "int64"),
+                    "score": np.concatenate(out_s) if out_s else np.empty(0, "float64"),
+                }
+            )
+
+        per_seg = self._per_segment(
+            all_terms, kernel, "query_id string, doc_id long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        topk = (
+            per_seg.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+        return (
+            self.docmap.join(F.broadcast(topk), "doc_id")
+            .select("query_id", "doc_id", "score", "url")
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        )
+
     def count(self, query) -> int:
         """TotalHitCountCollector analog: number of matching docs."""
         import pyspark.sql.functions as F
