@@ -326,6 +326,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _searcher(spark, sf_dir).multi_term_docs("fuzzy", "scan", 1)
         )
 
+    def classic_tfidf(spark, sf_dir):
+        from lucene_spark.similarity.classic import ClassicScorerF64, idf_classic
+
+        def make(df_, n, _sum_tf):
+            return ClassicScorerF64(idf_classic(df_, n))
+
+        return _out_docs(
+            _searcher(spark, sf_dir).similarity_scores_df(TERM, make), "score"
+        )
+
+    def facet_count(spark, sf_dir):
+        matched = _out_docs(_searcher(spark, sf_dir).match_docs(TERM))
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return (
+            docs.join(matched, "doc_id")
+            .groupBy(F.col("lang").alias("facet"))
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy("facet")
+        )
+
+    def sort_by_field(spark, sf_dir):
+        matched = _out_docs(_searcher(spark, sf_dir).match_docs(TERM_RARE))
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return (
+            docs.join(matched, "doc_id")
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .limit(K)
+        )
+
     def synonym_scores(spark, sf_dir):
         return _out_docs(
             _searcher(spark, sf_dir).synonym_scores_df(SYN_TERMS, dtype="f64"),
@@ -396,6 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fuzzy_match=fuzzy_match,
         synonym_scores=synonym_scores,
         dismax_scores=dismax_scores,
+        classic_tfidf=classic_tfidf,
+        facet_count=facet_count,
+        sort_by_field=sort_by_field,
         token_count=_sql_docs(text.token_count_sql),
         quality_score=_sql_docs(text.quality_sql),
         lang_id=_sql_docs(text.lang_id_sql),
@@ -461,6 +494,9 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "fuzzy_match": osql.multiterm_match_sql("levenshtein(t, 'scan') <= 1"),
         "synonym_scores": osql.synonym_scores_sql(SYN_TERMS),
         "dismax_scores": osql.dismax_scores_sql(DISMAX_TERMS),
+        "classic_tfidf": osql.classic_tfidf_sql(TERM),
+        "facet_count": osql.facet_count_sql(TERM, "lang"),
+        "sort_by_field": osql.sort_by_field_sql(TERM_RARE, "n_chars", K),
         "token_count": text.token_count_sql(DUCK),
         "quality_score": text.quality_sql(DUCK),
         "lang_id": text.lang_id_sql(DUCK),

@@ -83,13 +83,18 @@ def main() -> None:
         queries["index_build"] = round(build_s, 4)
         docs_per_sec = n_docs / build_s
 
-        searcher = Searcher(spark, index_dir)
+        searcher = Searcher(spark, index_dir, cache_stats=True, preload_stats=True)
         searcher.search("merge", k=10).collect()  # warm JVM/py workers
 
         for name, q in QUERY_SET:
             t0 = time.time()
             searcher.search(q, k=10, pruned=True, dtype="f32").collect()
             queries[name] = round(time.time() - t0, 4)
+
+        # batched evaluation: the whole set in one scan
+        t0 = time.time()
+        searcher.search_many([q for _, q in QUERY_SET], k=10).collect()
+        queries["batched_set"] = round(time.time() - t0, 4)
 
         # ---- training-pipeline ops ----
         docs.createOrReplaceTempView("documents")

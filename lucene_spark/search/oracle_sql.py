@@ -286,6 +286,48 @@ WHERE len(list_filter(toks, t -> {token_pred})) > 0
 ORDER BY doc_id"""
 
 
+def classic_tfidf_sql(term: str, table: str = "documents") -> str:
+    """(doc_id, score) under ClassicSimilarity (TF-IDF plugin):
+    sqrt(tf) * idf^2 * (1/sqrt(qdl)), idf = 1 + ln((N+1)/(df+1))."""
+    idf = (
+        f"(1.0 + ln(CAST(n + 1 AS DOUBLE) / (CAST(df_0 AS DOUBLE) + 1.0)))"
+    )
+    score = (
+        f"(sqrt(CAST({_tf(term)} AS DOUBLE)) * ({idf} * {idf})) * (1.0 / sqrt(qdl))"
+    )
+    return f"""WITH {base_ctes(table)},
+{_df_cte([term])}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {score} AS score
+FROM docs, stats, dfs
+WHERE {_tf(term)} > 0
+ORDER BY doc_id"""
+
+
+def facet_count_sql(term: str, facet_col: str = "lang",
+                    table: str = "documents") -> str:
+    """(facet, n_docs): per-value match counts over the result set of a
+    term query — the facet-module computation (GROUP BY + COUNT)."""
+    return f"""WITH {base_ctes(table)}
+SELECT d2.{facet_col} AS facet, CAST(count(*) AS BIGINT) AS n_docs
+FROM docs JOIN {table} d2 ON d2.doc_id = docs.doc_id
+WHERE {_tf(term)} > 0
+GROUP BY d2.{facet_col}
+ORDER BY facet"""
+
+
+def sort_by_field_sql(term: str, field: str = "n_chars", k: int = 10,
+                      table: str = "documents") -> str:
+    """(doc_id, {field}): TopFieldCollector analog — matching docs
+    sorted by an arbitrary stored field, doc-id tie-break."""
+    return f"""WITH {base_ctes(table)}
+SELECT CAST(docs.doc_id AS BIGINT) AS doc_id,
+       CAST(d2.{field} AS BIGINT) AS {field}
+FROM docs JOIN {table} d2 ON d2.doc_id = docs.doc_id
+WHERE {_tf(term)} > 0
+ORDER BY d2.{field} DESC, docs.doc_id ASC
+LIMIT {k}"""
+
+
 def synonym_scores_sql(terms, table: str = "documents") -> str:
     """(doc_id, score) SynonymQuery: pseudo-term df = max member df,
     per-doc freq = sum of member tfs, one BM25 scorer."""

@@ -77,11 +77,16 @@ class Searcher:
         index_dir: str,
         analyzer: Analyzer | None = None,
         cache_stats: bool = False,
+        preload_stats: bool = False,
     ):
         """``cache_stats=True`` memory-caches the term_stats table
         (TermStates/collectionStatistics lookups become in-memory scans
         — the LRUQueryCache analog for hot stats; suitable when the
-        term dictionary fits executor memory)."""
+        term dictionary fits executor memory). ``preload_stats=True``
+        collects the whole global term dictionary to the driver once,
+        removing the per-query stats job entirely (one Spark job per
+        query instead of two) — right when the dictionary fits driver
+        memory (10M terms ~ a few hundred MB)."""
         from lucene_spark.analysis.analyzer import ENGLISH, Analyzer as _A
 
         self.spark = spark
@@ -105,6 +110,12 @@ class Searcher:
         )
         if cache_stats:
             self.term_stats = self.term_stats.cache()
+        self._stats_dict: dict | None = None
+        if preload_stats:
+            self._stats_dict = {
+                r["term"]: (int(r["doc_freq"]), int(r["total_tf"]))
+                for r in self.term_dictionary().collect()
+            }
 
     def refresh(self) -> bool:
         """SearcherManager.maybeRefresh analog: re-open the latest
@@ -121,6 +132,11 @@ class Searcher:
         self.docmap = self.spark.read.parquet(
             os.path.join(self.index_dir, "docmap")
         ).where(F.col("segment_id").isin(list(self.live_segments)))
+        if self._stats_dict is not None:
+            self._stats_dict = {
+                r["term"]: (int(r["doc_freq"]), int(r["total_tf"]))
+                for r in self.term_dictionary().collect()
+            }
         return True
 
     # ---- stats (SURVEY §2.4: global CollectionStatistics/TermStatistics) --
@@ -129,6 +145,8 @@ class Searcher:
 
         if not terms:
             return {}
+        if self._stats_dict is not None:
+            return {t: self._stats_dict[t] for t in terms if t in self._stats_dict}
         rows = (
             self.term_stats.where(F.col("term").isin(list(terms)))
             .where(F.col("segment_id").isin(list(self.live_segments)))
@@ -618,6 +636,46 @@ class Searcher:
             )
 
         return self._per_segment(tset, kernel, "doc_id long, term string, score double")
+
+    def similarity_scores_df(self, term: str, make_scorer):
+        """Pluggable-Similarity extension point (SURVEY §2.11,
+        ``search/similarities/Similarity.java``): scores one term's
+        postings with a user-supplied scorer. ``make_scorer(doc_freq,
+        doc_count, sum_total_tf)`` must return an object with
+        ``score(freqs, norm_bytes)``; rank-safety of block-max pruning
+        holds for any monotone similarity because impacts store
+        (tf, norm) pairs, not scores. DataFrame (doc_id, url, score)."""
+        term = self.analyzer.normalize(term)
+        tstats = self.global_term_stats({term})
+        df_, _ = tstats.get(term, (0, 0))
+        scorer = make_scorer(
+            df_, int(self.commit["doc_count"]), int(self.commit["sum_total_tf"])
+        )
+        index_dir = self.index_dir
+
+        def kernel(key, pdf):
+            import pandas as pd
+
+            if pdf.empty:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")}
+                )
+            seg = _load_segment_view(index_dir, str(key[0]), pdf)
+            tb = seg.term_blocks(term)
+            if tb is None:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")}
+                )
+            docs, tfs = tb.decode_all()
+            s = np.asarray(scorer.score(tfs, seg.norms[docs]), dtype=np.float64)
+            return pd.DataFrame(
+                {"doc_id": (docs + seg.doc_base).astype("int64"), "score": s}
+            )
+
+        per_seg = self._per_segment({term}, kernel, "doc_id long, score double")
+        return self._with_url(per_seg, ["doc_id", "url", "score"])
 
     def dismax_scores_df(self, terms, tie_breaker: float = 0.0, dtype: str = "f64"):
         """DisjunctionMaxQuery (``search/DisjunctionMaxQuery.java:30-59``):
