@@ -171,7 +171,7 @@ def _ast():
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import pyspark.sql.functions as F
 
-    from lucene_spark.ops import ann, dedup, media, text
+    from lucene_spark.ops import ann, dedup, media, text, windows
     from lucene_spark.ops.dialect import SPARK
 
     q: dict[str, Callable] = {}
@@ -382,6 +382,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_view(spark, sf_dir)
         return dedup.minhash_pairs_df(spark)
 
+    def _sql_events(sql_builder):
+        def run(spark, sf_dir):
+            spark.read.parquet(
+                os.path.join(sf_dir, "events.parquet")
+            ).createOrReplaceTempView("events")
+            return spark.sql(sql_builder(SPARK))
+
+        return run
+
     def media_features(spark, sf_dir):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         return media.media_features_df(spark, docs)
@@ -439,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_minhash_pairs=dedup_minhash_pairs,
         dedup_simhash=_sql_docs(lambda d: dedup.simhash_spark_sql()),
         media_features=media_features,
+        events_tumbling=_sql_events(windows.tumbling_counts_sql),
+        events_sessionize=_sql_events(windows.sessionize_sql),
         emb_cosine_topk=emb_cosine_topk,
         emb_ivf_assign=emb_ivf_assign,
         emb_ivf_topk=emb_ivf_topk,
@@ -450,7 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from lucene_spark.ops import ann, dedup, media, text
+    from lucene_spark.ops import ann, dedup, media, text, windows
     from lucene_spark.ops.dialect import DUCK
     from lucene_spark.search import oracle_sql as osql
 
@@ -507,6 +518,8 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "dedup_minhash_pairs": dedup.minhash_pairs_sql(DUCK),
         "dedup_simhash": dedup.simhash_sql(DUCK),
         "media_features": media.media_features_oracle_sql(),
+        "events_tumbling": windows.tumbling_counts_sql(DUCK),
+        "events_sessionize": windows.sessionize_sql(DUCK),
         "emb_cosine_topk": ann.cosine_topk_sql(DUCK, qvec0, k=10),
         "emb_ivf_assign": ann.ivf_assign_sql(DUCK, cents),
         "emb_ivf_topk": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5),

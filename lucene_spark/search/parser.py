@@ -26,6 +26,8 @@ _TOK = re.compile(r'"[^"]*"|\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+')
 
 
 def parse(query: str, analyzer: Analyzer) -> Query:
+    if query.count('"') % 2:
+        raise ValueError(f"unbalanced quote in query: {query!r}")
     tokens = _TOK.findall(query)
     q, rest = _parse_or(tokens, 0, analyzer)
     if rest != len(tokens):
