@@ -249,6 +249,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def phrase_sloppy_topk(spark, sf_dir):
+        # sloppy phrase: float32 sloppyFreq semantics; not SQL-expressible
+        # (greedy minimal-window algorithm) -> rows-only driver check;
+        # gated instead by tests/test_sloppy.py vs the python oracle
+        return _topk_docs(
+            _searcher(spark, sf_dir).search(
+                f'"{PHRASE[0]} {PHRASE[1]}"~2', k=K, pruned=True, dtype="f32"
+            )
+        )
+
     def multi_phrase_match(spark, sf_dir):
         ast = _ast()
         qq = ast.MultiPhraseQuery(slots=MP_SLOTS, positions=MP_OFFS)
@@ -422,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         phrase_match=phrase_match,
         phrase_hole_match=phrase_hole_match,
         phrase_topk=phrase_topk,
+        phrase_sloppy_topk=phrase_sloppy_topk,
         multi_phrase_match=multi_phrase_match,
         multi_phrase_topk=multi_phrase_topk,
         boost_or_topk=boost_or_topk,

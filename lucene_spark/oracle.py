@@ -173,6 +173,26 @@ class OracleIndex:
             docs = np.intersect1d(docs, e[0], assume_unique=True)
         if docs.size == 0:
             return docs, np.empty(0, np.float32)
+        if q.slop > 0:
+            from lucene_spark.search.sloppy import check_no_repeats, sloppy_freq
+
+            check_no_repeats(q.terms)
+            freqs = np.zeros(docs.size, dtype=np.float64)
+            for i, d in enumerate(docs):
+                pls = []
+                for e in entries:
+                    j = int(np.searchsorted(e[0], d))
+                    pls.append(e[2][j])
+                freqs[i] = sloppy_freq(pls, q.positions, q.slop)
+            hit = freqs > 0
+            docs, freqs = docs[hit], freqs[hit]
+            if docs.size == 0:
+                return docs, np.empty(0, np.float32)
+            idf_sum = bm25.idf_phrase(
+                [self.doc_freq(t) for t in q.terms], self.doc_count
+            )
+            sc = self._scorer(idf_sum, boost)
+            return docs, sc.score(freqs, self.norms[docs])
         freqs = np.zeros(docs.size, dtype=np.int64)
         for i, d in enumerate(docs):
             # candidate start positions: positions of term0 shifted to offset 0

@@ -196,8 +196,10 @@ def _positions_for_docs(tb: TermBlocks, docs: np.ndarray) -> list:
 
 
 def _phrase_doc_freqs(seg: SegmentView, q: ast.PhraseQuery):
-    """Exact-phrase: doc-level AND then position intersection.
-    Returns (docs with phraseFreq>0, phraseFreqs)."""
+    """Phrase matching: doc-level AND approximation, then position
+    verification — exact (slop=0, integer phraseFreq) or sloppy
+    (slop>0, float32 sloppyFreq accumulation; PhraseScorer.java:86-95).
+    Returns (docs with freq>0, freqs)."""
     tbs = [seg.term_blocks(t) for t in q.terms]
     if any(tb is None for tb in tbs):
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -207,7 +209,21 @@ def _phrase_doc_freqs(seg: SegmentView, q: ast.PhraseQuery):
         docs = d if docs is None else np.intersect1d(docs, d, assume_unique=True)
         if docs.size == 0:
             return docs, np.empty(0, np.int64)
+    if q.slop > 0:
+        return _verify_sloppy(seg, q, tbs, docs)
     return _verify_phrase(seg, q, tbs, docs)
+
+
+def _verify_sloppy(seg, q, tbs, docs):
+    from lucene_spark.search.sloppy import check_no_repeats, sloppy_freq
+
+    check_no_repeats(q.terms)
+    pos_lists = [_positions_for_docs(tb, docs) for tb in tbs]
+    freqs = np.zeros(docs.size, dtype=np.float64)
+    for i in range(docs.size):
+        freqs[i] = sloppy_freq([pl[i] for pl in pos_lists], q.positions, q.slop)
+    hit = freqs > 0
+    return docs[hit], freqs[hit]
 
 
 def _verify_phrase(seg, q, tbs, docs):
@@ -482,7 +498,9 @@ def search_segment(
         if isinstance(q, ast.TermQuery):
             heap = _term_topk(seg, q.term, scorers, k, total_hits_threshold, dtype)
             return heap.docs, _final_scores(heap.scores, dtype)
-        if isinstance(q, ast.PhraseQuery):
+        if isinstance(q, ast.PhraseQuery) and q.slop == 0:
+            # sloppy phrases use dummy impacts in the reference too
+            # (SloppyPhraseMatcher.java:119-127) -> exhaustive path
             heap = _phrase_topk(seg, q, scorers, k, total_hits_threshold, dtype)
             return heap.docs, _final_scores(heap.scores, dtype)
         if isinstance(q, ast.BooleanQuery):

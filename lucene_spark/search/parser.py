@@ -91,7 +91,26 @@ def _parse_unit(toks, i, analyzer):
             raise ValueError("missing )")
         return _apply_boost(q, toks, i + 1)
     if t.startswith('"'):
-        return _apply_boost(_phrase(t[1:-1], analyzer), toks, i + 1)
+        q = _phrase(t[1:-1], analyzer)
+        # "phrase"~slop (classic syntax); then an optional boost
+        if i + 1 < len(toks) and toks[i + 1].startswith("~"):
+            tail = toks[i + 1][1:]
+            boost_txt = None
+            if "^" in tail:  # combined "phrase"~2^1.5
+                tail, _, boost_txt = tail.partition("^")
+            try:
+                slop = int(tail)
+            except ValueError as e:
+                raise ValueError(f"bad slop {toks[i+1]!r}") from e
+            if isinstance(q, PhraseQuery) and slop > 0:
+                from lucene_spark.search.sloppy import check_no_repeats
+
+                check_no_repeats(q.terms)
+                q = PhraseQuery(terms=q.terms, positions=q.positions, slop=slop)
+            if boost_txt is not None:
+                return BoostQuery(q, float(boost_txt)), i + 2
+            i += 1
+        return _apply_boost(q, toks, i + 1)
     # inline boost: term^2.5 (the analyzer would split on '^' anyway)
     boost = None
     if "^" in t and not t.startswith("^"):

@@ -1,0 +1,91 @@
+"""Sloppy phrase semantics: hand-traced SloppyPhraseMatcher cases,
+slop monotonicity, parser syntax, and engine-vs-oracle rank identity."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis.analyzer import ENGLISH
+from lucene_spark.fixtures import make_pages
+from lucene_spark.index.builder import IndexConfig, build_index
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.search import ast
+from lucene_spark.search.parser import parse
+from lucene_spark.search.searcher import Searcher
+from lucene_spark.search.sloppy import sloppy_freq
+
+
+def f(pos_lists, offsets, slop):
+    return sloppy_freq([np.array(p) for p in pos_lists], offsets, slop)
+
+
+def test_hand_traced_cases():
+    # adjacent pair: matchLength 0 -> weight 1
+    assert f([[0], [1]], (0, 1), 0) == 1.0
+    # one-gap: matchLength 1; no match at slop 0, 1/2 at slop >= 1
+    assert f([[0], [2]], (0, 1), 0) == 0.0
+    assert f([[0], [2]], (0, 1), 1) == 0.5
+    # transposition ("a b" matching text "b a"): matchLength 2
+    assert f([[1], [0]], (0, 1), 1) == 0.0
+    assert f([[1], [0]], (0, 1), 2) == pytest.approx(1.0 / 3.0, abs=1e-7)
+    # greedy minimization picks the adjacent occurrence of the lead term
+    assert f([[0, 10], [11]], (0, 1), 0) == 1.0
+    # two independent adjacent matches accumulate (float32 sum)
+    got = f([[0, 100], [1, 101]], (0, 1), 0)
+    assert got == float(np.float32(np.float32(1.0) + np.float32(1.0)))
+    # stopword-hole phrase (offsets 0,2) at exact distance
+    assert f([[5], [7]], (0, 2), 0) == 1.0
+
+
+def test_slop_match_set_monotone():
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        p1 = np.unique(rng.integers(0, 30, size=rng.integers(1, 5)))
+        p2 = np.unique(rng.integers(0, 30, size=rng.integers(1, 5)))
+        prev_matched = False
+        prev_freq = 0.0
+        for slop in range(0, 8):
+            freq = f([p1, p2], (0, 1), slop)
+            matched = freq > 0
+            assert matched or not prev_matched  # match set grows with slop
+            prev_matched = matched or prev_matched
+        # huge slop always matches (both terms present)
+        assert f([p1, p2], (0, 1), 100) > 0
+
+
+def test_repeated_terms_rejected():
+    with pytest.raises(NotImplementedError):
+        parse('"w0000 w0000"~2', ENGLISH)
+
+
+def test_parser_slop_syntax():
+    q = parse('"w0007 w0042"~2', ENGLISH)
+    assert isinstance(q, ast.PhraseQuery) and q.slop == 2
+    q2 = parse('"w0100 of w0200"~1^2.5', ENGLISH)
+    assert isinstance(q2, ast.BoostQuery) and q2.query.slop == 1
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory, spark):
+    corpus = make_pages(250)
+    d = str(tmp_path_factory.mktemp("sloppy_idx"))
+    df = spark.createDataFrame([(r["url"], r["text"]) for r in corpus], ["url", "text"])
+    build_index(spark, df, d, IndexConfig(num_segments=3, analyzer=ENGLISH))
+    return Searcher(spark, d), OracleIndex.build(corpus, num_segments=3, analyzer=ENGLISH)
+
+
+@pytest.mark.parametrize(
+    "query",
+    ['"w0007 w0042"~1', '"w0042 w0007"~2', '"w0100 of w0200"~2', '"w0000 w0001"~3'],
+)
+def test_sloppy_rank_identity(pair, query):
+    searcher, oracle = pair
+    expected = oracle.top_k(parse(query, ENGLISH), k=10)
+    got = searcher.search(query, k=10).collect()
+    assert len(got) == len(expected), query
+    for row, (ed, es, eu) in zip(got, expected):
+        assert row["doc_id"] == ed and row["url"] == eu
+        assert np.float32(row["score"]) == np.float32(es), query
+    # sloppy must match at least as many docs as exact
+    n_sloppy = searcher.count(query)
+    n_exact = searcher.count(query.rsplit("~", 1)[0])
+    assert n_sloppy >= n_exact
