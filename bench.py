@@ -77,7 +77,9 @@ def main() -> None:
     index_dir = tempfile.mkdtemp(prefix="lucene_spark_bench_")
     try:
         t0 = time.time()
-        cfg = IndexConfig(num_segments=CPUS, analyzer=ENGLISH)
+        cfg = IndexConfig(
+            num_segments=CPUS, analyzer=ENGLISH, doc_base_mode="strided"
+        )
         commit = build_index(spark, pages, index_dir, cfg)
         build_s = time.time() - t0
         queries["index_build"] = round(build_s, 4)
