@@ -48,9 +48,15 @@ _HIRA = "぀-ゟ"
 _KATA = "゠-ヿㇰ-ㇿ"
 # word char = \w excluding Han/Hiragana/Katakana (those get script rules)
 _W = rf"(?:(?![{_HAN}{_HIRA}{_KATA}])\w)"
+# combining marks extend a word without being able to start one
+# (UAX#29 Extend; python \w excludes category M -- without this, Indic
+# vowel signs / Arabic harakat / combining diacritics split tokens)
+from lucene_spark.analysis._marks import MARKS as _MARKS  # noqa: E402
+
+_WM = rf"(?:{_W}|[{_MARKS}])"
 _TOKEN_RE = re.compile(
     rf"[{_HAN}]|[{_HIRA}]|[{_KATA}]+"
-    rf"|{_W}+(?:(?:['’.]|(?<=\d),(?=\d)){_W}+)*",
+    rf"|{_W}{_WM}*(?:(?:['’.]|(?<=\d),(?=\d)){_W}{_WM}*)*",
     re.UNICODE,
 )
 # runs of only underscores are not UAX#29 words (ExtendNumLet alone)

@@ -119,3 +119,32 @@ def test_extraction_contract():
 
     for r in make_pages(50):
         assert extract_text(r["html"]) == r["text"]  # byte-identical
+
+
+def test_reference_golden_scripts():
+    """Golden cases ported from the reference TestStandardAnalyzer
+    (tokenizer only — no lowercase, no stopwords): Armenian with a
+    digit-group comma, Greek, Bengali (vowel-sign marks), combining
+    diacritics, fullwidth forms, and empty/punct-only inputs."""
+    from lucene_spark.analysis.analyzer import Analyzer
+
+    a = Analyzer(lowercase=False)
+
+    def toks(s):
+        return a.tokenize_one(s)[0]
+
+    assert toks("Վիքիպեդիայի 13 միլիոն հոդվածները (4,600` հայերեն)") == [
+        "Վիքիպեդիայի", "13", "միլիոն", "հոդվածները", "4,600", "հայերեն",
+    ]
+    assert toks("Γράφεται σε συνεργασία από εθελοντές") == [
+        "Γράφεται", "σε", "συνεργασία", "από", "εθελοντές",
+    ]
+    assert toks("উইকিপিডিয়ার শুরু ১৫ জানুয়ারি, ২০০১ সালে।") == [
+        "উইকিপিডিয়ার", "শুরু", "১৫", "জানুয়ারি", "২০০১", "সালে",
+    ]
+    assert toks("moͤchte") == ["moͤchte"]  # combining mark extends
+    assert toks("我是中国人。 １２３４ Ｔｅｓｔｓ") == [
+        "我", "是", "中", "国", "人", "１２３４", "Ｔｅｓｔｓ",
+    ]
+    assert toks("B2B") == ["B2B"] and toks("2B") == ["2B"]
+    assert toks("") == [] and toks(".") == [] and toks(" ") == []
