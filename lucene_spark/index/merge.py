@@ -292,6 +292,23 @@ def merge_segments(
             os.path.join(tmp_root, "docmap", "data.parquet"),
         )
 
+        # carry liveDocs tombstones: union of source deletes, shifted to
+        # the merged segment's local id space (this merge preserves doc
+        # ids; a dead-doc-squeezing rewrite is future work — divergence
+        # from Lucene's DocIDMerger noted in the module docstring)
+        from lucene_spark.index.deletes import _read_deletes, _write_deletes
+
+        dead_parts = []
+        for s in group:
+            dead = _read_deletes(index_dir, s["segment_id"])
+            if dead.size:
+                dead_parts.append(dead + (s["doc_base"] - new_base))
+        merged_dead = (
+            np.unique(np.concatenate(dead_parts)) if dead_parts else None
+        )
+        if merged_dead is not None:
+            _write_deletes(index_dir, new_sid, merged_dead)
+
         # atomic publish (same pattern as the builder)
         import shutil
 

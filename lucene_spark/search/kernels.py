@@ -97,6 +97,7 @@ def score_exhaustive(
         return np.empty(0, np.int64), np.empty(0, np.float64)
     if isinstance(q, ast.MatchAllDocsQuery):
         d = np.arange(seg.max_doc, dtype=np.int64)
+        d = d[seg.live_mask(d)]
         return d, np.full(d.size, float(np.float32(boost)), np.float64)
     if isinstance(q, ast.BoostQuery):
         return score_exhaustive(seg, q.query, scorers, dtype, boost * q.boost)
@@ -109,6 +110,8 @@ def score_exhaustive(
         if tb is None:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         docs, tfs = tb.decode_all()
+        m = seg.live_mask(docs)
+        docs, tfs = docs[m], tfs[m]
         sc = scorers[("t", q.term, boost)] if boost != 1.0 else scorers[("t", q.term)]
         s = sc.score(tfs, seg.norms[docs])
         return docs, s.astype(np.float64)
@@ -209,6 +212,9 @@ def _phrase_doc_freqs(seg: SegmentView, q: ast.PhraseQuery):
         docs = d if docs is None else np.intersect1d(docs, d, assume_unique=True)
         if docs.size == 0:
             return docs, np.empty(0, np.int64)
+    docs = docs[seg.live_mask(docs)]
+    if docs.size == 0:
+        return docs, np.empty(0, np.int64)
     if q.slop > 0:
         return _verify_sloppy(seg, q, tbs, docs)
     return _verify_phrase(seg, q, tbs, docs)
@@ -278,6 +284,9 @@ def _multi_phrase_doc_freqs(seg: SegmentView, q: ast.MultiPhraseQuery):
         docs = d if docs is None else np.intersect1d(docs, d, assume_unique=True)
         if docs.size == 0:
             return docs, np.empty(0, np.int64)
+    docs = docs[seg.live_mask(docs)]
+    if docs.size == 0:
+        return docs, np.empty(0, np.int64)
     # per-slot, per-doc unioned positions
     slot_pos = []
     for tbs in slot_tbs:
@@ -315,6 +324,8 @@ def _term_topk(seg, term, scorers, k, threshold, dtype):
             heap.hits += int(tb.num_docs[b])  # totalHits still counts skips
             continue
         d, t = tb.decode(b)
+        m = seg.live_mask(d)
+        d, t = d[m], t[m]
         s = scorer.score(t, seg.norms[d]).astype(np.float64)
         heap.update(d, s)
     return heap
@@ -359,7 +370,9 @@ def _or_topk(seg, leaves, scorers, k, threshold, dtype):
                 seen[dw] = True
         idx = np.flatnonzero(seen)
         if idx.size:
-            heap.update(idx + lo, acc[idx])
+            d = idx + lo
+            m = seg.live_mask(d)
+            heap.update(d[m], acc[idx][m])
     return heap
 
 
@@ -392,7 +405,7 @@ def _and_topk(seg, terms, scorers, k, threshold, dtype):
         if not ok or bound <= heap.theta:
             continue
         d, t = lead_tb.decode(b)
-        cand = d
+        cand = d[seg.live_mask(d)]
         for tb, sc, b0, b1 in spans:
             other = np.concatenate([tb.decode(i)[0] for i in range(b0, b1)])
             cand = cand[np.isin(cand, other, assume_unique=True)]
@@ -440,7 +453,7 @@ def _phrase_topk(seg, q: ast.PhraseQuery, scorers, k, threshold, dtype):
         if not ok or bound <= heap.theta:
             continue
         d, _ = lead.decode(b)
-        cand = d
+        cand = d[seg.live_mask(d)]
         for tb in tbs:
             if tb is lead:
                 continue

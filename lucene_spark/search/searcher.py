@@ -50,6 +50,17 @@ def _load_segment_view(index_dir: str, segment_id: str, pdf_postings) -> Segment
     nt = pq.read_table(norms_path)
     doc_base = int(nt["doc_base"][0].as_py())
     norms = np.frombuffer(nt["norms_bin"][0].as_py(), dtype=np.uint8)
+    # liveDocs tombstones (deletes are rare: absent file = all live)
+    live = None
+    del_path = os.path.join(
+        index_dir, "deletes", f"segment_id={segment_id}", "data.parquet"
+    )
+    if os.path.exists(del_path):
+        dt = pq.read_table(del_path)
+        dead = np.asarray(dt["local_id"].to_pylist(), dtype=np.int64)
+        if dead.size:
+            live = np.ones(norms.size, dtype=bool)
+            live[dead] = False
     rows_by_term: dict[str, list] = {}
     for rec in pdf_postings.itertuples(index=False):
         rows_by_term.setdefault(rec.term, []).append(
@@ -65,7 +76,9 @@ def _load_segment_view(index_dir: str, segment_id: str, pdf_postings) -> Segment
                 "impact_norms": rec.impact_norms,
             }
         )
-    return SegmentView.from_block_rows(segment_id, doc_base, norms, rows_by_term)
+    seg = SegmentView.from_block_rows(segment_id, doc_base, norms, rows_by_term)
+    seg.live = live
+    return seg
 
 
 class Searcher:
@@ -438,6 +451,8 @@ class Searcher:
                      "tf": pd.Series([], dtype="int64")}
                 )
             docs, tfs = tb.decode_all()
+            m = seg.live_mask(docs)
+            docs, tfs = docs[m], tfs[m]
             return pd.DataFrame(
                 {"doc_id": (docs + seg.doc_base).astype("int64"),
                  "tf": tfs.astype("int64")}
@@ -589,6 +604,8 @@ class Searcher:
             f = np.concatenate(all_tfs)
             uniq, inv = np.unique(d, return_inverse=True)
             tf_sum = np.bincount(inv, weights=f.astype(np.float64)).astype(np.int64)
+            lm = seg.live_mask(uniq)
+            uniq, tf_sum = uniq[lm], tf_sum[lm]
             s = scorer.score(tf_sum, seg.norms[uniq]).astype(np.float64)
             return pd.DataFrame(
                 {"doc_id": (uniq + seg.doc_base).astype("int64"), "score": s}
@@ -621,6 +638,8 @@ class Searcher:
                     if tb is None:
                         continue
                     d, f = tb.decode_all()
+                    lm = seg.live_mask(d)
+                    d, f = d[lm], f[lm]
                     s = scorers[("t", t)].score(f, seg.norms[d]).astype(np.float64)
                     out_d.append((d + seg.doc_base).astype("int64"))
                     out_t.extend([t] * d.size)
@@ -669,6 +688,8 @@ class Searcher:
                      "score": pd.Series([], dtype="float64")}
                 )
             docs, tfs = tb.decode_all()
+            lm = seg.live_mask(docs)
+            docs, tfs = docs[lm], tfs[lm]
             s = np.asarray(scorer.score(tfs, seg.norms[docs]), dtype=np.float64)
             return pd.DataFrame(
                 {"doc_id": (docs + seg.doc_base).astype("int64"), "score": s}

@@ -98,9 +98,20 @@ class SegmentView:
     max_doc: int  # number of docs in this segment (local ids 0..max_doc-1)
     norms: np.ndarray  # uint8[max_doc]
     terms: dict  # term -> TermBlocks
+    # liveDocs tombstone mask (Lucene90LiveDocsFormat analog): None =
+    # no deletes; else bool[max_doc], False = deleted. Postings and
+    # global stats still include deleted docs until a rewriting merge —
+    # exactly the reference's semantics (docFreq unchanged by deletes).
+    live: "np.ndarray | None" = None
 
     def term_blocks(self, term: str) -> "TermBlocks | None":
         return self.terms.get(term)
+
+    def live_mask(self, docs: np.ndarray) -> np.ndarray:
+        """Boolean mask of non-deleted local doc ids."""
+        if self.live is None:
+            return np.ones(docs.size, dtype=bool)
+        return self.live[docs]
 
     @staticmethod
     def from_block_rows(
