@@ -403,3 +403,39 @@ def force_merge(spark, index_dir: str, num_salts: int = 4) -> dict:
         generation=commit["generation"] + 1,
         num_salts=num_salts,
     )
+
+
+def vacuum(index_dir: str) -> list:
+    """Remove files of segments no longer referenced by the LATEST
+    commit (the IndexFileDeleter analog with a keep-last-commit
+    deletion policy). Returns the removed segment ids. Readers opened
+    on older generations must be refreshed first — same contract as
+    Lucene's deletion policy."""
+    import shutil
+
+    commit = read_latest_commit(index_dir)
+    live = {s["segment_id"] for s in commit["segments"]}
+    removed = []
+    for kind in ("postings", "term_stats", "norms", "docmap", "deletes"):
+        root = os.path.join(index_dir, kind)
+        if not os.path.isdir(root):
+            continue
+        for entry in os.listdir(root):
+            if not entry.startswith("segment_id="):
+                continue
+            sid = entry.split("=", 1)[1]
+            if sid not in live:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                if sid not in removed:
+                    removed.append(sid)
+    # drop superseded commit files and segment manifests
+    cdir = os.path.join(index_dir, "commits")
+    for f in sorted(os.listdir(cdir))[:-1]:
+        os.remove(os.path.join(cdir, f))
+    mdir = os.path.join(index_dir, "manifest")
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            sid = f[len("segment_"):-len(".json")]
+            if sid not in live:
+                os.remove(os.path.join(mdir, f))
+    return sorted(removed)

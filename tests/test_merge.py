@@ -140,3 +140,26 @@ def test_find_merge_policy_unit():
     assert find_merge(segs, max_merged_bytes=5 << 30, floor_bytes=1 << 20, segs_per_tier=2) is None or sum(
         s["postings_bytes"] for s in find_merge(segs, max_merged_bytes=5 << 30, floor_bytes=1 << 20, segs_per_tier=2)
     ) <= 5 << 30
+
+
+def test_vacuum_removes_dead_segments(spark, tmp_path):
+    import glob
+    import os
+
+    from lucene_spark.index.merge import vacuum
+
+    d = str(tmp_path / "idx")
+    corpus = make_pages(120)
+    df = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in corpus], ["url", "text"]
+    )
+    build_index(spark, df, d, IndexConfig(num_segments=4, analyzer=ENGLISH))
+    before = _snapshot(spark, d, QUERIES[:2])
+    force_merge(spark, d)
+    removed = vacuum(d)
+    assert len(removed) == 4  # the four pre-merge segments
+    assert len(glob.glob(f"{d}/postings/segment_id=*")) == 1
+    assert len(os.listdir(os.path.join(d, "commits"))) == 1
+    # the survivor still answers identically
+    after = _snapshot(spark, d, QUERIES[:2])
+    assert before == after
