@@ -455,6 +455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fingerprint=_sql_docs(text.fingerprint_sql),
         dedup_exact=_sql_docs(dedup.exact_groups_sql),
         dedup_jaccard_pairs=_sql_docs(lambda d: dedup.jaccard_pairs_sql(d, threshold=0.8)),
+        dedup_jaccard_capped=_sql_docs(
+            lambda d: dedup.jaccard_pairs_sql(d, threshold=0.8, max_shingle_df=5)
+        ),
         dedup_minhash_bands=_sql_docs(lambda d: dedup.minhash_bands_spark_sql()),
         dedup_minhash_pairs=dedup_minhash_pairs,
         dedup_simhash=_sql_docs(lambda d: dedup.simhash_spark_sql()),
@@ -525,6 +528,9 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "fingerprint": text.fingerprint_sql(DUCK),
         "dedup_exact": dedup.exact_groups_sql(DUCK),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(DUCK, threshold=0.8),
+        "dedup_jaccard_capped": dedup.jaccard_pairs_sql(
+            DUCK, threshold=0.8, max_shingle_df=5
+        ),
         "dedup_minhash_bands": dedup.minhash_bands_sql(DUCK),
         "dedup_minhash_pairs": dedup.minhash_pairs_sql(DUCK),
         "dedup_simhash": dedup.simhash_sql(DUCK),

@@ -199,6 +199,12 @@ class Analyzer:
                 np.zeros(ndocs, np.int64),
             )
         lens_tok = (ends - starts).astype(np.int64)
+        if int(lens_tok.max()) > 256:
+            # the polynomial-hash position weights are only defined for
+            # the first 256 chars; beyond that two distinct tokens could
+            # silently conflate — take the object path instead (such
+            # tokens only survive if max_token_length was raised)
+            return None
         doc_lens = np.fromiter(map(len, texts), dtype=np.int64, count=ndocs)
         doc_starts = np.concatenate(([0], np.cumsum(doc_lens + 1)))[:-1]
         doc_idx = (

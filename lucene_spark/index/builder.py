@@ -311,13 +311,18 @@ def build_index(
     index_dir: str,
     config: IndexConfig | None = None,
     doc_base_offset: int = 0,
+    write_commit: bool = True,
 ) -> dict:
     """Build (or resume) an index over ``df`` and commit it.
 
     df must contain ``config.key_col`` (unique) and ``config.text_col``.
     ``doc_base_offset`` shifts all assigned doc ids (streaming appends
     continue the dense global id space — see streaming/nrt.py).
-    Returns the commit dict (also written to ``commits/gen_N.json``).
+    ``write_commit=False`` builds the segments but does NOT publish a
+    commit point (the caller splices segments into a larger commit and
+    publishes that one atomically — see streaming/nrt.py append_batch).
+    Returns the commit dict (also written to ``commits/gen_N.json``
+    unless ``write_commit=False``).
     """
     import pyspark.sql.functions as F
 
@@ -376,10 +381,12 @@ def build_index(
         "stopwords": sorted(config.analyzer.stopwords),
         "store_positions": config.store_positions,
     }
-    os.makedirs(os.path.join(index_dir, "commits"), exist_ok=True)
-    _atomic_write_json(
-        os.path.join(index_dir, "commits", f"gen_{config.generation:06d}.json"), commit
-    )
+    if write_commit:
+        os.makedirs(os.path.join(index_dir, "commits"), exist_ok=True)
+        _atomic_write_json(
+            os.path.join(index_dir, "commits", f"gen_{config.generation:06d}.json"),
+            commit,
+        )
     return commit
 
 

@@ -51,11 +51,22 @@ ORDER BY text_hash
 
 
 def jaccard_pairs_sql(
-    d: str, table: str = "documents", n: int = 3, threshold: float = 0.8
+    d: str,
+    table: str = "documents",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: "int | None" = None,
 ) -> str:
     """(doc_a, doc_b, jacc): doc pairs whose distinct word-``n``-gram
     shingle sets have Jaccard >= threshold. Exact: candidates = pairs
-    sharing a shingle (any pair with J>0 qualifies)."""
+    sharing a shingle (any pair with J>0 qualifies).
+
+    ``max_shingle_df`` (the hot-shingle skew mitigation at web scale):
+    shingles appearing in more than this many docs are removed from
+    every doc's shingle SET before pairing — the Jaccard is then exact
+    over the filtered sets. Near-dup pairs keep their rare shingles, so
+    high-threshold pairs survive; the quadratic co-occurrence blowup of
+    boilerplate shingles is capped at ceiling^2 per shingle."""
     t = _toks(d)
     sh = dl.word_shingles(d, "toks", n)
     if d == dl.SPARK:
@@ -63,12 +74,18 @@ def jaccard_pairs_sql(
                   "LATERAL VIEW explode_outer(shs) x AS s WHERE s IS NOT NULL")
     else:
         unnest = "SELECT doc_id, unnest(shs) AS s FROM shingled"
+    if max_shingle_df is None:
+        sh_ctes = f"sh AS ({unnest}),"
+    else:
+        sh_ctes = f"""sh_all AS ({unnest}),
+keepsh AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= {int(max_shingle_df)}),
+sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN keepsh ON sh_all.s = keepsh.s),"""
     # the hint is a comment to DuckDB; in Spark it parallelizes the
     # shingle computation past the single-file scan task
     return f"""
 WITH tok AS (SELECT /*+ REPARTITION(64) */ doc_id, {t} AS toks FROM {table}),
 shingled AS (SELECT doc_id, {dl.list_distinct(d, sh)} AS shs FROM tok),
-sh AS ({unnest}),
+{sh_ctes}
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pair AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -272,7 +289,7 @@ hashed AS (
   SELECT doc_id, {tok_hashes} AS hs FROM tok
   WHERE {dl.list_size(d, 'toks')} > 0
 )
-SELECT CAST(doc_id AS BIGINT) AS doc_id, {sim} AS simhash
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({sim} AS BIGINT) AS simhash
 FROM hashed ORDER BY doc_id
 """
 

@@ -99,7 +99,9 @@ class OracleIndex:
             return self.score_query(q.query, boost * q.boost)
         if isinstance(q, ast.ConstantScoreQuery):
             docs, _ = self.score_query(q.query, 1.0)
-            return docs, np.full(docs.size, np.float32(boost), np.float32)
+            return docs, np.full(
+                docs.size, np.float32(boost * q.boost), np.float32
+            )
         if isinstance(q, ast.TermQuery):
             e = self.postings.get(q.term)
             if e is None:

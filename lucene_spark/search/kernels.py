@@ -103,7 +103,8 @@ def score_exhaustive(
         return score_exhaustive(seg, q.query, scorers, dtype, boost * q.boost)
     if isinstance(q, ast.ConstantScoreQuery):
         docs, _ = score_exhaustive(seg, q.query, scorers, dtype, 1.0)
-        c = float(np.float32(boost)) if dtype == "f32" else float(boost)
+        b = float(boost) * float(q.boost)
+        c = float(np.float32(b)) if dtype == "f32" else b
         return docs, np.full(docs.size, c, np.float64)
     if isinstance(q, ast.TermQuery):
         tb = seg.term_blocks(q.term)
@@ -338,8 +339,12 @@ def _or_topk(seg, leaves, scorers, k, threshold, dtype):
     if not leaves:
         return heap
     nwin = (seg.max_doc + WINDOW - 1) // WINDOW
-    for w in range(nwin):
-        lo, hi = w * WINDOW, w * WINDOW + WINDOW - 1
+    # only windows some leaf's blocks cover — never the whole doc space
+    wins = np.unique(
+        np.concatenate([_block_windows(tb, nwin) for tb, _, _ in leaves])
+    )
+    for w in wins:
+        lo, hi = int(w) * WINDOW, int(w) * WINDOW + WINDOW - 1
         bound = 0.0
         active = []
         for tb, sc, bm in leaves:
@@ -471,6 +476,332 @@ def _phrase_topk(seg, q: ast.PhraseQuery, scorers, k, threshold, dtype):
     return heap
 
 
+# ----------------------------------------------------- general WAND kernel
+#
+# Leaf adapters generalize the pruned kernels to arbitrary boolean
+# shapes (scored OR with minShouldMatch>1, boosted clauses, MUST+SHOULD
+# trees, filters, exclusions) — the WANDScorer.java:30-55,553-565 /
+# MaxScoreBulkScorer.java:28-51 semantics, window-at-a-time: a 4096-doc
+# window is skipped when sum(required bounds) + sum(overlapping
+# optional bounds) cannot beat the heap threshold. Bounds are true
+# upper bounds, so pruned == exhaustive (rank-safe).
+
+
+class _TermLeaf:
+    """One term's postings as a window-scorable leaf (boost folded into
+    the scorer weight at build time)."""
+
+    __slots__ = ("tb", "scorer", "bm", "doc_freq")
+
+    def __init__(self, tb: TermBlocks, scorer):
+        self.tb = tb
+        self.scorer = scorer
+        self.bm = tb.block_max_scores(scorer)
+        self.doc_freq = tb.doc_freq
+
+    def overlaps(self, lo, hi) -> bool:
+        b0, b1 = self.tb.overlapping(lo, hi)
+        return b0 < b1
+
+    def window_bound(self, lo, hi) -> float:
+        b0, b1 = self.tb.overlapping(lo, hi)
+        return float(self.bm[b0:b1].max()) if b0 < b1 else 0.0
+
+    def windows(self, nwin: int) -> np.ndarray:
+        return _block_windows(self.tb, nwin)
+
+    def window_postings(self, seg, lo, hi):
+        b0, b1 = self.tb.overlapping(lo, hi)
+        ds, ss = [], []
+        for b in range(b0, b1):
+            d, t = self.tb.decode(b)
+            i0 = int(np.searchsorted(d, lo))
+            i1 = int(np.searchsorted(d, hi, side="right"))
+            if i0 >= i1:
+                continue
+            dd = d[i0:i1]
+            ds.append(dd)
+            ss.append(self.scorer.score(t[i0:i1], seg.norms[dd]).astype(np.float64))
+        if not ds:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(ds), np.concatenate(ss)
+
+    def window_docs(self, seg, lo, hi) -> np.ndarray:
+        d, _ = self.window_postings(seg, lo, hi)
+        return d
+
+
+class _PhraseLeaf:
+    """Exact phrase as a leaf: bound = min over member terms of their
+    max phrase-scored impact (valid: phraseFreq <= any member tf);
+    matching = doc-level AND then position verification."""
+
+    __slots__ = ("tbs", "psc", "q", "bms", "doc_freq")
+
+    def __init__(self, tbs, psc, q: ast.PhraseQuery):
+        self.tbs = tbs
+        self.psc = psc
+        self.q = q
+        self.bms = [tb.block_max_scores(psc) for tb in tbs]
+        self.doc_freq = min(tb.doc_freq for tb in tbs)
+
+    def overlaps(self, lo, hi) -> bool:
+        for tb in self.tbs:
+            b0, b1 = tb.overlapping(lo, hi)
+            if b0 >= b1:
+                return False
+        return True
+
+    def window_bound(self, lo, hi) -> float:
+        bound = np.inf
+        for tb, bm in zip(self.tbs, self.bms):
+            b0, b1 = tb.overlapping(lo, hi)
+            if b0 >= b1:
+                return 0.0
+            bound = min(bound, float(bm[b0:b1].max()))
+        return bound
+
+    def windows(self, nwin: int) -> np.ndarray:
+        lead = min(self.tbs, key=lambda tb: tb.doc_freq)
+        return _block_windows(lead, nwin)
+
+    def window_postings(self, seg, lo, hi):
+        cand = None
+        for tb in self.tbs:
+            b0, b1 = tb.overlapping(lo, hi)
+            if b0 >= b1:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            d = np.concatenate([tb.decode(i)[0] for i in range(b0, b1)])
+            i0 = int(np.searchsorted(d, lo))
+            i1 = int(np.searchsorted(d, hi, side="right"))
+            d = d[i0:i1]
+            cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
+            if cand.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs, freqs = _verify_phrase(seg, self.q, self.tbs, cand)
+        if docs.size == 0:
+            return docs, np.empty(0, np.float64)
+        return docs, self.psc.score(freqs, seg.norms[docs]).astype(np.float64)
+
+    def window_docs(self, seg, lo, hi) -> np.ndarray:
+        d, _ = self.window_postings(seg, lo, hi)
+        return d
+
+
+class _ConstLeaf:
+    """ConstantScoreQuery leaf: membership from the inner leaf, score a
+    constant (float32(boost) under f32 semantics)."""
+
+    __slots__ = ("inner", "const", "doc_freq")
+
+    def __init__(self, inner, boost: float, dtype: str):
+        self.inner = inner
+        self.const = float(np.float32(boost)) if dtype == "f32" else float(boost)
+        self.doc_freq = inner.doc_freq
+
+    def overlaps(self, lo, hi) -> bool:
+        return self.inner.overlaps(lo, hi)
+
+    def window_bound(self, lo, hi) -> float:
+        return self.const if self.inner.overlaps(lo, hi) else 0.0
+
+    def windows(self, nwin: int) -> np.ndarray:
+        return self.inner.windows(nwin)
+
+    def window_postings(self, seg, lo, hi):
+        d = self.inner.window_docs(seg, lo, hi)
+        return d, np.full(d.size, self.const, np.float64)
+
+    def window_docs(self, seg, lo, hi) -> np.ndarray:
+        return self.inner.window_docs(seg, lo, hi)
+
+
+class _EmptyLeaf:
+    """A leaf whose term(s) are absent from this segment."""
+
+    doc_freq = 0
+
+    def overlaps(self, lo, hi):
+        return False
+
+    def window_bound(self, lo, hi):
+        return 0.0
+
+    def windows(self, nwin):
+        return np.empty(0, np.int64)
+
+    def window_postings(self, seg, lo, hi):
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
+    def window_docs(self, seg, lo, hi):
+        return np.empty(0, np.int64)
+
+
+_EMPTY_LEAF = _EmptyLeaf()
+
+
+def _block_windows(tb: TermBlocks, nwin: int) -> np.ndarray:
+    """Sorted unique window indices whose doc range a block of ``tb``
+    intersects — the level-0-skip-driven window enumeration (only
+    covered windows are visited, never the whole doc space)."""
+    w0 = tb.first_doc // WINDOW
+    w1 = np.minimum(tb.last_doc // WINDOW, nwin - 1)
+    parts = [np.arange(int(a), int(b) + 1) for a, b in zip(w0, w1)]
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def _make_leaf(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost: float = 1.0):
+    """Leaf adapter for ``q``, or None when q is not leaf-adaptable
+    (nested booleans, sloppy phrases, multi-phrase — those shapes fall
+    back to the exhaustive kernel)."""
+    if isinstance(q, ast.BoostQuery):
+        return _make_leaf(seg, q.query, scorers, dtype, boost * q.boost)
+    if isinstance(q, ast.TermQuery):
+        tb = seg.term_blocks(q.term)
+        if tb is None:
+            return _EMPTY_LEAF
+        key = ("t", q.term, boost) if boost != 1.0 else ("t", q.term)
+        sc = scorers.get(key)
+        return _TermLeaf(tb, sc) if sc is not None else None
+    if isinstance(q, ast.PhraseQuery) and q.slop == 0:
+        tbs = [seg.term_blocks(t) for t in q.terms]
+        if any(tb is None for tb in tbs):
+            return _EMPTY_LEAF
+        key = ("p", q.terms, boost) if boost != 1.0 else ("p", q.terms)
+        sc = scorers.get(key)
+        return _PhraseLeaf(tbs, sc, q) if sc is not None else None
+    if isinstance(q, ast.ConstantScoreQuery):
+        inner = _make_leaf(seg, q.query, scorers, dtype, 1.0)
+        if inner is None:
+            return None
+        if inner is _EMPTY_LEAF:
+            return _EMPTY_LEAF
+        return _ConstLeaf(inner, boost * q.boost, dtype)
+    return None
+
+
+def _wand_topk(seg, q: ast.BooleanQuery, scorers, k, threshold, dtype, boost=1.0):
+    """General pruned boolean top-k (WANDScorer/MaxScoreBulkScorer
+    analog). Returns a _TopK, or None when some clause is not
+    leaf-adaptable (caller falls back to the exhaustive kernel)."""
+    heap = _TopK(k, threshold)
+    must, should, filters, excl = [], [], [], []
+    for c in q.must:
+        leaf = _make_leaf(seg, c, scorers, dtype, boost)
+        if leaf is None:
+            return None
+        if leaf is _EMPTY_LEAF:
+            return heap  # required term absent -> segment matches nothing
+        must.append(leaf)
+    for c in q.filter:
+        leaf = _make_leaf(seg, c, scorers, dtype, 1.0)
+        if leaf is None:
+            return None
+        if leaf is _EMPTY_LEAF:
+            return heap
+        filters.append(leaf)
+    for c in q.should:
+        leaf = _make_leaf(seg, c, scorers, dtype, boost)
+        if leaf is None:
+            return None
+        if leaf is not _EMPTY_LEAF:
+            should.append(leaf)
+    for c in q.must_not:
+        leaf = _make_leaf(seg, c, scorers, dtype, 1.0)
+        if leaf is None:
+            return None
+        if leaf is not _EMPTY_LEAF:
+            excl.append(leaf)
+    msm = q.min_should_match
+    required = must + filters
+    need = msm if required else max(msm, 1)
+    if need > len(should):
+        return heap
+    nwin = (seg.max_doc + WINDOW - 1) // WINDOW
+
+    # candidate windows: intersect nothing — the rarest REQUIRED leaf's
+    # covered windows (every match must lie there), else the union of
+    # optional leaves' covered windows
+    if required:
+        lead = min(required, key=lambda l: l.doc_freq)
+        wins = lead.windows(nwin)
+    else:
+        parts = [l.windows(nwin) for l in should]
+        wins = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+    nreq = len(required)
+    for w in wins:
+        lo, hi = int(w) * WINDOW, int(w) * WINDOW + WINDOW - 1
+        ok_req = True
+        for leaf in required:
+            if not leaf.overlaps(lo, hi):
+                ok_req = False
+                break
+        if not ok_req:
+            continue
+        opt = [l for l in should if l.overlaps(lo, hi)]
+        if len(opt) < need:
+            continue
+        bound = 0.0
+        for leaf in must:
+            bound += leaf.window_bound(lo, hi)
+        for leaf in opt:
+            bound += leaf.window_bound(lo, hi)
+        if bound <= heap.theta:
+            continue
+        acc = np.zeros(WINDOW, dtype=np.float64)
+        reqc = np.zeros(WINDOW, dtype=np.int32)
+        optc = np.zeros(WINDOW, dtype=np.int32)
+        dead = False
+        # accumulate in clause order (must then should) — the same
+        # float64 accumulation order as the exhaustive kernel, so
+        # pruned == exhaustive bit-exactly
+        for leaf in must:
+            d, s = leaf.window_postings(seg, lo, hi)
+            if d.size == 0:
+                dead = True
+                break
+            dw = d - lo
+            acc[dw] += s
+            reqc[dw] += 1
+        if dead:
+            continue
+        for leaf in filters:
+            d = leaf.window_docs(seg, lo, hi)
+            if d.size == 0:
+                dead = True
+                break
+            reqc[d - lo] += 1
+        if dead:
+            continue
+        for leaf in opt:
+            d, s = leaf.window_postings(seg, lo, hi)
+            if d.size == 0:
+                continue
+            dw = d - lo
+            acc[dw] += s
+            optc[dw] += 1
+        if required:
+            ok = reqc == nreq
+        else:
+            ok = optc >= 1
+        if need > 0:
+            ok &= optc >= need
+        for leaf in excl:
+            d = leaf.window_docs(seg, lo, hi)
+            if d.size:
+                ok[d - lo] = False
+        idx = np.flatnonzero(ok)
+        if idx.size == 0:
+            continue
+        docs = idx + lo
+        m = seg.live_mask(docs)
+        heap.update(docs[m], acc[idx][m])
+    return heap
+
+
 # ------------------------------------------------------------------- driver
 
 
@@ -531,6 +862,27 @@ def search_segment(
             if and_terms is not None:
                 heap = _and_topk(seg, and_terms, scorers, k, total_hits_threshold, dtype)
                 return heap.docs, _final_scores(heap.scores, dtype)
+            heap = _wand_topk(seg, q, scorers, k, total_hits_threshold, dtype)
+            if heap is not None:
+                return heap.docs, _final_scores(heap.scores, dtype)
+        # boosted / constant-score / plain leaf at the root: run it as a
+        # single-must WAND window scan (same pruning as _term_topk but
+        # with the boost-folded scorer)
+        if isinstance(
+            q, (ast.BoostQuery, ast.ConstantScoreQuery, ast.PhraseQuery, ast.TermQuery)
+        ):
+            leaf = _make_leaf(seg, q, scorers, dtype)
+            if leaf is not None:
+                heap = _wand_topk(
+                    seg,
+                    ast.BooleanQuery(must=(q,)),
+                    scorers,
+                    k,
+                    total_hits_threshold,
+                    dtype,
+                )
+                if heap is not None:
+                    return heap.docs, _final_scores(heap.scores, dtype)
     docs, acc = score_exhaustive(seg, q, scorers, dtype)
     docs, acc = top_k_select(docs, acc, k)
     return docs, _final_scores(acc, dtype)

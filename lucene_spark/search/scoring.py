@@ -107,8 +107,14 @@ def build_scorers(q: ast.Query, stats: GlobalStats, dtype: str = "f32") -> dict:
             # need member-term scorers for block-max bounds
             walk(node.query, 1.0)
         elif isinstance(node, ast.BooleanQuery):
-            for c in node.must + node.should + node.must_not + node.filter:
+            # must_not/filter are NON-scoring clauses: the kernels (and
+            # the reference's BooleanWeight) evaluate them with boost 1
+            # regardless of the path boost (BooleanWeight.java scorerSupplier
+            # passes ScoreMode.COMPLETE_NO_SCORES for prohibited/filter)
+            for c in node.must + node.should:
                 walk(c, boost)
+            for c in node.must_not + node.filter:
+                walk(c, 1.0)
 
     walk(q)
     return out

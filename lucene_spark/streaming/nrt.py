@@ -42,6 +42,8 @@ def append_batch(spark, batch_df, index_dir: str, config: IndexConfig) -> dict:
     Doc IDs continue densely from the previous commit's doc_count;
     previous segments are carried into the new commit unchanged.
     """
+    import dataclasses
+
     try:
         prev = read_latest_commit(index_dir)
     except FileNotFoundError:
@@ -49,25 +51,26 @@ def append_batch(spark, batch_df, index_dir: str, config: IndexConfig) -> dict:
     gen = (prev["generation"] + 1) if prev else config.generation
     base = prev["doc_count"] if prev else 0
 
-    cfg = IndexConfig(
-        key_col=config.key_col,
-        text_col=config.text_col,
-        num_segments=config.num_segments,
-        analyzer=config.analyzer,
-        store_positions=config.store_positions,
-        generation=gen,
-        pid_expr=config.pid_expr,
+    # replace() carries EVERY config field (doc_base_mode/doc_stride/...)
+    # — field-by-field reconstruction silently dropped new fields
+    cfg = dataclasses.replace(config, generation=gen)
+    # build the batch's segments WITHOUT publishing a commit: the only
+    # commit point readers can ever observe is the fully-spliced one
+    # (publish-then-overwrite left a window where gen_N listed only the
+    # micro-batch segments — silent data loss on refresh/crash)
+    batch_commit = build_index(
+        spark, batch_df, index_dir, cfg, doc_base_offset=base, write_commit=False
     )
-    # build the batch's segments in isolation, then splice the commit
-    batch_commit = build_index(spark, batch_df, index_dir, cfg, doc_base_offset=base)
     if prev is None:
-        return batch_commit
-    merged = dict(prev)
-    merged["generation"] = gen
-    merged["segments"] = prev["segments"] + batch_commit["segments"]
-    merged["doc_count"] = prev["doc_count"] + batch_commit["doc_count"]
-    merged["sum_total_tf"] = prev["sum_total_tf"] + batch_commit["sum_total_tf"]
-    merged["num_segments"] = len(merged["segments"])
+        merged = batch_commit
+    else:
+        merged = dict(prev)
+        merged["generation"] = gen
+        merged["segments"] = prev["segments"] + batch_commit["segments"]
+        merged["doc_count"] = prev["doc_count"] + batch_commit["doc_count"]
+        merged["sum_total_tf"] = prev["sum_total_tf"] + batch_commit["sum_total_tf"]
+        merged["num_segments"] = len(merged["segments"])
+    os.makedirs(os.path.join(index_dir, "commits"), exist_ok=True)
     _atomic_write_json(
         os.path.join(index_dir, "commits", f"gen_{gen:06d}.json"), merged
     )
