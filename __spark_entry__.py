@@ -33,8 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 # time).
 ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
-_FORMAT_VERSION = "v3"
+_FORMAT_VERSION = "v4"
 _NUM_SEGMENTS = 4
+TITLE_WORDS = 8  # title field = first 8 whitespace words of text
+FIELD_TITLE_TERM = "merge"  # title df ~40/500 at sf0.01
+FIELD_BODY_TERM = "window"
 
 # ---- query fixtures (term df at sf0.01 in comments; AND lists are in
 # ascending-docFreq order — the engine's block-max-conjunction lead
@@ -101,6 +104,44 @@ def _searcher(spark: SparkSession, sf_dir: str):
         pid_expr=f"int(cast(url as bigint) / {chunk})",
     )
     build_index(spark, pages, index_dir, cfg)  # resumes if already built
+    s = Searcher(spark, index_dir)
+    _searchers[key] = s
+    return s
+
+
+def _searcher_mf(spark: SparkSession, sf_dir: str):
+    """Two-field index (body = text, title = first TITLE_WORDS words):
+    per-field postings/norms/CollectionStatistics — the multi-field
+    document model (FieldInfos.java / TextField.java:30-41)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from lucene_spark.analysis.analyzer import ENGLISH
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.searcher import Searcher
+
+    key = _corpus_key(sf_dir) + "mf"
+    if key in _searchers:
+        return _searchers[key]
+    index_dir = os.path.join("/tmp", "lucene_spark_idx", key)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    chunk = max(1, math.ceil(n / _NUM_SEGMENTS))
+    pages = docs.select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"),
+        F.col("text"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, TITLE_WORDS), " "
+        ).alias("title"),
+    )
+    cfg = IndexConfig(
+        num_segments=_NUM_SEGMENTS,
+        analyzer=ENGLISH,
+        fields=(("", "text"), ("title", "title")),
+        pid_expr=f"int(cast(url as bigint) / {chunk})",
+    )
+    build_index(spark, pages, index_dir, cfg)
     s = Searcher(spark, index_dir)
     _searchers[key] = s
     return s
@@ -336,6 +377,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _searcher(spark, sf_dir).multi_term_docs("fuzzy", "scan", 1)
         )
 
+    def wildcard_match(spark, sf_dir):
+        return _out_docs(
+            _searcher(spark, sf_dir).multi_term_docs("wildcard", "sc*n")
+        )
+
+    def prefix_wide_match(spark, sf_dir):
+        # single-letter prefix: the expansion is thousands of terms —
+        # the rewrite must run distributed (postings-scan predicate, no
+        # driver materialization of the term list)
+        return _out_docs(_searcher(spark, sf_dir).multi_term_docs("prefix", "s"))
+
     def classic_tfidf(spark, sf_dir):
         from lucene_spark.similarity.classic import ClassicScorerF64, idf_classic
 
@@ -364,6 +416,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
             .orderBy(F.desc("n_chars"), F.asc("doc_id"))
             .limit(K)
+        )
+
+    def field_title_topk(spark, sf_dir):
+        ast = _ast()
+        qq = ast.TermQuery(ast.fielded("title", FIELD_TITLE_TERM))
+        return _topk_docs(
+            _searcher_mf(spark, sf_dir).search(qq, k=K, pruned=True, dtype="f64")
+        )
+
+    def field_mixed_or_scores(spark, sf_dir):
+        ast = _ast()
+        qq = ast.BooleanQuery(
+            should=(
+                ast.TermQuery(ast.fielded("title", FIELD_TITLE_TERM)),
+                ast.TermQuery(FIELD_BODY_TERM),
+            ),
+            min_should_match=1,
+        )
+        return _out_docs(
+            _searcher_mf(spark, sf_dir).score_docs_df(qq, dtype="f64"), "score"
         )
 
     def synonym_scores(spark, sf_dir):
@@ -444,6 +516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         range_match=range_match,
         set_match=set_match,
         fuzzy_match=fuzzy_match,
+        wildcard_match=wildcard_match,
+        prefix_wide_match=prefix_wide_match,
+        field_title_topk=field_title_topk,
+        field_mixed_or_scores=field_mixed_or_scores,
         synonym_scores=synonym_scores,
         dismax_scores=dismax_scores,
         classic_tfidf=classic_tfidf,
@@ -517,6 +593,14 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
             "t IN ('merge', 'scan', 'vector', 'zzz_nonexistent')"
         ),
         "fuzzy_match": osql.multiterm_match_sql("levenshtein(t, 'scan') <= 1"),
+        "wildcard_match": osql.multiterm_match_sql("t LIKE 'sc%n'"),
+        "prefix_wide_match": osql.multiterm_match_sql("t LIKE 's%'"),
+        "field_title_topk": osql.field_title_topk_sql(
+            FIELD_TITLE_TERM, K, TITLE_WORDS
+        ),
+        "field_mixed_or_scores": osql.fielded_or_scores_sql(
+            FIELD_TITLE_TERM, FIELD_BODY_TERM, TITLE_WORDS
+        ),
         "synonym_scores": osql.synonym_scores_sql(SYN_TERMS),
         "dismax_scores": osql.dismax_scores_sql(DISMAX_TERMS),
         "classic_tfidf": osql.classic_tfidf_sql(TERM),

@@ -50,6 +50,16 @@ POSTINGS_ROW_GROUP = 4096  # small row groups -> effective term min/max pruning
 class IndexConfig:
     key_col: str = "url"
     text_col: str = "text"
+    # multi-field documents (FieldInfos per-field accretion,
+    # ``index/FieldInfos.java``; TextField-per-column mapping of SURVEY
+    # §1.3): ((field_name, source_col), ...). Field name '' is the
+    # DEFAULT field (bare term keys — single-field indexes are the
+    # special case fields=()). Every field gets its own postings
+    # namespace, norms blob and collection stats.
+    fields: tuple = ()
+    # per-field analyzer overrides (PerFieldAnalyzerWrapper analog);
+    # fields absent from the dict use ``analyzer``
+    field_analyzers: "tuple | None" = None  # ((field_name, Analyzer), ...)
     num_segments: int = 8
     analyzer: Analyzer = field(default_factory=lambda: ENGLISH)
     store_positions: bool = True
@@ -83,6 +93,20 @@ def _input_hash(urls, texts) -> str:
     return h.hexdigest()
 
 
+def _input_hash_fields(urls, texts_by_field) -> str:
+    """Resume fingerprint over every indexed field (single default
+    field keeps the legacy hash so existing manifests stay valid)."""
+    if len(texts_by_field) == 1 and texts_by_field[0][0] == "":
+        return _input_hash(urls, texts_by_field[0][1])
+    h = hashlib.sha256()
+    for fname, texts in texts_by_field:
+        h.update(fname.encode("utf-8"))
+        h.update(b"\x1f")
+        h.update(_input_hash(urls, texts).encode("ascii"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -90,14 +114,20 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
-def invert_partition(urls, texts, analyzer: Analyzer, store_positions: bool = True):
-    """Pure function: one segment's docs (url-sorted) -> encoded postings.
+def invert_field(
+    field: str, texts, analyzer: Analyzer, store_positions: bool = True
+):
+    """Pure function: one segment's one FIELD (docs url-sorted) ->
+    encoded postings under the fielded term namespace.
 
-    Returns (block_rows, term_stat_rows, norms_bytes, sum_total_tf).
+    Returns (block_rows, term_stat_rows, norms uint8[ndocs],
+    sum_total_tf, field_doc_count) where field_doc_count is the number
+    of docs with >=1 token of this field (Terms.getDocCount semantics).
     All heavy lifting is vectorized numpy over the batch tokenization
     (the IndexingChain.processDocument/invert analog, SURVEY §2.1).
     """
     from lucene_spark.codec.blocks import encode_term_postings
+    from lucene_spark.search.ast import fielded
     from lucene_spark.util.smallfloat import int_to_byte4_np
 
     doc_idx, codes, uniq, positions, counts = analyzer.tokenize_batch_coded(texts)
@@ -125,14 +155,44 @@ def invert_partition(urls, texts, analyzer: Analyzer, store_positions: bool = Tr
             rows = encode_term_postings(
                 doc_ids, tf, p, norms, with_positions=store_positions
             )
-            term = str(uniq[ti])
+            term = fielded(field, str(uniq[ti]))
             for r in rows:
                 r["term"] = term
             block_rows.extend(rows)
             term_stats.append(
                 {"term": term, "doc_freq": int(doc_ids.size), "total_tf": int(tf.sum())}
             )
-    return block_rows, term_stats, norms.tobytes(), int(counts.sum())
+    return (
+        block_rows,
+        term_stats,
+        norms,
+        int(counts.sum()),
+        int(np.count_nonzero(counts)),
+    )
+
+
+def invert_partition(urls, texts, analyzer: Analyzer, store_positions: bool = True):
+    """Single-default-field wrapper around ``invert_field`` (the legacy
+    shape used by LocalIndex and the codec tests).
+
+    Returns (block_rows, term_stat_rows, norms_bytes, sum_total_tf)."""
+    block_rows, term_stats, norms, sum_tf, _ = invert_field(
+        "", texts, analyzer, store_positions
+    )
+    return block_rows, term_stats, norms.tobytes(), sum_tf
+
+
+def field_specs_of(config: "IndexConfig") -> tuple:
+    """((field_name, source_col), ...) with the single-field default."""
+    return config.fields or (("", config.text_col),)
+
+
+def analyzer_for(config: "IndexConfig", field: str) -> Analyzer:
+    if config.field_analyzers:
+        for f, a in config.field_analyzers:
+            if f == field:
+                return a
+    return config.analyzer
 
 
 def _write_segment_files(
@@ -140,12 +200,14 @@ def _write_segment_files(
     sid: str,
     block_rows: list,
     term_stats: list,
-    norms_bytes: bytes,
+    norms_rows: list,
     doc_base: int,
     urls: list,
-    sum_total_tf: int,
 ) -> dict:
-    """Write one segment's parquet files (tmp dir + atomic rename)."""
+    """Write one segment's parquet files (tmp dir + atomic rename).
+
+    ``norms_rows``: one dict per field — {"field", "norms_bin",
+    "sum_total_tf", "field_doc_count"} (the per-field .nvd blobs)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -198,10 +260,16 @@ def _write_segment_files(
     pq.write_table(ts_tbl, os.path.join(tmp_root, "term_stats", "data.parquet"))
     norms_tbl = pa.table(
         {
-            "doc_base": pa.array([doc_base], pa.int64()),
-            "num_docs": pa.array([len(urls)], pa.int64()),
-            "sum_total_tf": pa.array([sum_total_tf], pa.int64()),
-            "norms_bin": pa.array([norms_bytes], pa.binary()),
+            "field": pa.array([r["field"] for r in norms_rows], pa.string()),
+            "doc_base": pa.array([doc_base] * len(norms_rows), pa.int64()),
+            "num_docs": pa.array([len(urls)] * len(norms_rows), pa.int64()),
+            "field_doc_count": pa.array(
+                [r["field_doc_count"] for r in norms_rows], pa.int64()
+            ),
+            "sum_total_tf": pa.array(
+                [r["sum_total_tf"] for r in norms_rows], pa.int64()
+            ),
+            "norms_bin": pa.array([r["norms_bin"] for r in norms_rows], pa.binary()),
         }
     )
     os.makedirs(os.path.join(tmp_root, "norms"), exist_ok=True)
@@ -244,8 +312,11 @@ def build_segment_pdf(
     sid = _segment_id(config.generation, pid)
     pdf = pdf.sort_values(config.key_col, kind="mergesort")
     urls = pdf[config.key_col].astype(str).tolist()
-    texts = pdf[config.text_col].fillna("").astype(str).tolist()
-    ih = _input_hash(urls, texts)
+    specs = field_specs_of(config)
+    texts_by_field = [
+        (fname, pdf[src].fillna("").astype(str).tolist()) for fname, src in specs
+    ]
+    ih = _input_hash_fields(urls, texts_by_field)
     manifest_dir = os.path.join(index_dir, "manifest")
     os.makedirs(manifest_dir, exist_ok=True)
     manifest_path = os.path.join(manifest_dir, f"segment_{sid}.json")
@@ -259,11 +330,33 @@ def build_segment_pdf(
             return pd.DataFrame([_manifest_row(m)])
 
     t0 = time.time()
-    block_rows, term_stats, norms_bytes, sum_tf = invert_partition(
-        urls, texts, config.analyzer, config.store_positions
-    )
+    block_rows: list = []
+    term_stats: list = []
+    norms_rows: list = []
+    field_stats: dict = {}
+    for fname, texts in texts_by_field:
+        br, ts, norms, stf, fdc = invert_field(
+            fname, texts, analyzer_for(config, fname), config.store_positions
+        )
+        block_rows.extend(br)
+        term_stats.extend(ts)
+        norms_rows.append(
+            {
+                "field": fname,
+                "norms_bin": norms.tobytes(),
+                "sum_total_tf": stf,
+                "field_doc_count": fdc,
+            }
+        )
+        field_stats[fname] = {"doc_count": fdc, "sum_total_tf": stf}
+    if len(texts_by_field) > 1:
+        # per-field outputs are term-sorted; the parquet file must be
+        # GLOBALLY term-sorted for row-group min/max pruning
+        block_rows.sort(key=lambda r: (r["term"], r["block_id"]))
+        term_stats.sort(key=lambda r: r["term"])
+    sum_tf = norms_rows[0]["sum_total_tf"]  # default (first) field
     extra = _write_segment_files(
-        index_dir, sid, block_rows, term_stats, norms_bytes, doc_base, urls, sum_tf
+        index_dir, sid, block_rows, term_stats, norms_rows, doc_base, urls
     )
     m = {
         "segment_id": sid,
@@ -274,6 +367,7 @@ def build_segment_pdf(
         "num_terms": len(term_stats),
         "num_postings": int(sum(r["num_docs"] for r in block_rows)),
         "sum_total_tf": sum_tf,
+        "field_stats": field_stats,
         "postings_bytes": extra["postings_bytes"],
         "input_hash": ih,
         "build_secs": round(time.time() - t0, 3),
@@ -286,7 +380,7 @@ def build_segment_pdf(
 _MANIFEST_SCHEMA = (
     "segment_id string, pid int, doc_base long, num_docs long, num_terms long, "
     "num_postings long, sum_total_tf long, postings_bytes long, "
-    "input_hash string, status string"
+    "input_hash string, status string, field_stats string"
 )
 
 
@@ -302,6 +396,7 @@ def _manifest_row(m: dict) -> dict:
         "postings_bytes": int(m["postings_bytes"]),
         "input_hash": m["input_hash"],
         "status": m["status"],
+        "field_stats": json.dumps(m.get("field_stats") or {}),
     }
 
 
@@ -329,9 +424,10 @@ def build_index(
     config = config or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     p = config.num_segments
+    src_cols = list(dict.fromkeys(src for _, src in field_specs_of(config)))
     keyed = df.select(
         F.col(config.key_col).cast("string").alias(config.key_col),
-        F.col(config.text_col).alias(config.text_col),
+        *[F.col(c) for c in src_cols],
     )
     if config.pid_expr:
         keyed = keyed.withColumn("__pid", F.expr(config.pid_expr).cast("int"))
@@ -370,11 +466,19 @@ def build_index(
     )
     rows = [r.asDict() for r in manifest_df.collect()]
     rows.sort(key=lambda r: r["pid"])
+    fields_agg: dict = {}
+    for r in rows:
+        for f, st in json.loads(r.get("field_stats") or "{}").items():
+            cur = fields_agg.setdefault(f, {"doc_count": 0, "sum_total_tf": 0})
+            cur["doc_count"] += int(st["doc_count"])
+            cur["sum_total_tf"] += int(st["sum_total_tf"])
     commit = {
         "generation": config.generation,
         "segments": rows,
         "doc_count": int(sum(r["num_docs"] for r in rows)),
         "sum_total_tf": int(sum(r["sum_total_tf"] for r in rows)),
+        "fields": fields_agg,
+        "field_specs": [list(fs) for fs in field_specs_of(config)],
         "num_segments": len(rows),
         "key_col": config.key_col,
         "text_col": config.text_col,

@@ -24,18 +24,28 @@ def _check_segment(index_dir: str, segment_id: str, seg_meta: dict, pdf) -> dict
     from lucene_spark.codec import blocks as blk
     from lucene_spark.similarity import bm25
 
+    from lucene_spark.search.ast import field_of
+
     nt = pq.read_table(
         os.path.join(index_dir, "norms", f"segment_id={segment_id}", "data.parquet")
     )
-    norms = np.frombuffer(nt["norms_bin"][0].as_py(), dtype=np.uint8)
+    # one row per field ('' = default)
+    norms_by_field = {
+        f.as_py(): np.frombuffer(b.as_py(), dtype=np.uint8)
+        for f, b in zip(nt["field"], nt["norms_bin"])
+    }
+    field_sum_tf = {
+        f.as_py(): int(s.as_py()) for f, s in zip(nt["field"], nt["sum_total_tf"])
+    }
     num_docs = int(nt["num_docs"][0].as_py())
-    assert norms.size == num_docs, "norms length != num_docs"
+    for fld, arr in norms_by_field.items():
+        assert arr.size == num_docs, f"field {fld!r}: norms length != num_docs"
     assert num_docs == int(seg_meta["num_docs"]), "manifest num_docs mismatch"
 
+    # a fresh segment has one data.parquet; a merged segment has salted
+    # data_<salt>.parquet shards — read the directory either way
     st = pq.read_table(
-        os.path.join(
-            index_dir, "term_stats", f"segment_id={segment_id}", "data.parquet"
-        )
+        os.path.join(index_dir, "term_stats", f"segment_id={segment_id}")
     )
     stats = {
         t: (int(df_), int(ttf))
@@ -47,9 +57,10 @@ def _check_segment(index_dir: str, segment_id: str, seg_meta: dict, pdf) -> dict
     }
 
     n_terms = n_blocks = n_postings = 0
-    sum_tf = 0
+    sum_tf_by_field: dict = {}
     scorer = bm25.BM25Scorer.build(1.0, 10.0)  # any scorer: bounds are per-impact
     for term, grp in pdf.groupby("term", sort=True):
+        norms = norms_by_field[field_of(term)]
         grp = grp.sort_values("block_id")
         assert list(grp["block_id"]) == list(range(len(grp))), (
             f"{term}: block ids not dense/ordered"
@@ -93,15 +104,19 @@ def _check_segment(index_dir: str, segment_id: str, seg_meta: dict, pdf) -> dict
         assert stats[term] == (df_seen, tf_seen), f"{term}: stats mismatch"
         n_terms += 1
         n_postings += df_seen
-        sum_tf += tf_seen
+        fld = field_of(term)
+        sum_tf_by_field[fld] = sum_tf_by_field.get(fld, 0) + tf_seen
     assert n_terms == len(stats), "term_stats has terms absent from postings"
-    assert sum_tf == int(nt["sum_total_tf"][0].as_py()), "segment sum_total_tf wrong"
+    for fld, tfs_total in sum_tf_by_field.items():
+        assert tfs_total == field_sum_tf[fld], (
+            f"field {fld!r}: segment sum_total_tf wrong"
+        )
     return {
         "segment_id": segment_id,
         "n_terms": n_terms,
         "n_blocks": n_blocks,
         "n_postings": n_postings,
-        "sum_tf": sum_tf,
+        "sum_tf": int(sum(sum_tf_by_field.values())),
     }
 
 

@@ -225,72 +225,132 @@ def merge_segments(
         )
         postings_bytes = int(sum(r["bytes"] for r in shards))
 
-        # term_stats: global per-term sums for the group (small agg)
-        ts = (
+        # term_stats: global per-term sums for the group, written by the
+        # same salted applyInPandas shard pattern as the postings — no
+        # segment-sized data ever crosses the driver
+        ts_dir = os.path.join(tmp_root, "term_stats")
+        os.makedirs(ts_dir, exist_ok=True)
+
+        def write_ts_shard(key, pdf):
+            import pandas as pd
+
+            salt = int(key[0])
+            pdf = pdf.sort_values("term", kind="mergesort")
+            pq.write_table(
+                pa.table(
+                    {
+                        "term": pa.array(pdf["term"], pa.string()),
+                        "doc_freq": pa.array(pdf["doc_freq"], pa.int64()),
+                        "total_tf": pa.array(pdf["total_tf"], pa.int64()),
+                    }
+                ),
+                os.path.join(ts_dir, f"data_{salt:04d}.parquet"),
+            )
+            return pd.DataFrame({"salt": [salt], "nterms": [len(pdf)]})
+
+        ts_counts = (
             spark.read.parquet(os.path.join(index_dir, "term_stats"))
             .where(F.col("segment_id").isin([s["segment_id"] for s in group]))
             .groupBy("term")
             .agg(F.sum("doc_freq").alias("doc_freq"), F.sum("total_tf").alias("total_tf"))
-            .orderBy("term")
-            .toPandas()
+            .withColumn("salt", F.pmod(F.hash("term"), F.lit(num_salts)))
+            .repartition(num_salts, "salt")
+            .groupBy("salt")
+            .applyInPandas(write_ts_shard, schema="salt int, nterms long")
+            .collect()
         )
-        os.makedirs(os.path.join(tmp_root, "term_stats"), exist_ok=True)
-        pq.write_table(
-            pa.table(
-                {
-                    "term": pa.array(ts["term"], pa.string()),
-                    "doc_freq": pa.array(ts["doc_freq"], pa.int64()),
-                    "total_tf": pa.array(ts["total_tf"], pa.int64()),
-                }
-            ),
-            os.path.join(tmp_root, "term_stats", "data.parquet"),
-        )
+        n_terms_merged = int(sum(r["nterms"] for r in ts_counts))
 
-        # norms: concatenate packed blobs in doc_base order
-        blobs = []
+        # norms: concatenate each FIELD's packed blobs in doc_base order
+        # (absent fields fill zero-norms for that segment's doc range)
+        num_docs = int(sum(s["num_docs"] for s in group))
+        blobs_by_field: dict = {}
+        fstats: dict = {}
+        offset = 0
         for s in group:
             nt = pq.read_table(
                 os.path.join(
                     index_dir, "norms", f"segment_id={s['segment_id']}", "data.parquet"
                 )
             )
-            blobs.append(nt["norms_bin"][0].as_py())
-        norms_bin = b"".join(blobs)
-        num_docs = int(sum(s["num_docs"] for s in group))
-        assert len(norms_bin) == num_docs
+            for f, b, fdc, stf in zip(
+                nt["field"], nt["norms_bin"], nt["field_doc_count"], nt["sum_total_tf"]
+            ):
+                fname = f.as_py()
+                parts = blobs_by_field.setdefault(fname, [])
+                have = sum(len(x) for x in parts)
+                if have < offset:
+                    parts.append(b"\x00" * (offset - have))
+                parts.append(b.as_py())
+                st = fstats.setdefault(fname, {"field_doc_count": 0, "sum_total_tf": 0})
+                st["field_doc_count"] += int(fdc.as_py())
+                st["sum_total_tf"] += int(stf.as_py())
+            offset += int(s["num_docs"])
+        norms_rows = []
+        for fname in sorted(blobs_by_field):
+            blob = b"".join(blobs_by_field[fname])
+            if len(blob) < num_docs:
+                blob += b"\x00" * (num_docs - len(blob))
+            assert len(blob) == num_docs
+            norms_rows.append((fname, blob, fstats[fname]))
         os.makedirs(os.path.join(tmp_root, "norms"), exist_ok=True)
         pq.write_table(
             pa.table(
                 {
-                    "doc_base": pa.array([new_base], pa.int64()),
-                    "num_docs": pa.array([num_docs], pa.int64()),
-                    "sum_total_tf": pa.array(
-                        [int(sum(s["sum_total_tf"] for s in group))], pa.int64()
+                    "field": pa.array([r[0] for r in norms_rows], pa.string()),
+                    "doc_base": pa.array([new_base] * len(norms_rows), pa.int64()),
+                    "num_docs": pa.array([num_docs] * len(norms_rows), pa.int64()),
+                    "field_doc_count": pa.array(
+                        [r[2]["field_doc_count"] for r in norms_rows], pa.int64()
                     ),
-                    "norms_bin": pa.array([norms_bin], pa.binary()),
+                    "sum_total_tf": pa.array(
+                        [r[2]["sum_total_tf"] for r in norms_rows], pa.int64()
+                    ),
+                    "norms_bin": pa.array([r[1] for r in norms_rows], pa.binary()),
                 }
             ),
             os.path.join(tmp_root, "norms", "data.parquet"),
         )
 
-        # docmap: doc ids unchanged — union the source partitions
-        dm = (
+        # docmap: doc ids unchanged — rewritten distributed as range
+        # shards (doc_id-sorted within each shard; row-group min/max
+        # stats keep doc_id lookups pruned), never through the driver
+        dm_dir = os.path.join(tmp_root, "docmap")
+        os.makedirs(dm_dir, exist_ok=True)
+
+        def write_dm_shard(key, pdf):
+            import pandas as pd
+
+            shard = int(key[0])
+            pdf = pdf.sort_values("doc_id", kind="mergesort")
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+                        "url": pa.array(pdf["url"], pa.string()),
+                    }
+                ),
+                os.path.join(dm_dir, f"data_{shard:04d}.parquet"),
+            )
+            return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+        span = max(1, (num_docs + num_salts - 1) // num_salts)
+        dm_counts = (
             spark.read.parquet(os.path.join(index_dir, "docmap"))
             .where(F.col("segment_id").isin([s["segment_id"] for s in group]))
-            .select("doc_id", "url")
-            .orderBy("doc_id")
-            .toPandas()
+            .select(
+                "doc_id",
+                "url",
+                ((F.col("doc_id") - F.lit(new_base)) / F.lit(span))
+                .cast("int")
+                .alias("shard"),
+            )
+            .repartition(num_salts, "shard")
+            .groupBy("shard")
+            .applyInPandas(write_dm_shard, schema="shard int, n long")
+            .collect()
         )
-        os.makedirs(os.path.join(tmp_root, "docmap"), exist_ok=True)
-        pq.write_table(
-            pa.table(
-                {
-                    "doc_id": pa.array(dm["doc_id"], pa.int64()),
-                    "url": pa.array(dm["url"], pa.string()),
-                }
-            ),
-            os.path.join(tmp_root, "docmap", "data.parquet"),
-        )
+        assert int(sum(r["n"] for r in dm_counts)) == num_docs
 
         # carry liveDocs tombstones: union of source deletes, shifted to
         # the merged segment's local id space (this merge preserves doc
@@ -324,9 +384,16 @@ def merge_segments(
             "generation": generation,
             "doc_base": new_base,
             "num_docs": num_docs,
-            "num_terms": int(len(ts)),
+            "num_terms": n_terms_merged,
             "num_postings": int(sum(s["num_postings"] for s in group)),
             "sum_total_tf": int(sum(s["sum_total_tf"] for s in group)),
+            "field_stats": {
+                f: {
+                    "doc_count": st["field_doc_count"],
+                    "sum_total_tf": st["sum_total_tf"],
+                }
+                for f, st in fstats.items()
+            },
             "postings_bytes": postings_bytes,
             "input_hash": "+".join(s["input_hash"] for s in group),
             "merged_from": [s["segment_id"] for s in group],
@@ -341,16 +408,22 @@ def merge_segments(
     # new commit: merged segment replaces its sources
     merged_ids = set(group_segment_ids)
     new_segments = [s for s in commit["segments"] if s["segment_id"] not in merged_ids]
-    new_segments.append(
-        {
-            k: m[k]
-            for k in (
-                "segment_id", "pid", "doc_base", "num_docs", "num_terms",
-                "num_postings", "sum_total_tf", "postings_bytes", "input_hash",
-                "status",
-            )
-        }
+    import json as _json
+
+    row = {
+        k: m[k]
+        for k in (
+            "segment_id", "pid", "doc_base", "num_docs", "num_terms",
+            "num_postings", "sum_total_tf", "postings_bytes", "input_hash",
+            "status",
+        )
+    }
+    row["field_stats"] = (
+        m["field_stats"]
+        if isinstance(m.get("field_stats"), str)
+        else _json.dumps(m.get("field_stats") or {})
     )
+    new_segments.append(row)
     new_segments.sort(key=lambda s: s["doc_base"])
     new_commit = dict(commit)
     new_commit["generation"] = generation

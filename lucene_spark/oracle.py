@@ -30,9 +30,13 @@ class OracleIndex:
     doc_count: int
     sum_total_tf: int
     urls: list  # doc_id -> url
-    norms: np.ndarray  # uint8 per doc_id
-    postings: dict  # term -> (doc_ids int64[], tfs int64[], positions list[np.ndarray])
+    norms: np.ndarray  # uint8 per doc_id (DEFAULT field)
+    postings: dict  # fielded term -> (doc_ids int64[], tfs int64[], positions list[np.ndarray])
     analyzer: Analyzer
+    # multi-field: per-field norms + CollectionStatistics; None = legacy
+    # single-field semantics (doc_count/sum_total_tf apply everywhere)
+    norms_by_field: "dict | None" = None
+    field_stats: "dict | None" = None  # field -> (doc_count, sum_total_tf)
 
     @staticmethod
     def build(
@@ -41,8 +45,10 @@ class OracleIndex:
         analyzer: Analyzer = ENGLISH,
         text_col: str = "text",
         key_col: str = "url",
+        fields: tuple = (),
     ) -> "OracleIndex":
         # segment assignment + doc id rule (must match the engine)
+        specs = fields or (("", text_col),)
         pids = [pmod_partition(str(r[key_col]), num_segments) for r in rows]
         by_pid: dict[int, list] = {}
         for r, p in zip(rows, pids):
@@ -53,25 +59,38 @@ class OracleIndex:
         urls = [str(r[key_col]) for r in ordered]
 
         postings: dict[str, dict[int, list[int]]] = {}
-        lengths = np.zeros(len(ordered), dtype=np.int64)
-        for doc_id, r in enumerate(ordered):
-            terms, positions = analyzer.tokenize_one(r[text_col] or "")
-            lengths[doc_id] = len(terms)
-            for t, p in zip(terms, positions):
-                postings.setdefault(t, {}).setdefault(doc_id, []).append(p)
+        norms_by_field: dict = {}
+        field_stats: dict = {}
+        for fname, src in specs:
+            lengths = np.zeros(len(ordered), dtype=np.int64)
+            for doc_id, r in enumerate(ordered):
+                terms, positions = analyzer.tokenize_one(r.get(src) or "")
+                lengths[doc_id] = len(terms)
+                for t, p in zip(terms, positions):
+                    postings.setdefault(ast.fielded(fname, t), {}).setdefault(
+                        doc_id, []
+                    ).append(p)
+            norms_by_field[fname] = int_to_byte4_np(lengths)
+            field_stats[fname] = (
+                int(np.count_nonzero(lengths)),
+                int(lengths.sum()),
+            )
         packed: dict[str, tuple] = {}
         for t, docs in postings.items():
             doc_ids = np.array(sorted(docs), dtype=np.int64)
             tfs = np.array([len(docs[d]) for d in doc_ids], dtype=np.int64)
             pos = [np.array(docs[d], dtype=np.int64) for d in doc_ids]
             packed[t] = (doc_ids, tfs, pos)
+        default = specs[0][0]
         return OracleIndex(
             doc_count=len(ordered),
-            sum_total_tf=int(lengths.sum()),
+            sum_total_tf=field_stats[default][1],
             urls=urls,
-            norms=int_to_byte4_np(lengths),
+            norms=norms_by_field[default],
             postings=packed,
             analyzer=analyzer,
+            norms_by_field=norms_by_field if fields else None,
+            field_stats=field_stats if fields else None,
         )
 
     # ---- stats ----
@@ -79,11 +98,24 @@ class OracleIndex:
         e = self.postings.get(term)
         return 0 if e is None else int(e[0].size)
 
+    def _collection(self, field: str) -> tuple:
+        if self.field_stats and field in self.field_stats:
+            return self.field_stats[field]
+        return self.doc_count, self.sum_total_tf
+
+    def _norms_of(self, term: str) -> np.ndarray:
+        if self.norms_by_field is None:
+            return self.norms
+        return self.norms_by_field.get(ast.field_of(term), self.norms)
+
     def avgdl(self) -> float:
         return bm25.avgdl(self.sum_total_tf, self.doc_count)
 
-    def _scorer(self, idf_value: float, boost: float = 1.0) -> bm25.BM25Scorer:
-        return bm25.BM25Scorer.build(idf_value, self.avgdl(), boost=boost)
+    def _scorer(
+        self, idf_value: float, boost: float = 1.0, field: str = ""
+    ) -> bm25.BM25Scorer:
+        dc, stf = self._collection(field)
+        return bm25.BM25Scorer.build(idf_value, bm25.avgdl(stf, dc), boost=boost)
 
     # ---- scoring (recursive; returns sorted doc ids + f32 scores) ----
     def score_query(
@@ -107,8 +139,10 @@ class OracleIndex:
             if e is None:
                 return np.empty(0, np.int64), np.empty(0, np.float32)
             docs, tfs, _ = e
-            sc = self._scorer(bm25.idf(docs.size, self.doc_count), boost)
-            return docs, sc.score(tfs, self.norms[docs])
+            fld = ast.field_of(q.term)
+            dc, _ = self._collection(fld)
+            sc = self._scorer(bm25.idf(docs.size, dc), boost, field=fld)
+            return docs, sc.score(tfs, self._norms_of(q.term)[docs])
         if isinstance(q, ast.PhraseQuery):
             return self._score_phrase(q, boost)
         if isinstance(q, ast.MultiPhraseQuery):
@@ -157,11 +191,11 @@ class OracleIndex:
         if docs.size == 0:
             return docs, np.empty(0, np.float32)
         all_terms = [t for slot in q.slots for t in slot]
-        idf_sum = bm25.idf_phrase(
-            [self.doc_freq(t) for t in all_terms], self.doc_count
-        )
-        sc = self._scorer(idf_sum, boost)
-        return docs, sc.score(freqs, self.norms[docs])
+        fld = ast.field_of(all_terms[0])
+        dc, _ = self._collection(fld)
+        idf_sum = bm25.idf_phrase([self.doc_freq(t) for t in all_terms], dc)
+        sc = self._scorer(idf_sum, boost, field=fld)
+        return docs, sc.score(freqs, self._norms_of(all_terms[0])[docs])
 
     def _score_phrase(
         self, q: ast.PhraseQuery, boost: float = 1.0
@@ -190,11 +224,11 @@ class OracleIndex:
             docs, freqs = docs[hit], freqs[hit]
             if docs.size == 0:
                 return docs, np.empty(0, np.float32)
-            idf_sum = bm25.idf_phrase(
-                [self.doc_freq(t) for t in q.terms], self.doc_count
-            )
-            sc = self._scorer(idf_sum, boost)
-            return docs, sc.score(freqs, self.norms[docs])
+            fld = ast.field_of(q.terms[0])
+            dc, _ = self._collection(fld)
+            idf_sum = bm25.idf_phrase([self.doc_freq(t) for t in q.terms], dc)
+            sc = self._scorer(idf_sum, boost, field=fld)
+            return docs, sc.score(freqs, self._norms_of(q.terms[0])[docs])
         freqs = np.zeros(docs.size, dtype=np.int64)
         for i, d in enumerate(docs):
             # candidate start positions: positions of term0 shifted to offset 0
@@ -210,11 +244,11 @@ class OracleIndex:
         docs, freqs = docs[hit], freqs[hit]
         if docs.size == 0:
             return docs, np.empty(0, np.float32)
-        idf_sum = bm25.idf_phrase(
-            [self.doc_freq(t) for t in q.terms], self.doc_count
-        )
-        sc = self._scorer(idf_sum, boost)
-        return docs, sc.score(freqs, self.norms[docs])
+        fld = ast.field_of(q.terms[0])
+        dc, _ = self._collection(fld)
+        idf_sum = bm25.idf_phrase([self.doc_freq(t) for t in q.terms], dc)
+        sc = self._scorer(idf_sum, boost, field=fld)
+        return docs, sc.score(freqs, self._norms_of(q.terms[0])[docs])
 
     def _score_bool(
         self, q: ast.BooleanQuery, boost: float = 1.0

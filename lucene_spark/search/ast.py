@@ -16,6 +16,34 @@ class Query:
     pass
 
 
+# ---- fielded terms (Term(field, text), index/Term.java:30-48) ----
+#
+# A term's full identity is the (field, text) pair. We serialize it into
+# one string key — "" (bare) for the index's default field, else
+# "<field>\x1f<text>" — so postings stay sorted/pruned per field exactly
+# like the reference's per-field term dictionaries
+# (index/FieldInfos.java per-field accretion; one FST per field), while
+# every kernel/scorer keyed by term string works unchanged. \x1f cannot
+# appear in analyzer output (not a word character).
+
+FIELD_SEP = "\x1f"
+
+
+def fielded(field: str, term: str) -> str:
+    """Serialize Term(field, text); field '' = the default field."""
+    return term if not field else f"{field}{FIELD_SEP}{term}"
+
+
+def field_of(term: str) -> str:
+    i = term.find(FIELD_SEP)
+    return "" if i < 0 else term[:i]
+
+
+def bare_term(term: str) -> str:
+    i = term.find(FIELD_SEP)
+    return term if i < 0 else term[i + 1 :]
+
+
 @dataclass(frozen=True)
 class TermQuery(Query):
     term: str

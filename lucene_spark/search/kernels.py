@@ -114,20 +114,20 @@ def score_exhaustive(
         m = seg.live_mask(docs)
         docs, tfs = docs[m], tfs[m]
         sc = scorers[("t", q.term, boost)] if boost != 1.0 else scorers[("t", q.term)]
-        s = sc.score(tfs, seg.norms[docs])
+        s = sc.score(tfs, tb.norms[docs])
         return docs, s.astype(np.float64)
     if isinstance(q, ast.PhraseQuery):
         docs, freqs = _phrase_doc_freqs(seg, q)
         if docs.size == 0:
             return docs, np.empty(0, np.float64)
         sc = scorers[("p", q.terms, boost)] if boost != 1.0 else scorers[("p", q.terms)]
-        s = sc.score(freqs, seg.norms[docs])
+        s = sc.score(freqs, seg.norms_for_term(q.terms[0])[docs])
         return docs, s.astype(np.float64)
     if isinstance(q, ast.MultiPhraseQuery):
         docs, freqs = _multi_phrase_doc_freqs(seg, q)
         if docs.size == 0:
             return docs, np.empty(0, np.float64)
-        s = scorers[("mp", q.slots, boost)].score(freqs, seg.norms[docs])
+        s = scorers[("mp", q.slots, boost)].score(freqs, seg.norms_for_term(q.slots[0][0])[docs])
         return docs, s.astype(np.float64)
     if isinstance(q, ast.BooleanQuery):
         return _score_bool_exhaustive(seg, q, scorers, dtype, boost)
@@ -327,7 +327,7 @@ def _term_topk(seg, term, scorers, k, threshold, dtype):
         d, t = tb.decode(b)
         m = seg.live_mask(d)
         d, t = d[m], t[m]
-        s = scorer.score(t, seg.norms[d]).astype(np.float64)
+        s = scorer.score(t, tb.norms[d]).astype(np.float64)
         heap.update(d, s)
     return heap
 
@@ -370,7 +370,7 @@ def _or_topk(seg, leaves, scorers, k, threshold, dtype):
                 if i0 >= i1:
                     continue
                 dw = d[i0:i1] - lo
-                s = sc.score(t[i0:i1], seg.norms[d[i0:i1]]).astype(np.float64)
+                s = sc.score(t[i0:i1], tb.norms[d[i0:i1]]).astype(np.float64)
                 acc[dw] += s
                 seen[dw] = True
         idx = np.flatnonzero(seen)
@@ -421,13 +421,13 @@ def _and_topk(seg, terms, scorers, k, threshold, dtype):
         acc = np.zeros(cand.size, dtype=np.float64)
         # lead term tfs
         sel = np.searchsorted(d, cand)
-        s = lead_sc.score(t[sel], seg.norms[cand])
+        s = lead_sc.score(t[sel], lead_tb.norms[cand])
         acc += s.astype(np.float64)
         for tb, sc, b0, b1 in spans:
             od = np.concatenate([tb.decode(i)[0] for i in range(b0, b1)])
             ot = np.concatenate([tb.decode(i)[1] for i in range(b0, b1)])
             sel = np.searchsorted(od, cand)
-            s = sc.score(ot[sel], seg.norms[cand])
+            s = sc.score(ot[sel], tb.norms[cand])
             acc += s.astype(np.float64)
         heap.update(cand, acc)
     return heap
@@ -471,7 +471,7 @@ def _phrase_topk(seg, q: ast.PhraseQuery, scorers, k, threshold, dtype):
             continue
         docs, freqs = _verify_phrase(seg, q, tbs, cand)
         if docs.size:
-            s = psc.score(freqs, seg.norms[docs]).astype(np.float64)
+            s = psc.score(freqs, tbs[0].norms[docs]).astype(np.float64)
             heap.update(docs, s)
     return heap
 
@@ -521,7 +521,7 @@ class _TermLeaf:
                 continue
             dd = d[i0:i1]
             ds.append(dd)
-            ss.append(self.scorer.score(t[i0:i1], seg.norms[dd]).astype(np.float64))
+            ss.append(self.scorer.score(t[i0:i1], self.tb.norms[dd]).astype(np.float64))
         if not ds:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(ds), np.concatenate(ss)
@@ -581,7 +581,7 @@ class _PhraseLeaf:
         docs, freqs = _verify_phrase(seg, self.q, self.tbs, cand)
         if docs.size == 0:
             return docs, np.empty(0, np.float64)
-        return docs, self.psc.score(freqs, seg.norms[docs]).astype(np.float64)
+        return docs, self.psc.score(freqs, self.tbs[0].norms[docs]).astype(np.float64)
 
     def window_docs(self, seg, lo, hi) -> np.ndarray:
         d, _ = self.window_postings(seg, lo, hi)

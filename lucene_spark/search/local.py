@@ -22,12 +22,16 @@ from lucene_spark.util.spark_hash import pmod_partition
 
 
 class LocalIndex:
-    def __init__(self, segments, urls_by_segment, doc_count, sum_total_tf, analyzer):
+    def __init__(
+        self, segments, urls_by_segment, doc_count, sum_total_tf, analyzer,
+        field_stats=None,
+    ):
         self.segments: list[SegmentView] = segments
         self.urls_by_segment = urls_by_segment
         self.doc_count = doc_count
         self.sum_total_tf = sum_total_tf
         self.analyzer = analyzer
+        self.field_stats = field_stats  # field -> (doc_count, sum_total_tf)
 
     @staticmethod
     def build(
@@ -37,34 +41,59 @@ class LocalIndex:
         key_col: str = "url",
         text_col: str = "text",
         store_positions: bool = True,
+        fields: tuple = (),
     ) -> "LocalIndex":
+        """``fields``: ((field_name, row_key), ...) — multi-field build;
+        () = single default field from ``text_col``."""
+        from lucene_spark.index.builder import invert_field
+
+        specs = fields or (("", text_col),)
         by_pid: dict[int, list] = {}
         for r in rows:
             by_pid.setdefault(pmod_partition(str(r[key_col]), num_segments), []).append(r)
         segments = []
         urls_by_segment = {}
         doc_base = 0
-        total_tf = 0
+        field_totals: dict = {f: [0, 0] for f, _ in specs}
         for pid in sorted(by_pid):
             grp = sorted(by_pid[pid], key=lambda r: str(r[key_col]))
             urls = [str(r[key_col]) for r in grp]
-            texts = [r[text_col] or "" for r in grp]
-            block_rows, term_stats, norms_bytes, sum_tf = invert_partition(
-                urls, texts, analyzer, store_positions
-            )
             rows_by_term: dict[str, list] = {}
-            for r in block_rows:
-                rows_by_term.setdefault(r["term"], []).append(r)
+            term_stats_all: list = []
+            norms_by_field: dict = {}
+            for fname, src in specs:
+                texts = [r.get(src) or "" for r in grp]
+                block_rows, term_stats, norms, sum_tf, fdc = invert_field(
+                    fname, texts, analyzer, store_positions
+                )
+                for r2 in block_rows:
+                    rows_by_term.setdefault(r2["term"], []).append(r2)
+                term_stats_all.extend(term_stats)
+                norms_by_field[fname] = norms
+                field_totals[fname][0] += fdc
+                field_totals[fname][1] += sum_tf
             sid = f"local{pid:05d}"
             seg = SegmentView.from_block_rows(
-                sid, doc_base, np.frombuffer(norms_bytes, dtype=np.uint8), rows_by_term
+                sid, doc_base, norms_by_field, rows_by_term
             )
-            seg.term_stats = {t["term"]: (t["doc_freq"], t["total_tf"]) for t in term_stats}
+            seg.term_stats = {
+                t["term"]: (t["doc_freq"], t["total_tf"]) for t in term_stats_all
+            }
             segments.append(seg)
             urls_by_segment[sid] = urls
             doc_base += len(urls)
-            total_tf += sum_tf
-        return LocalIndex(segments, urls_by_segment, doc_base, total_tf, analyzer)
+        default = specs[0][0]
+        field_stats = (
+            {f: (v[0], v[1]) for f, v in field_totals.items()} if fields else None
+        )
+        return LocalIndex(
+            segments,
+            urls_by_segment,
+            doc_base,
+            field_totals[default][1],
+            analyzer,
+            field_stats=field_stats,
+        )
 
     def global_stats(self, terms) -> GlobalStats:
         df: dict[str, int] = {}
@@ -73,7 +102,9 @@ class LocalIndex:
                 e = seg.term_stats.get(t)
                 if e:
                     df[t] = df.get(t, 0) + e[0]
-        return GlobalStats(self.doc_count, self.sum_total_tf, df)
+        return GlobalStats(
+            self.doc_count, self.sum_total_tf, df, field_stats=self.field_stats
+        )
 
     def search(
         self,

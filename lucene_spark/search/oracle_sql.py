@@ -360,3 +360,95 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM docs, stats, dfs
 WHERE {match}
 ORDER BY doc_id"""
+
+
+# --------------------------------------------------------- multi-field gate
+
+
+def fielded_ctes(title_words: int = 8, table: str = "documents") -> str:
+    """Two-field corpus CTEs: body = text, title = first ``title_words``
+    whitespace words of text (the derived second field of the driver
+    gate). Each field gets its OWN token list, quantized length and
+    CollectionStatistics (docCount = docs with >=1 token of the field,
+    avg = sumTotalTermFreq / docCount — Terms.getDocCount semantics,
+    mirroring GlobalStats.collection per-field stats)."""
+    title = (
+        f"array_to_string(list_slice(str_split(text, ' '), 1, {title_words}), ' ')"
+    )
+    return f"""
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     t -> t NOT IN ({_STOP})) AS btoks,
+         list_filter(regexp_extract_all(lower({title}), '[a-z0-9]+'),
+                     t -> t NOT IN ({_STOP})) AS ttoks
+  FROM {table}
+),
+docs AS (
+  SELECT doc_id, btoks, ttoks,
+         list_max(list_filter([{_LT}], v -> v <= CAST(len(btoks) AS DOUBLE))) AS bqdl,
+         list_max(list_filter([{_LT}], v -> v <= CAST(len(ttoks) AS DOUBLE))) AS tqdl
+  FROM tok
+),
+stats AS (
+  SELECT CAST(count(*) FILTER (WHERE len(btoks) > 0) AS BIGINT) AS bn,
+         CAST(sum(len(btoks)) AS DOUBLE)
+           / CAST(count(*) FILTER (WHERE len(btoks) > 0) AS DOUBLE) AS bavg,
+         CAST(count(*) FILTER (WHERE len(ttoks) > 0) AS BIGINT) AS tn,
+         CAST(sum(len(ttoks)) AS DOUBLE)
+           / CAST(count(*) FILTER (WHERE len(ttoks) > 0) AS DOUBLE) AS tavg
+  FROM docs
+)"""
+
+
+def _ftf(col: str, term: str) -> str:
+    return f"len(list_filter({col}, t -> t = '{term}'))"
+
+
+def _fidf(n: str, df: str) -> str:
+    return f"ln(1.0 + (CAST({n} - {df} AS DOUBLE) + 0.5) / (CAST({df} AS DOUBLE) + 0.5))"
+
+
+def _fscore(idf: str, tf: str, qdl: str, avg: str) -> str:
+    nf = f"{K1} * ({1.0 - B} + ({B} * {qdl}) / {avg})"
+    return f"({idf}) - ({idf}) / (1.0 + CAST({tf} AS DOUBLE) / ({nf}))"
+
+
+def field_title_topk_sql(
+    term: str, k: int = 10, title_words: int = 8, table: str = "documents"
+) -> str:
+    """Top-k BM25 over the TITLE field only — field-scoped docFreq,
+    docCount, avgdl and norms."""
+    tf = _ftf("ttoks", term)
+    score = _fscore(_fidf("tn", "df_t"), tf, "tqdl", "tavg")
+    return f"""WITH {fielded_ctes(title_words, table)},
+dfs AS (SELECT CAST(count(*) FILTER (WHERE {tf} > 0) AS BIGINT) AS df_t FROM docs)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {score} AS score
+FROM docs, stats, dfs
+WHERE {tf} > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def fielded_or_scores_sql(
+    title_term: str, body_term: str, title_words: int = 8, table: str = "documents"
+) -> str:
+    """(doc_id, score) of ``title:t1 OR t2`` over ALL matching docs —
+    each clause scored with its own field's stats/norms, accumulated in
+    clause order (title then body) like the boolean kernel."""
+    ttf = _ftf("ttoks", title_term)
+    btf = _ftf("btoks", body_term)
+    ts = _fscore(_fidf("tn", "df_t"), ttf, "tqdl", "tavg")
+    bs = _fscore(_fidf("bn", "df_b"), btf, "bqdl", "bavg")
+    return f"""WITH {fielded_ctes(title_words, table)},
+dfs AS (
+  SELECT CAST(count(*) FILTER (WHERE {ttf} > 0) AS BIGINT) AS df_t,
+         CAST(count(*) FILTER (WHERE {btf} > 0) AS BIGINT) AS df_b
+  FROM docs
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       0.0 + (CASE WHEN {ttf} > 0 THEN {ts} ELSE 0.0 END)
+           + (CASE WHEN {btf} > 0 THEN {bs} ELSE 0.0 END) AS score
+FROM docs, stats, dfs
+WHERE {ttf} > 0 OR {btf} > 0
+ORDER BY doc_id"""

@@ -19,10 +19,12 @@ from lucene_spark.search.ast import (
     PhraseQuery,
     Query,
     TermQuery,
+    fielded,
     rewrite,
 )
 
 _TOK = re.compile(r'"[^"]*"|\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+')
+_FIELD_PREFIX = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 
 
 def parse(query: str, analyzer: Analyzer) -> Query:
@@ -120,6 +122,13 @@ def _parse_unit(toks, i, analyzer):
             t = base
         except ValueError:
             boost = None
+    # fielded clause: field:term (classic QueryParser field syntax,
+    # queryparser/classic/QueryParser.jj Clause production) — the field
+    # name is NOT analyzed; '' stays the default field
+    qfield = ""
+    m = _FIELD_PREFIX.match(t)
+    if m:
+        qfield, t = m.group(1), m.group(2)
     # single clause: analyze; may expand to several tokens -> phrase-like?
     # Lucene's classic QueryParser turns a multi-token analysis of one
     # whitespace clause into a phrase/boolean; our clauses are single terms.
@@ -127,9 +136,12 @@ def _parse_unit(toks, i, analyzer):
     if not terms:
         return MatchNoDocsQuery(), i + 1
     if len(terms) == 1:
-        q: Query = TermQuery(terms[0])
+        q: Query = TermQuery(fielded(qfield, terms[0]))
     else:
-        q = PhraseQuery(terms=tuple(terms), positions=tuple(positions))
+        q = PhraseQuery(
+            terms=tuple(fielded(qfield, x) for x in terms),
+            positions=tuple(positions),
+        )
     if boost is not None:
         q = BoostQuery(q, boost)
     return q, i + 1

@@ -28,10 +28,22 @@ from lucene_spark.util.smallfloat import LENGTH_TABLE
 class GlobalStats:
     doc_count: int
     sum_total_tf: int
-    doc_freq: dict  # term -> global docFreq
+    doc_freq: dict  # term (fielded key) -> global docFreq
+    # per-field CollectionStatistics (docCount = docs with >=1 token of
+    # the field, sumTotalTermFreq per field — Terms.getDocCount /
+    # getSumTotalTermFreq semantics). None = single-field legacy index:
+    # the top-level doc_count/sum_total_tf apply to every term.
+    field_stats: "dict | None" = None  # field -> (doc_count, sum_total_tf)
 
     def df(self, term: str) -> int:
         return int(self.doc_freq.get(term, 0))
+
+    def collection(self, field: str) -> tuple:
+        """(docCount, sumTotalTermFreq) for one field."""
+        if self.field_stats and field in self.field_stats:
+            dc, stf = self.field_stats[field]
+            return int(dc), int(stf)
+        return self.doc_count, self.sum_total_tf
 
 
 class ScorerF64:
@@ -62,25 +74,35 @@ def build_scorers(q: ast.Query, stats: GlobalStats, dtype: str = "f32") -> dict:
     ``BM25Similarity.java:218``) and by the legacy tuple keys
     (("t", term) / ("p", terms)) the kernels use for unboosted leaves."""
     out: dict = {}
-    av32 = bm25.avgdl(stats.sum_total_tf, stats.doc_count)
-    av64 = stats.sum_total_tf / float(stats.doc_count)
+    _field_avg: dict = {}
 
-    def leaf_scorer(idf32: float, idf64: float, boost: float):
+    def field_env(field: str):
+        """(docCount, av32, av64) of one field, cached."""
+        hit = _field_avg.get(field)
+        if hit is None:
+            dc, stf = stats.collection(field)
+            hit = (dc, bm25.avgdl(stf, dc), stf / float(dc))
+            _field_avg[field] = hit
+        return hit
+
+    def leaf_scorer(field: str, idf32: float, idf64: float, boost: float):
+        _, av32, av64 = field_env(field)
         if dtype == "f32":
             return bm25.BM25Scorer.build(idf32, av32, boost=boost)
         return ScorerF64(idf64, av64, boost=boost)
 
     def term_scorer(t: str, boost: float):
-        return leaf_scorer(
-            bm25.idf(stats.df(t), stats.doc_count),
-            idf_f64(stats.df(t), stats.doc_count),
-            boost,
-        )
+        field = ast.field_of(t)
+        dc, _, _ = field_env(field)
+        return leaf_scorer(field, bm25.idf(stats.df(t), dc), idf_f64(stats.df(t), dc), boost)
 
     def phrase_scorer(terms: tuple, boost: float):
+        field = ast.field_of(terms[0])
+        dc, _, _ = field_env(field)
         return leaf_scorer(
-            bm25.idf_phrase([stats.df(t) for t in terms], stats.doc_count),
-            sum(idf_f64(stats.df(t), stats.doc_count) for t in terms),
+            field,
+            bm25.idf_phrase([stats.df(t) for t in terms], dc),
+            sum(idf_f64(stats.df(t), dc) for t in terms),
             boost,
         )
 

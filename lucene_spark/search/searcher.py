@@ -49,7 +49,16 @@ def _load_segment_view(index_dir: str, segment_id: str, pdf_postings) -> Segment
     )
     nt = pq.read_table(norms_path)
     doc_base = int(nt["doc_base"][0].as_py())
-    norms = np.frombuffer(nt["norms_bin"][0].as_py(), dtype=np.uint8)
+    # one row per field ('' = default) — the per-field .nvd blobs
+    if "field" in nt.column_names:
+        norms = {
+            f.as_py(): np.frombuffer(b.as_py(), dtype=np.uint8)
+            for f, b in zip(nt["field"], nt["norms_bin"])
+        }
+        nsize = len(next(iter(norms.values())))
+    else:  # legacy single-field layout
+        norms = np.frombuffer(nt["norms_bin"][0].as_py(), dtype=np.uint8)
+        nsize = norms.size
     # liveDocs tombstones (deletes are rare: absent file = all live)
     live = None
     del_path = os.path.join(
@@ -59,7 +68,7 @@ def _load_segment_view(index_dir: str, segment_id: str, pdf_postings) -> Segment
         dt = pq.read_table(del_path)
         dead = np.asarray(dt["local_id"].to_pylist(), dtype=np.int64)
         if dead.size:
-            live = np.ones(norms.size, dtype=bool)
+            live = np.ones(nsize, dtype=bool)
             live[dead] = False
     rows_by_term: dict[str, list] = {}
     for rec in pdf_postings.itertuples(index=False):
@@ -186,11 +195,7 @@ class Searcher:
         q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
         terms = ast_mod.query_terms(q)
         tstats = self.global_term_stats(terms)
-        stats = GlobalStats(
-            doc_count=int(self.commit["doc_count"]),
-            sum_total_tf=int(self.commit["sum_total_tf"]),
-            doc_freq={t: v[0] for t, v in tstats.items()},
-        )
+        stats = self._global_stats(tstats)
         scorers = build_scorers(q, stats, dtype=dtype)
         index_dir = self.index_dir
         kq, kk, kp, kd, kt = q, k, pruned, dtype, total_hits_threshold
@@ -253,11 +258,7 @@ class Searcher:
         for q in parsed.values():
             all_terms |= ast_mod.query_terms(q)
         tstats = self.global_term_stats(all_terms)
-        stats = GlobalStats(
-            doc_count=int(self.commit["doc_count"]),
-            sum_total_tf=int(self.commit["sum_total_tf"]),
-            doc_freq={t: v[0] for t, v in tstats.items()},
-        )
+        stats = self._global_stats(tstats)
         scorers: dict = {}
         for q in parsed.values():
             scorers.update(build_scorers(q, stats, dtype=dtype))
@@ -312,11 +313,7 @@ class Searcher:
         if not terms:
             return 0
         tstats = self.global_term_stats(terms)
-        stats = GlobalStats(
-            doc_count=int(self.commit["doc_count"]),
-            sum_total_tf=int(self.commit["sum_total_tf"]),
-            doc_freq={t: v[0] for t, v in tstats.items()},
-        )
+        stats = self._global_stats(tstats)
         scorers = build_scorers(q, stats, dtype="f32")
         index_dir = self.index_dir
         kq = q
@@ -335,17 +332,21 @@ class Searcher:
         return int(row["total"] or 0)
 
     # ---- generic per-segment kernel scaffolding -------------------------
-    def _per_segment(self, terms, kernel, schema):
+    def _per_segment(self, terms, kernel, schema, term_pred=None):
         """Term-pruned postings scan -> groupBy(segment) -> kernel rows.
         The scan's ``term IN (...)`` predicate is pushed to Parquet
         row-group stats; ``segment_id IN (live)`` prunes dead (merged-
-        away) segment directories at the partition level."""
+        away) segment directories at the partition level. ``term_pred``
+        filters by an arbitrary term predicate instead (MultiTermQuery
+        rewrites) — sargable predicates (prefix/range) still push down."""
         import pyspark.sql.functions as F
 
         filtered = self.postings.where(
             F.col("segment_id").isin(list(self.live_segments))
         )
-        if terms is not None:
+        if term_pred is not None:
+            filtered = filtered.where(term_pred)
+        elif terms is not None:
             if not terms:
                 filtered = filtered.where(F.lit(False))
             else:
@@ -367,14 +368,26 @@ class Searcher:
 
         return self.docmap.join(F.broadcast(df), "doc_id").select(*cols)
 
-    def _stats_for(self, q):
-        terms = ast_mod.query_terms(q)
-        tstats = self.global_term_stats(terms)
+    def _global_stats(self, tstats: dict) -> GlobalStats:
+        """Frozen global stats: legacy totals plus per-field
+        CollectionStatistics from the commit (multi-field indexes)."""
+        fields = self.commit.get("fields") or None
+        field_stats = (
+            {f: (int(st["doc_count"]), int(st["sum_total_tf"])) for f, st in fields.items()}
+            if fields
+            else None
+        )
         return GlobalStats(
             doc_count=int(self.commit["doc_count"]),
             sum_total_tf=int(self.commit["sum_total_tf"]),
             doc_freq={t: v[0] for t, v in tstats.items()},
-        ), terms
+            field_stats=field_stats,
+        )
+
+    def _stats_for(self, q):
+        terms = ast_mod.query_terms(q)
+        tstats = self.global_term_stats(terms)
+        return self._global_stats(tstats), terms
 
     # ---- match sets / postings access (driver-correctness surface) ------
     def match_docs(self, query):
@@ -513,42 +526,135 @@ class Searcher:
             )
         )
 
-    def expand_terms(self, mode: str, *args) -> list:
-        """MultiTermQuery term expansion against the term dictionary
-        (``search/MultiTermQuery.java`` rewrite): returns the sorted
-        matching terms. Modes: prefix(p) | regexp(r) | range(lo, hi) |
+    def _term_predicate(self, mode: str, *args, field: str = ""):
+        """Spark Column predicate selecting a MultiTermQuery family's
+        matching terms, applicable to ANY table with a ``term`` column —
+        including the postings scan itself (so prefix/range rewrites
+        push down to parquet row-group min/max stats on the term-sorted
+        postings; term-sorted files are the .tip/FST pruning analog).
+        Modes: prefix(p) | wildcard(pat) | regexp(r) | range(lo, hi) |
         in_set(terms) | fuzzy(term, max_edits)."""
         import pyspark.sql.functions as F
 
-        td = self.term_dictionary()
-        if mode == "prefix":
-            td = td.where(F.col("term").startswith(args[0]))
-        elif mode == "regexp":
-            td = td.where(F.col("term").rlike(args[0]))
-        elif mode == "range":
-            lo, hi = args
-            td = td.where((F.col("term") >= lo) & (F.col("term") < hi))
-        elif mode == "in_set":
-            td = td.where(F.col("term").isin(list(args[0])))
-        elif mode == "fuzzy":
-            base, max_edits = args
-            td = td.where(F.levenshtein(F.col("term"), F.lit(base)) <= max_edits)
+        from lucene_spark.search.ast import FIELD_SEP, fielded
+
+        bare = F.col("term")
+        scope = None
+        if field:
+            prefix = field + FIELD_SEP
+            scope = F.col("term").startswith(prefix)
+            bare = F.substring(F.col("term"), len(prefix) + 1, 1 << 20)
         else:
-            raise ValueError(f"unknown expansion mode {mode!r}")
+            scope = ~F.col("term").contains(FIELD_SEP)
+        if mode == "prefix":
+            # sargable on the raw fielded key -> parquet pushdown (the
+            # scope conjunct is a cheap residual filter on top)
+            return scope & F.col("term").startswith(fielded(field, args[0]))
+        if mode == "wildcard":
+            # WildcardQuery pattern -> anchored regex
+            # (search/WildcardQuery.java:30-63: * = any sequence,
+            # ? = any single char, everything else literal)
+            import re as _re
+
+            pat = "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in args[0]
+            )
+            return scope & bare.rlike(f"^{pat}$")
+        if mode == "regexp":
+            return scope & bare.rlike(args[0])
+        if mode == "range":
+            lo, hi = args
+            return (
+                scope
+                & (F.col("term") >= fielded(field, lo))
+                & (F.col("term") < fielded(field, hi))
+            )
+        if mode == "in_set":
+            return F.col("term").isin([fielded(field, t) for t in args[0]])
+        if mode == "fuzzy":
+            base, max_edits = args
+            return scope & (F.levenshtein(bare, F.lit(base)) <= max_edits)
+        raise ValueError(f"unknown expansion mode {mode!r}")
+
+    def expand_terms(
+        self, mode: str, *args, field: str = "", max_expansions: "int | None" = None
+    ) -> list:
+        """MultiTermQuery term expansion against the term dictionary
+        (``search/MultiTermQuery.java`` rewrite): returns the sorted
+        matching terms. ``max_expansions`` caps the rewrite like
+        ``TopTermsRewrite`` (``search/TopTermsRewrite.java:38-66`` —
+        keep the highest-docFreq terms, like the rewrite priority
+        queue): only then is a driver collect bounded; leave it None
+        only when the expansion is known small."""
+        import pyspark.sql.functions as F
+
+        td = self.term_dictionary().where(
+            self._term_predicate(mode, *args, field=field)
+        )
+        if max_expansions is not None:
+            td = td.orderBy(F.desc("doc_freq"), F.asc("term")).limit(
+                int(max_expansions)
+            )
         return sorted(r["term"] for r in td.select("term").collect())
 
-    def multi_term_docs(self, mode: str, *args):
-        """Docs matching ANY expanded term (constant-score rewrite of
-        the MultiTermQuery family): DataFrame (doc_id, url)."""
-        terms = self.expand_terms(mode, *args)
+    def multi_term_docs(self, mode: str, *args, field: str = ""):
+        """Docs matching ANY term of the expansion (the constant-score
+        rewrite, ``MultiTermQuery.CONSTANT_SCORE_BLENDED_REWRITE``):
+        DataFrame (doc_id, url).
+
+        FULLY distributed: the term predicate is applied directly to
+        the postings scan (no dictionary collect, no IN-list, no
+        driver materialization — a single-letter prefix on a web corpus
+        never touches the driver); each segment task decodes its
+        matched postings and emits distinct doc ids."""
+        import pyspark.sql.functions as F
+
+        index_dir = self.index_dir
+
+        def kernel(key, pdf):
+            import pandas as pd
+
+            if pdf.empty:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            seg = _load_segment_view(index_dir, str(key[0]), pdf)
+            parts = [tb.decode_all()[0] for tb in seg.terms.values()]
+            docs = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+            docs = docs[seg.live_mask(docs)]
+            return pd.DataFrame({"doc_id": (docs + seg.doc_base).astype("int64")})
+
+        per_seg = self._per_segment(
+            None,
+            kernel,
+            "doc_id long",
+            term_pred=self._term_predicate(mode, *args, field=field),
+        )
+        return self._with_url(per_seg, ["doc_id", "url"])
+
+    def multi_term_topk(
+        self,
+        mode: str,
+        *args,
+        k: int = 10,
+        field: str = "",
+        max_expansions: int = 1024,
+        dtype: str = "f32",
+    ):
+        """Scored MultiTermQuery rewrite (``TopTermsRewrite`` +
+        ``IndexSearcher.maxClauseCount=1024``): expand to at most
+        ``max_expansions`` highest-docFreq terms, score as a boolean
+        SHOULD of TermQueries, return top-k (doc_id, score, url)."""
+        terms = self.expand_terms(
+            mode, *args, field=field, max_expansions=max_expansions
+        )
         if not terms:
-            q = ast_mod.MatchNoDocsQuery()
+            q: "ast_mod.Query" = ast_mod.MatchNoDocsQuery()
         else:
             q = ast_mod.BooleanQuery(
                 should=tuple(ast_mod.TermQuery(t) for t in terms),
                 min_should_match=1,
             )
-        return self.match_docs(q)
+        return self.search(q, k=k, pruned=True, dtype=dtype)
 
     # ---- synonym / dismax scoring ---------------------------------------
     def synonym_scores_df(self, terms, dtype: str = "f64"):

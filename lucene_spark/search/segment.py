@@ -29,6 +29,9 @@ class TermBlocks:
     impact_tfs: list  # list of int lists
     impact_norms: list
     doc_freq: int = 0
+    # norm bytes of THIS term's field (per-field .nvd blob, indexable by
+    # local doc id) — every scorer call uses the field's own lengths
+    norms: "np.ndarray | None" = None
     _cache: dict = field(default_factory=dict)
 
     @property
@@ -96,8 +99,11 @@ class SegmentView:
     segment_id: str
     doc_base: int
     max_doc: int  # number of docs in this segment (local ids 0..max_doc-1)
-    norms: np.ndarray  # uint8[max_doc]
-    terms: dict  # term -> TermBlocks
+    norms: np.ndarray  # uint8[max_doc] — the DEFAULT field's norms
+    terms: dict  # term (fielded key) -> TermBlocks
+    # per-field norm blobs (FieldInfos-per-field .nvd analog); the
+    # default field is keyed '' and aliases ``norms``
+    norms_by_field: "dict | None" = None
     # liveDocs tombstone mask (Lucene90LiveDocsFormat analog): None =
     # no deletes; else bool[max_doc], False = deleted. Postings and
     # global stats still include deleted docs until a rewriting merge —
@@ -106,6 +112,14 @@ class SegmentView:
 
     def term_blocks(self, term: str) -> "TermBlocks | None":
         return self.terms.get(term)
+
+    def norms_for_term(self, term: str) -> np.ndarray:
+        """Norm bytes of the field a (fielded) term key belongs to."""
+        from lucene_spark.search.ast import field_of
+
+        if self.norms_by_field is None:
+            return self.norms
+        return self.norms_by_field.get(field_of(term), self.norms)
 
     def live_mask(self, docs: np.ndarray) -> np.ndarray:
         """Boolean mask of non-deleted local doc ids."""
@@ -117,12 +131,29 @@ class SegmentView:
     def from_block_rows(
         segment_id: str,
         doc_base: int,
-        norms: np.ndarray,
+        norms,
         rows_by_term: dict,
     ) -> "SegmentView":
+        """``norms``: uint8 array (single default field) or a dict
+        field -> uint8 array (multi-field; '' = default field)."""
+        from lucene_spark.search.ast import field_of
+
+        if isinstance(norms, dict):
+            norms_by_field = {f: np.asarray(a, dtype=np.uint8) for f, a in norms.items()}
+            default = norms_by_field.get("")
+            if default is None:
+                default = next(iter(norms_by_field.values()))
+        else:
+            default = np.asarray(norms, dtype=np.uint8)
+            norms_by_field = None
         terms = {}
         for term, rows in rows_by_term.items():
             rows = sorted(rows, key=lambda r: r["block_id"])
+            fn = (
+                norms_by_field.get(field_of(term), default)
+                if norms_by_field is not None
+                else default
+            )
             terms[term] = TermBlocks(
                 first_doc=np.array([r["first_doc"] for r in rows], dtype=np.int64),
                 last_doc=np.array([r["last_doc"] for r in rows], dtype=np.int64),
@@ -133,11 +164,13 @@ class SegmentView:
                 impact_tfs=[list(r["impact_tfs"]) for r in rows],
                 impact_norms=[list(r["impact_norms"]) for r in rows],
                 doc_freq=int(sum(r["num_docs"] for r in rows)),
+                norms=fn,
             )
         return SegmentView(
             segment_id=segment_id,
             doc_base=doc_base,
-            max_doc=int(len(norms)),
-            norms=np.asarray(norms, dtype=np.uint8),
+            max_doc=int(len(default)),
+            norms=default,
             terms=terms,
+            norms_by_field=norms_by_field,
         )

@@ -69,6 +69,12 @@ def append_batch(spark, batch_df, index_dir: str, config: IndexConfig) -> dict:
         merged["segments"] = prev["segments"] + batch_commit["segments"]
         merged["doc_count"] = prev["doc_count"] + batch_commit["doc_count"]
         merged["sum_total_tf"] = prev["sum_total_tf"] + batch_commit["sum_total_tf"]
+        fields = {f: dict(st) for f, st in (prev.get("fields") or {}).items()}
+        for f, st in (batch_commit.get("fields") or {}).items():
+            cur = fields.setdefault(f, {"doc_count": 0, "sum_total_tf": 0})
+            cur["doc_count"] += int(st["doc_count"])
+            cur["sum_total_tf"] += int(st["sum_total_tf"])
+        merged["fields"] = fields
         merged["num_segments"] = len(merged["segments"])
     os.makedirs(os.path.join(index_dir, "commits"), exist_ok=True)
     _atomic_write_json(
