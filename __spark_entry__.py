@@ -169,8 +169,31 @@ def _vec(sf_dir: str, vec_id: int) -> list:
     return t["embedding"][ids.index(vec_id)].as_py()
 
 
+_trained: dict = {}
+
+
 def _centroids(sf_dir: str, c: int = 8) -> list:
-    return [_vec(sf_dir, i) for i in range(c)]
+    """TRAINED IVF centroids: deterministic k-means (Lloyd's, 5 iters,
+    first-C init) over the corpus embeddings — the numpy mirror of the
+    distributed training job (lucene_spark/ops/kmeans.py train_df; the
+    two agree on assignments, tests/test_ops.py). Both the Spark query
+    and the DuckDB oracle embed these exact float64 literals."""
+    import pyarrow.parquet as pq
+
+    from lucene_spark.ops import kmeans
+
+    key = (sf_dir, c)
+    if key not in _trained:
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        import numpy as np
+
+        ids = np.asarray(t["vec_id"].to_pylist())
+        vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        vecs = vecs[np.argsort(ids, kind="stable")]
+        _trained[key] = kmeans.train_np(vecs, c, iters=5)
+    return _trained[key]
 
 
 def _out_docs(df: DataFrame, *extra: str) -> DataFrame:
@@ -300,6 +323,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def phrase_sloppy_match(spark, sf_dir):
+        ast = _ast()
+        qq = ast.PhraseQuery(terms=PHRASE, positions=(0, 1), slop=2)
+        return _out_docs(_searcher(spark, sf_dir).phrase_freqs_df(qq))
+
     def multi_phrase_match(spark, sf_dir):
         ast = _ast()
         qq = ast.MultiPhraseQuery(slots=MP_SLOTS, positions=MP_OFFS)
@@ -418,6 +446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(K)
         )
 
+    def field_exists_match(spark, sf_dir):
+        return _out_docs(_searcher_mf(spark, sf_dir).field_exists_docs("title"))
+
     def field_title_topk(spark, sf_dir):
         ast = _ast()
         qq = ast.TermQuery(ast.fielded("title", FIELD_TITLE_TERM))
@@ -491,6 +522,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ann.ivf_topk_sql(SPARK, _vec(sf_dir, 1), _centroids(sf_dir), k=5)
         )
 
+    def emb_ivf_topk2(spark, sf_dir):
+        _emb_view(spark, sf_dir)
+        return spark.sql(
+            ann.ivf_topk_sql(
+                SPARK, _vec(sf_dir, 1), _centroids(sf_dir), k=5, nprobe=2
+            )
+        )
+
+    def emb_ivf_assign_arr(spark, sf_dir):
+        # array-native DataFrame assignment (zip_with + sequential fold
+        # + struct-argmin) — no per-centroid SQL literal columns
+        from lucene_spark.ops import kmeans
+
+        df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return kmeans.ivf_assign_df(df, _centroids(sf_dir))
+
     q.update(
         term_postings=term_postings,
         term_postings_rare=term_postings_rare,
@@ -505,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         phrase_hole_match=phrase_hole_match,
         phrase_topk=phrase_topk,
         phrase_sloppy_topk=phrase_sloppy_topk,
+        phrase_sloppy_match=phrase_sloppy_match,
         multi_phrase_match=multi_phrase_match,
         multi_phrase_topk=multi_phrase_topk,
         boost_or_topk=boost_or_topk,
@@ -518,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fuzzy_match=fuzzy_match,
         wildcard_match=wildcard_match,
         prefix_wide_match=prefix_wide_match,
+        field_exists_match=field_exists_match,
         field_title_topk=field_title_topk,
         field_mixed_or_scores=field_mixed_or_scores,
         synonym_scores=synonym_scores,
@@ -542,7 +591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_sessionize=_sql_events(windows.sessionize_sql),
         emb_cosine_topk=emb_cosine_topk,
         emb_ivf_assign=emb_ivf_assign,
+        emb_ivf_assign_arr=emb_ivf_assign_arr,
         emb_ivf_topk=emb_ivf_topk,
+        emb_ivf_topk2=emb_ivf_topk2,
     )
     return q
 
@@ -578,6 +629,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "phrase_match": osql.phrase_match_sql(list(PHRASE), [0, 1]),
         "phrase_hole_match": osql.phrase_match_sql([t1, t2], list(hole_offs)),
         "phrase_topk": osql.phrase_topk_sql(list(PHRASE), [0, 1], K),
+        "phrase_sloppy_match": osql.sloppy_match_sql(PHRASE[0], PHRASE[1], 1, 2),
         "multi_phrase_match": osql.multi_phrase_match_sql(MP_SLOTS, MP_OFFS),
         "multi_phrase_topk": osql.multi_phrase_topk_sql(MP_SLOTS, MP_OFFS, K),
         "boost_or_topk": osql.boosted_or_topk_sql(BOOSTS, K),
@@ -595,6 +647,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "fuzzy_match": osql.multiterm_match_sql("levenshtein(t, 'scan') <= 1"),
         "wildcard_match": osql.multiterm_match_sql("t LIKE 'sc%n'"),
         "prefix_wide_match": osql.multiterm_match_sql("t LIKE 's%'"),
+        "field_exists_match": osql.field_exists_sql(TITLE_WORDS),
         "field_title_topk": osql.field_title_topk_sql(
             FIELD_TITLE_TERM, K, TITLE_WORDS
         ),
@@ -623,5 +676,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "events_sessionize": windows.sessionize_sql(DUCK),
         "emb_cosine_topk": ann.cosine_topk_sql(DUCK, qvec0, k=10),
         "emb_ivf_assign": ann.ivf_assign_sql(DUCK, cents),
+        "emb_ivf_assign_arr": ann.ivf_assign_sql(DUCK, cents),
         "emb_ivf_topk": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5),
+        "emb_ivf_topk2": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5, nprobe=2),
     }

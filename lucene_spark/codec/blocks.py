@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 
 from lucene_spark.codec import forutil, pforutil
+from lucene_spark.codec.pforutil import MAX_EXCEPTIONS
 from lucene_spark.util.smallfloat import byte4_to_int_np
 
 BLOCK_SIZE = 256  # ForUtil.java:34
@@ -148,3 +149,199 @@ def decode_positions(pos_bin: bytes, tfs: np.ndarray) -> np.ndarray:
         carry_vals = cs[bounds - 1]
         carry[bounds] = np.diff(np.concatenate(([0], carry_vals)))
     return cs - np.cumsum(carry)
+
+
+# ------------------------------------------------------- batch encode path
+
+
+def _pfor_pack_many(tfs: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list:
+    """PFor-pack many tf blocks, byte-identical to ``pforutil.pack``
+    per block. The no-exception majority is batch-packed (one scatter
+    per width via forutil.pack_many); the rare exception blocks fall
+    back to the scalar encoder."""
+    import struct
+
+    tfs = np.asarray(tfs, dtype=np.uint32)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    nb = starts.size
+    n_i = ends - starts
+    out: list = [None] * nb
+    # per-block sorted tf tails: sort (block, tf) once
+    bid = np.repeat(np.arange(nb), n_i)
+    flat = np.concatenate([tfs[s:e] for s, e in zip(starts, ends)]) if nb else tfs[:0]
+    order = np.lexsort((flat, bid))
+    fs = flat[order].astype(np.int64)
+    off = np.concatenate(([0], np.cumsum(n_i)))
+    # all-equal / empty blocks -> "\x00" + FOR (which hits its own
+    # all-equal branch); handled by the batch FOR packer directly
+    mx = np.full(nb, -1, dtype=np.int64)
+    mn = np.full(nb, -1, dtype=np.int64)
+    ne = np.flatnonzero(n_i > 0)
+    if ne.size:
+        # per-block min/max straight from the sorted tails
+        mx[ne] = fs[off[ne + 1] - 1]
+        mn[ne] = fs[off[ne]]
+    simple = (n_i == 0) | ((mx == mn) & (n_i > 0))
+    # exception cost model over the up-to-8 largest values
+    from lucene_spark.codec.forutil import _bit_widths
+
+    cand = np.flatnonzero(~simple)
+    best_e = np.zeros(nb, dtype=np.int64)
+    if cand.size:
+        ncand = n_i[cand]
+        costs = np.full((cand.size, MAX_EXCEPTIONS + 1), np.iinfo(np.int64).max, np.int64)
+        for e in range(0, MAX_EXCEPTIONS + 1):
+            ok = ncand - 1 >= e  # e <= n-1
+            idx = off[cand[ok] + 1] - 1 - e
+            w_e = np.maximum(_bit_widths(fs[idx]), 0)
+            costs[ok, e] = w_e * ncand[ok] + e * 64
+        # the scalar encoder keeps the FIRST strictly-smaller cost
+        best_e[cand] = np.argmin(costs, axis=1)
+    # batch: no-exception blocks at width max(1, bitlen(max))
+    batch_idx = np.flatnonzero(simple | (best_e == 0))
+    packed_for = None
+    if batch_idx.size:
+        from lucene_spark.codec import forutil as _fu
+
+        packed_for = _fu.pack_many(tfs, starts[batch_idx], ends[batch_idx])
+        for k, i in enumerate(batch_idx):
+            out[i] = b"\x00" + packed_for[k]
+    # scalar fallback: exception blocks (rare outlier tfs)
+    for i in np.flatnonzero(best_e > 0):
+        out[i] = pforutil.pack(tfs[starts[i] : ends[i]])
+    return out
+
+
+def _competitive_impacts_many(
+    tfs: np.ndarray, norms: np.ndarray, block_of: np.ndarray, nb: int
+):
+    """Vectorized ``competitive_impacts`` for ALL blocks at once.
+
+    tfs/norms: per-posting arrays (any order); ``block_of``: the block
+    ordinal of each posting. Returns (impact_tfs list, impact_norms
+    list) with per-block pareto pairs identical to the scalar function.
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.uint8)
+    lengths = byte4_to_int_np(norms)
+    order = np.lexsort((tfs, lengths, block_of))
+    b_s = block_of[order]
+    l_s = lengths[order]
+    t_s = tfs[order]
+    n_s = norms[order]
+    n = b_s.size
+    if n == 0:
+        return [[] for _ in range(nb)], [[] for _ in range(nb)]
+    # last row of each (block, length) group = max tf of that length
+    nxt_diff = np.concatenate(
+        ((b_s[1:] != b_s[:-1]) | (l_s[1:] != l_s[:-1]), [True])
+    )
+    gi = np.flatnonzero(nxt_diff)
+    gb, gt, gn = b_s[gi], t_s[gi], n_s[gi]
+    # grouped (per block) strictly-increasing tf frontier via offset cummax
+    M = int(gt.max()) + 1
+    big = gb * M + gt
+    cm = np.maximum.accumulate(big) - gb * M
+    prev_cm = np.concatenate(([0], cm[:-1]))
+    is_start = np.concatenate(([True], gb[1:] != gb[:-1]))
+    keep = is_start | (gt > prev_cm)
+    kb, kt, kn = gb[keep], gt[keep], gn[keep]
+    # split into per-block lists
+    bounds = np.searchsorted(kb, np.arange(nb + 1))
+    imp_tfs = [kt[bounds[i] : bounds[i + 1]].tolist() for i in range(nb)]
+    imp_norms = [
+        [int(x) for x in kn[bounds[i] : bounds[i + 1]]] for i in range(nb)
+    ]
+    return imp_tfs, imp_norms
+
+
+def encode_partition(
+    p_codes: np.ndarray,
+    p_docs: np.ndarray,
+    p_tfs: np.ndarray,
+    positions_flat: np.ndarray,
+    norms_by_doc: np.ndarray,
+    terms: np.ndarray,
+    with_positions: bool = True,
+) -> list:
+    """Batch-encode EVERY term's postings of one segment in one
+    vectorized pass (the invert hot path: replaces the per-term
+    ``encode_term_postings`` loop; output block rows are identical).
+
+    p_codes: per-posting term code (sorted by (code, doc)),
+    p_docs/p_tfs: per-posting doc id / tf,
+    positions_flat: concatenated per-posting sorted positions,
+    norms_by_doc: uint8 norm byte per local doc id,
+    terms: object[] term string per code.
+    """
+    import struct as _struct
+
+    P = p_codes.size
+    if P == 0:
+        return []
+    p_docs = np.asarray(p_docs, dtype=np.int64)
+    p_tfs = np.asarray(p_tfs, dtype=np.int64)
+    # per-term posting offsets -> block index within term
+    t_change = np.concatenate(([True], p_codes[1:] != p_codes[:-1]))
+    t_start = np.flatnonzero(t_change)
+    t_len = np.diff(np.concatenate((t_start, [P])))
+    rank = np.arange(P) - np.repeat(t_start, t_len)
+    blk = rank // BLOCK_SIZE
+    # global block ordinal (codes ascending, then block id) — output
+    # order term-sorted like the scalar path
+    b_change = t_change | np.concatenate(([False], blk[1:] != blk[:-1]))
+    b_start = np.flatnonzero(b_change)
+    nb = b_start.size
+    b_end = np.concatenate((b_start[1:], [P]))
+    b_code = p_codes[b_start]
+    b_blk = blk[b_start]
+    b_n = b_end - b_start
+    first_doc = p_docs[b_start]
+    last_doc = p_docs[b_end - 1]
+    block_of = np.repeat(np.arange(nb), b_n)
+    # doc deltas (first of block stored absolutely via first_doc)
+    deltas = np.empty(P, dtype=np.int64)
+    deltas[0] = 0
+    np.subtract(p_docs[1:], p_docs[:-1], out=deltas[1:])
+    deltas[b_start] = 0
+    docs_bins = forutil.pack_many(
+        deltas.astype(np.uint32), b_start, b_end
+    )
+    tfs_bins = _pfor_pack_many(p_tfs.astype(np.uint32), b_start, b_end)
+    # positions: per-doc delta streams, FOR-packed per block
+    if with_positions:
+        pos = np.asarray(positions_flat, dtype=np.int64)
+        pd = np.empty(pos.size, dtype=np.int64)
+        if pos.size:
+            pd[0] = 0
+            np.subtract(pos[1:], pos[:-1], out=pd[1:])
+        pbounds = np.concatenate(([0], np.cumsum(p_tfs)))
+        pstarts = pbounds[:-1]
+        pd[pstarts] = pos[pstarts]
+        pos_bins = forutil.pack_many(
+            pd.astype(np.uint32), pbounds[b_start], pbounds[b_end]
+        )
+    else:
+        pos_bins = [b""] * nb
+    nb_arr = np.asarray(norms_by_doc, dtype=np.uint8)
+    imp_tfs, imp_norms = _competitive_impacts_many(
+        p_tfs, nb_arr[p_docs], block_of, nb
+    )
+    rows = []
+    for i in range(nb):
+        rows.append(
+            {
+                "term": str(terms[b_code[i]]),
+                "block_id": int(b_blk[i]),
+                "num_docs": int(b_n[i]),
+                "first_doc": int(first_doc[i]),
+                "last_doc": int(last_doc[i]),
+                "docs_bin": docs_bins[i],
+                "tfs_bin": tfs_bins[i],
+                "pos_bin": pos_bins[i],
+                "impact_tfs": imp_tfs[i],
+                "impact_norms": imp_norms[i],
+            }
+        )
+    return rows

@@ -126,7 +126,7 @@ def invert_field(
     All heavy lifting is vectorized numpy over the batch tokenization
     (the IndexingChain.processDocument/invert analog, SURVEY §2.1).
     """
-    from lucene_spark.codec.blocks import encode_term_postings
+    from lucene_spark.codec.blocks import encode_partition
     from lucene_spark.search.ast import fielded
     from lucene_spark.util.smallfloat import int_to_byte4_np
 
@@ -141,27 +141,35 @@ def invert_field(
         codes_s = codes[order]
         docs_s = doc_idx[order].astype(np.int64)
         pos_s = positions[order].astype(np.int64)
-        term_bounds = np.concatenate(
-            ([0], np.flatnonzero(np.diff(codes_s)) + 1, [codes_s.size])
+        # collapse the token stream to postings (one row per (term, doc))
+        p_change = np.concatenate(
+            ([True], (codes_s[1:] != codes_s[:-1]) | (docs_s[1:] != docs_s[:-1]))
         )
-        for ti in range(uniq.size):
-            s, e = term_bounds[ti], term_bounds[ti + 1]
-            d = docs_s[s:e]
-            p = pos_s[s:e]
-            # per-doc tf within this term
-            doc_change = np.concatenate(([True], d[1:] != d[:-1]))
-            doc_ids = d[doc_change]
-            tf = np.diff(np.concatenate((np.flatnonzero(doc_change), [d.size])))
-            rows = encode_term_postings(
-                doc_ids, tf, p, norms, with_positions=store_positions
-            )
-            term = fielded(field, str(uniq[ti]))
-            for r in rows:
-                r["term"] = term
-            block_rows.extend(rows)
-            term_stats.append(
-                {"term": term, "doc_freq": int(doc_ids.size), "total_tf": int(tf.sum())}
-            )
+        p_start = np.flatnonzero(p_change)
+        p_codes = codes_s[p_start]
+        p_docs = docs_s[p_start]
+        p_tfs = np.diff(np.concatenate((p_start, [codes_s.size])))
+        fielded_terms = np.array(
+            [fielded(field, str(t)) for t in uniq], dtype=object
+        )
+        # one vectorized batch encode for EVERY term (codec/blocks.py
+        # encode_partition): no per-term Python loop on the hot path
+        block_rows = encode_partition(
+            p_codes, p_docs, p_tfs, pos_s, norms, fielded_terms,
+            with_positions=store_positions,
+        )
+        df_per_code = np.bincount(p_codes, minlength=uniq.size)
+        ttf_per_code = np.bincount(
+            p_codes, weights=p_tfs.astype(np.float64), minlength=uniq.size
+        ).astype(np.int64)
+        term_stats = [
+            {
+                "term": str(fielded_terms[ti]),
+                "doc_freq": int(df_per_code[ti]),
+                "total_tf": int(ttf_per_code[ti]),
+            }
+            for ti in range(uniq.size)
+        ]
     return (
         block_rows,
         term_stats,

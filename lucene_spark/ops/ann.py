@@ -120,6 +120,15 @@ def py_assign(vec: list, centroids: list) -> int:
     return dists.index(m)
 
 
+def py_probe(vec: list, centroids: list, nprobe: int) -> list:
+    """The ``nprobe`` nearest centroid ids to the query (distance
+    ascending, id tie-break) — the multi-probe list of a real IVF
+    search."""
+    dists = [(py_sq_dist(vec, c), j) for j, c in enumerate(centroids)]
+    dists.sort()
+    return [j for _, j in dists[:nprobe]]
+
+
 def ivf_topk_sql(
     d: str,
     qvec: list,
@@ -127,16 +136,19 @@ def ivf_topk_sql(
     k: int = 5,
     dim: int = 64,
     table: str = "embeddings",
+    nprobe: int = 1,
 ) -> str:
-    """(vec_id, cos): top-k cosine *within the query's IVF cluster*
-    (nprobe=1) — identical contract to brute force restricted to the
-    probed partition."""
-    probe = py_assign(qvec, centroids)
+    """(vec_id, cos): top-k cosine within the query's ``nprobe``
+    nearest IVF clusters — identical contract to brute force restricted
+    to the probed partitions (recall grows with nprobe; at nprobe=C it
+    IS brute force)."""
+    probes = py_probe(qvec, centroids, nprobe)
     cols, case, m = _assign_expr(d, centroids, dim)
     q = _lit_vec(d, qvec)
     qn = math.sqrt(py_sq_norm(qvec))
     dot = _dot(d, "embedding", q, dim)
     nrm = _sq_norm(d, "embedding", dim)
+    plist = ", ".join(str(p) for p in probes)
     return f"""
 WITH dists AS (
   SELECT vec_id, embedding,
@@ -145,7 +157,7 @@ WITH dists AS (
 ),
 mm AS (SELECT *, {m} AS m FROM dists),
 assigned AS (
-  SELECT vec_id, embedding FROM mm WHERE {case} = {probe}
+  SELECT vec_id, embedding FROM mm WHERE {case} IN ({plist})
 )
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        {dot} / (sqrt({nrm}) * CAST('{qn!r}' AS DOUBLE)) AS cos

@@ -127,6 +127,15 @@ class OracleIndex:
         if isinstance(q, ast.MatchAllDocsQuery):
             docs = np.arange(self.doc_count, dtype=np.int64)
             return docs, np.full(docs.size, np.float32(boost), np.float32)
+        if isinstance(q, ast.FieldExistsQuery):
+            if self.norms_by_field is not None:
+                nrm = self.norms_by_field.get(q.field)
+            else:
+                nrm = self.norms if q.field == "" else None
+            if nrm is None:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            docs = np.flatnonzero(np.asarray(nrm) > 0).astype(np.int64)
+            return docs, np.full(docs.size, np.float32(boost), np.float32)
         if isinstance(q, ast.BoostQuery):
             return self.score_query(q.query, boost * q.boost)
         if isinstance(q, ast.ConstantScoreQuery):
@@ -210,16 +219,23 @@ class OracleIndex:
         if docs.size == 0:
             return docs, np.empty(0, np.float32)
         if q.slop > 0:
-            from lucene_spark.search.sloppy import check_no_repeats, sloppy_freq
+            from lucene_spark.search.sloppy import (
+                repeat_groups,
+                sloppy_freq,
+                sloppy_freq_repeats,
+            )
 
-            check_no_repeats(q.terms)
+            groups = repeat_groups(q.terms)
             freqs = np.zeros(docs.size, dtype=np.float64)
             for i, d in enumerate(docs):
                 pls = []
                 for e in entries:
                     j = int(np.searchsorted(e[0], d))
                     pls.append(e[2][j])
-                freqs[i] = sloppy_freq(pls, q.positions, q.slop)
+                if groups is None:
+                    freqs[i] = sloppy_freq(pls, q.positions, q.slop)
+                else:
+                    freqs[i] = sloppy_freq_repeats(pls, q.positions, q.slop, groups)
             hit = freqs > 0
             docs, freqs = docs[hit], freqs[hit]
             if docs.size == 0:

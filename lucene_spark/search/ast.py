@@ -102,6 +102,43 @@ class MatchNoDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldExistsQuery(Query):
+    """Matches every doc with at least one indexed token in ``field``
+    (``search/FieldExistsQuery.java`` over norms: a doc has a norm iff
+    the field produced terms). Scores a constant 1.0 * boost."""
+
+    field: str = ""
+
+
+@dataclass(frozen=True)
+class NGramPhraseQuery(Query):
+    """PhraseQuery over n-gram terms with the reference's rewrite
+    (``search/NGramPhraseQuery.java:30-77``): because consecutive
+    n-grams overlap by n-1 characters, matching every n-th gram (plus
+    the last) implies the full phrase — the rewrite drops the redundant
+    middle terms, shrinking the conjunction 1/n."""
+
+    n: int
+    terms: tuple
+    positions: tuple = ()
+
+    def rewrite_phrase(self) -> "Query":
+        terms, positions = self.terms, self.positions or tuple(range(len(self.terms)))
+        if len(terms) < 3 or self.n < 2:
+            return PhraseQuery(terms=terms, positions=positions)
+        # consecutive-position check: the optimization only applies to
+        # gap-free gram streams (NGramPhraseQuery.rewrite guard)
+        if any(positions[i + 1] - positions[i] != 1 for i in range(len(terms) - 1)):
+            return PhraseQuery(terms=terms, positions=positions)
+        keep_t, keep_p = [], []
+        for i in range(len(terms)):
+            if i % self.n == 0 or i == len(terms) - 1:
+                keep_t.append(terms[i])
+                keep_p.append(positions[i])
+        return PhraseQuery(terms=tuple(keep_t), positions=tuple(keep_p))
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     pass
 
@@ -117,6 +154,8 @@ def rewrite(q: Query) -> Query:
 
 
 def _rewrite_once(q: Query) -> Query:
+    if isinstance(q, NGramPhraseQuery):
+        return q.rewrite_phrase()
     if isinstance(q, BoostQuery):
         c = rewrite(q.query)
         if isinstance(c, MatchNoDocsQuery):
@@ -175,7 +214,7 @@ def query_terms(q: Query) -> set:
     """All terms a query touches (for postings pruning)."""
     if isinstance(q, TermQuery):
         return {q.term}
-    if isinstance(q, PhraseQuery):
+    if isinstance(q, (PhraseQuery, NGramPhraseQuery)):
         return set(q.terms)
     if isinstance(q, MultiPhraseQuery):
         return {t for slot in q.slots for t in slot}

@@ -99,6 +99,16 @@ def score_exhaustive(
         d = np.arange(seg.max_doc, dtype=np.int64)
         d = d[seg.live_mask(d)]
         return d, np.full(d.size, float(np.float32(boost)), np.float64)
+    if isinstance(q, ast.FieldExistsQuery):
+        if seg.norms_by_field is not None:
+            nrm = seg.norms_by_field.get(q.field)
+        else:
+            nrm = seg.norms if q.field == "" else None
+        if nrm is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        d = np.flatnonzero(np.asarray(nrm) > 0).astype(np.int64)
+        d = d[seg.live_mask(d)]
+        return d, np.full(d.size, float(np.float32(boost)), np.float64)
     if isinstance(q, ast.BoostQuery):
         return score_exhaustive(seg, q.query, scorers, dtype, boost * q.boost)
     if isinstance(q, ast.ConstantScoreQuery):
@@ -222,13 +232,21 @@ def _phrase_doc_freqs(seg: SegmentView, q: ast.PhraseQuery):
 
 
 def _verify_sloppy(seg, q, tbs, docs):
-    from lucene_spark.search.sloppy import check_no_repeats, sloppy_freq
+    from lucene_spark.search.sloppy import (
+        repeat_groups,
+        sloppy_freq,
+        sloppy_freq_repeats,
+    )
 
-    check_no_repeats(q.terms)
+    groups = repeat_groups(q.terms)
     pos_lists = [_positions_for_docs(tb, docs) for tb in tbs]
     freqs = np.zeros(docs.size, dtype=np.float64)
     for i in range(docs.size):
-        freqs[i] = sloppy_freq([pl[i] for pl in pos_lists], q.positions, q.slop)
+        pls = [pl[i] for pl in pos_lists]
+        if groups is None:
+            freqs[i] = sloppy_freq(pls, q.positions, q.slop)
+        else:
+            freqs[i] = sloppy_freq_repeats(pls, q.positions, q.slop, groups)
     hit = freqs > 0
     return docs[hit], freqs[hit]
 
@@ -320,15 +338,24 @@ def _term_topk(seg, term, scorers, k, threshold, dtype):
         return heap
     scorer = scorers[("t", term)]
     bmax = tb.block_max_scores(scorer)
-    for b in range(tb.nblocks):
-        if bmax[b] <= heap.theta:
-            heap.hits += int(tb.num_docs[b])  # totalHits still counts skips
+    # two-level skipping (Lucene104PostingsFormat.java:347-353): check
+    # the 32-block group bound first; only groups that can compete
+    # iterate their member blocks
+    _, _, g_ndocs, g_bmax, g_starts, g_ends = tb.level1(scorer)
+    for g in range(g_starts.size):
+        theta = heap.theta
+        if g_bmax[g] <= theta:
+            heap.hits += int(g_ndocs[g])  # totalHits still counts skips
             continue
-        d, t = tb.decode(b)
-        m = seg.live_mask(d)
-        d, t = d[m], t[m]
-        s = scorer.score(t, tb.norms[d]).astype(np.float64)
-        heap.update(d, s)
+        for b in range(int(g_starts[g]), int(g_ends[g])):
+            if bmax[b] <= heap.theta:
+                heap.hits += int(tb.num_docs[b])
+                continue
+            d, t = tb.decode(b)
+            m = seg.live_mask(d)
+            d, t = d[m], t[m]
+            s = scorer.score(t, tb.norms[d]).astype(np.float64)
+            heap.update(d, s)
     return heap
 
 

@@ -452,3 +452,34 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM docs, stats, dfs
 WHERE {ttf} > 0 OR {btf} > 0
 ORDER BY doc_id"""
+
+
+def sloppy_match_sql(
+    t1: str, t2: str, off2: int, slop: int, table: str = "documents"
+) -> str:
+    """(doc_id) docs where the two-term sloppy phrase matches: EXISTS
+    positions a of t1, b of t2 with window(a - 0, b - off2) <= slop —
+    exactly the no-repeats SloppyPhraseMatcher match set (the greedy
+    matcher finds a match iff such a selection exists; fuzz-verified).
+    The float32 sloppyFreq itself is not SQL-expressible; scores are
+    gated by tests/test_sloppy.py instead."""
+    p1 = f"list_filter(range(1, len(raw) + 1), i -> raw[i] = '{t1}')"
+    p2 = f"list_filter(range(1, len(raw) + 1), i -> raw[i] = '{t2}')"
+    win = f"greatest(a, b - {off2}) - least(a, b - {off2})"
+    hit = (
+        f"len(list_filter({p1}, a -> "
+        f"len(list_filter({p2}, b -> {win} <= {slop})) > 0)) > 0"
+    )
+    return f"""WITH {base_ctes(table)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM docs WHERE {hit}
+ORDER BY doc_id"""
+
+
+def field_exists_sql(title_words: int = 8, table: str = "documents") -> str:
+    """(doc_id) docs whose TITLE field has >=1 token (FieldExistsQuery
+    over the per-field norms)."""
+    return f"""WITH {fielded_ctes(title_words, table)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM docs WHERE len(ttoks) > 0
+ORDER BY doc_id"""

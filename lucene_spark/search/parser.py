@@ -105,9 +105,6 @@ def _parse_unit(toks, i, analyzer):
             except ValueError as e:
                 raise ValueError(f"bad slop {toks[i+1]!r}") from e
             if isinstance(q, PhraseQuery) and slop > 0:
-                from lucene_spark.search.sloppy import check_no_repeats
-
-                check_no_repeats(q.terms)
                 q = PhraseQuery(terms=q.terms, positions=q.positions, slop=slop)
             if boost_txt is not None:
                 return BoostQuery(q, float(boost_txt)), i + 2

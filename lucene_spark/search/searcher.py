@@ -631,6 +631,56 @@ class Searcher:
         )
         return self._with_url(per_seg, ["doc_id", "url"])
 
+    def field_exists_docs(self, field: str = ""):
+        """FieldExistsQuery (``search/FieldExistsQuery.java``): docs
+        with >=1 indexed token of ``field`` — evaluated off the
+        per-field NORMS blobs (a doc has a norm iff the field produced
+        terms), one mapInPandas over the norms table, no postings
+        touched. DataFrame (doc_id, url)."""
+        import os as _os
+
+        import pyspark.sql.functions as F
+
+        index_dir = self.index_dir
+        kfield = field
+        norms = self.spark.read.parquet(_os.path.join(index_dir, "norms")).where(
+            F.col("segment_id").isin(list(self.live_segments))
+        )
+        if "field" in norms.columns:
+            norms = norms.where(F.col("field") == kfield)
+        elif kfield:
+            norms = norms.where(F.lit(False))
+
+        def gen(iterator):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            for pdf in iterator:
+                for rec in pdf.itertuples(index=False):
+                    arr = np.frombuffer(rec.norms_bin, dtype=np.uint8)
+                    docs = np.flatnonzero(arr > 0).astype(np.int64)
+                    # honor liveDocs tombstones
+                    del_path = _os.path.join(
+                        index_dir, "deletes", f"segment_id={rec.segment_id}",
+                        "data.parquet",
+                    )
+                    if _os.path.exists(del_path):
+                        dead = np.asarray(
+                            pq.read_table(del_path)["local_id"].to_pylist(),
+                            dtype=np.int64,
+                        )
+                        live = np.ones(arr.size, dtype=bool)
+                        live[dead] = False
+                        docs = docs[live[docs]]
+                    yield pd.DataFrame(
+                        {"doc_id": (docs + int(rec.doc_base)).astype("int64")}
+                    )
+
+        per_seg = norms.select("segment_id", "doc_base", "norms_bin").mapInPandas(
+            gen, schema="doc_id long"
+        )
+        return self._with_url(per_seg, ["doc_id", "url"])
+
     def multi_term_topk(
         self,
         mode: str,

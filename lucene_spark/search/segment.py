@@ -72,16 +72,53 @@ class TermBlocks:
 
     def block_max_scores(self, scorer) -> np.ndarray:
         """Per-block score upper bound from the competitive impacts
-        (MaxScoreCache.java:74-89 analog) — rank-safe by construction."""
+        (MaxScoreCache.java:74-89 analog) — rank-safe by construction.
+        ONE vectorized scorer call over all blocks' impacts."""
         key = ("bmax", id(scorer))
         hit = self._cache.get(key)
         if hit is None:
-            out = np.empty(self.nblocks, dtype=np.float64)
-            for i in range(self.nblocks):
-                tfs = np.asarray(self.impact_tfs[i], dtype=np.int64)
-                nbs = np.asarray(self.impact_norms[i], dtype=np.uint8)
-                out[i] = float(np.max(scorer.score(tfs, nbs)))
-            hit = out
+            counts = np.fromiter(
+                (len(x) for x in self.impact_tfs), dtype=np.int64, count=self.nblocks
+            )
+            if counts.sum() == 0:
+                hit = np.zeros(self.nblocks, dtype=np.float64)
+            else:
+                tfs = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in self.impact_tfs]
+                )
+                nbs = np.concatenate(
+                    [np.asarray(x, dtype=np.uint8) for x in self.impact_norms]
+                )
+                scores = np.asarray(scorer.score(tfs, nbs), dtype=np.float64)
+                starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                hit = np.maximum.reduceat(scores, starts)
+            self._cache[key] = hit
+        return hit
+
+    # level-1 skip geometry: one entry per LEVEL1_GROUP blocks
+    # (Lucene104PostingsFormat.java:347-353 — a second skip level every
+    # 32 blocks / 8192 docs lets the scorer skip whole block GROUPS on
+    # one bound check instead of 32)
+    LEVEL1_GROUP = 32
+
+    def level1(self, scorer):
+        """(g_first_doc, g_last_doc, g_num_docs, g_bmax) per 32-block
+        group; g_bmax is the max member block-max — a true upper bound
+        for every doc in the group."""
+        key = ("l1", id(scorer))
+        hit = self._cache.get(key)
+        if hit is None:
+            bm = self.block_max_scores(scorer)
+            g = self.LEVEL1_GROUP
+            starts = np.arange(0, self.nblocks, g)
+            ends = np.minimum(starts + g, self.nblocks)
+            g_first = self.first_doc[starts]
+            g_last = self.last_doc[ends - 1]
+            g_ndocs = np.add.reduceat(
+                self.num_docs.astype(np.int64), starts
+            )
+            g_bmax = np.maximum.reduceat(bm, starts)
+            hit = (g_first, g_last, g_ndocs, g_bmax, starts, ends)
             self._cache[key] = hit
         return hit
 

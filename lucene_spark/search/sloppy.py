@@ -76,9 +76,89 @@ def sloppy_freq(pos_lists: list, offsets, slop: int) -> float:
     return float(freq)
 
 
-def check_no_repeats(terms) -> None:
-    if len(set(terms)) != len(terms):
-        raise NotImplementedError(
-            "sloppy phrases with repeated terms are not supported "
-            "(SloppyPhraseMatcher repeat groups; documented divergence)"
-        )
+def repeat_groups(terms) -> "list[list[int]] | None":
+    """Indices of repeated terms, grouped (None when all distinct) —
+    the repeat-group identification of ``SloppyPhraseMatcher``
+    (gatherRptGroups)."""
+    by_term: dict = {}
+    for i, t in enumerate(terms):
+        by_term.setdefault(t, []).append(i)
+    groups = [g for g in by_term.values() if len(g) > 1]
+    return groups or None
+
+
+def sloppy_freq_repeats(pos_lists, offsets, slop: int, groups) -> float:
+    """Sloppy frequency for phrases with REPEATED terms.
+
+    Semantics follow ``SloppyPhraseMatcher``'s repeat machinery
+    (collide/lesser/advanceRpts): two occurrences of the same term must
+    match DIFFERENT document positions (injective matching); whenever
+    two repeat-group members land on the same raw position, the lesser
+    one (smaller shifted position, then larger offset) advances.
+    Matches accumulate 1f/(1f+matchLength) in float32 like the
+    no-repeats path. The greedy advance order is a documented
+    re-derivation, not a bit-level port: doc MATCH sets are exact
+    (tested against brute-force injective selection); freq values on
+    repeated-term phrases may differ from the reference in corner
+    cases with overlapping match windows.
+    """
+    n = len(pos_lists)
+    counts = [len(p) for p in pos_lists]
+    group_of = [-1] * n
+    for gi, g in enumerate(groups):
+        for i in g:
+            group_of[i] = gi
+    # collision-free initial placement: group member with the r-th
+    # smallest offset starts at its r-th position (the fixpoint the
+    # reference's advance-the-lesser loop converges to)
+    j = [0] * n
+    for g in groups:
+        for r, i in enumerate(sorted(g, key=lambda i: int(offsets[i]))):
+            j[i] = r
+    if any(j[i] >= counts[i] for i in range(n)):
+        return 0.0
+    raw = [int(pos_lists[i][j[i]]) for i in range(n)]
+    pos = [raw[i] - int(offsets[i]) for i in range(n)]
+
+    def advance_one(i: int) -> bool:
+        j[i] += 1
+        if j[i] >= counts[i]:
+            return False
+        raw[i] = int(pos_lists[i][j[i]])
+        pos[i] = raw[i] - int(offsets[i])
+        return True
+
+    def advance(i: int) -> bool:
+        """Advance pp i, then resolve repeat collisions (advanceRpts)."""
+        if not advance_one(i):
+            return False
+        gi = group_of[i]
+        if gi < 0:
+            return True
+        g = groups[gi]
+        changed = True
+        while changed:
+            changed = False
+            for a in g:
+                for b in g:
+                    if a < b and raw[a] == raw[b]:
+                        k = (
+                            a
+                            if (pos[a], -int(offsets[a])) <= (pos[b], -int(offsets[b]))
+                            else b
+                        )
+                        if not advance_one(k):
+                            return False
+                        changed = True
+        return True
+
+    one = np.float32(1.0)
+    freq = np.float32(0.0)
+    while True:
+        i_min = min(range(n), key=lambda i: (pos[i], int(offsets[i])))
+        ml = max(pos) - pos[i_min]
+        if ml <= slop:
+            freq = np.float32(freq + one / (one + np.float32(ml)))
+        if not advance(i_min):
+            break
+    return float(freq)

@@ -155,3 +155,47 @@ def test_single_field_unchanged(corpus):
     o1 = OracleIndex.build(corpus, num_segments=3, analyzer=ENGLISH)
     assert e1.field_stats is None and o1.field_stats is None
     _match(e1, o1, T("w0000"))
+
+
+def test_field_exists_query(engine, oracle):
+    """FieldExistsQuery over per-field norms: kernel + oracle agree;
+    docs with empty titles (all-stopword prefixes) are excluded."""
+    q = ast.FieldExistsQuery("title")
+    ed, _ = oracle.score_query(q)
+    got = engine.search(q, k=10**6, pruned=False)
+    assert {d for d, _, _ in got} == set(int(x) for x in ed)
+    assert all(s == 1.0 for _, s, _ in got)
+    # boosted
+    got2 = engine.search(ast.BoostQuery(q, 2.0), k=10, pruned=False)
+    assert all(s == 2.0 for _, s, _ in got2)
+    # nonexistent field matches nothing
+    assert engine.search(ast.FieldExistsQuery("nope"), k=10) == []
+
+
+def test_ngram_phrase_rewrite():
+    """NGramPhraseQuery rewrite drops redundant middle grams (every
+    n-th + last kept) and is match-equivalent to the full phrase on a
+    gram-token corpus."""
+    from lucene_spark.oracle import OracleIndex as OI
+
+    grams = lambda s, n=2: [s[i : i + n] for i in range(len(s) - n + 1)]
+    rows = [
+        {"url": f"u{i}", "text": " ".join(grams(w))}
+        for i, w in enumerate(
+            ["spark", "sparse", "parquet", "sharks", "park", "arcs", "spar"]
+        )
+    ]
+    eng = LocalIndex.build(rows, num_segments=2, analyzer=ENGLISH)
+    orc = OI.build(rows, num_segments=2, analyzer=ENGLISH)
+    target = grams("spark")  # sp pa ar rk
+    q = ast.NGramPhraseQuery(n=2, terms=tuple(target))
+    rq = ast.rewrite(q)
+    assert isinstance(rq, ast.PhraseQuery)
+    assert rq.terms == ("sp", "ar", "rk") and rq.positions == (0, 2, 3)
+    full = ast.PhraseQuery(terms=tuple(target), positions=(0, 1, 2, 3))
+    a = eng.search(q, k=20)
+    b = eng.search(full, k=20)
+    assert {d for d, _, _ in a} == {d for d, _, _ in b}
+    assert {eng.url_of(d) for d, _, _ in a} == {"u0"}  # only "spark"
+    exp = orc.top_k(q, k=20)
+    assert [d for d, _, _ in a] == [d for d, _, _ in exp]

@@ -148,3 +148,77 @@ def test_media_features(views):
 def test_media_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         media.decode_image(b"\x89PNG...")
+
+
+def test_kmeans_distributed_matches_numpy_mirror(spark):
+    """train_df (distributed Lloyd's) and train_np (the gate's mirror)
+    agree: same init, same argmin tie-break; float64 centroid coords may
+    differ in last ulps (distributed sum reassociation), so the
+    ASSIGNMENTS are the contract."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_spark.ops import kmeans
+
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(sf + "/embeddings.parquet")
+    t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    vecs = vecs[np.argsort(ids, kind="stable")]
+
+    c_np = kmeans.train_np(vecs, 8, iters=3)
+    c_df = kmeans.train_df(spark, df, 8, iters=3)
+    a_np = kmeans.assign_np(vecs, c_np)
+    a_df = kmeans.assign_np(vecs, c_df)
+    agree = float((a_np == a_df).mean())
+    assert agree >= 0.995, agree
+    # centroid coordinates near-identical
+    assert np.allclose(np.asarray(c_np), np.asarray(c_df), rtol=1e-9, atol=1e-9)
+    # training reduces inertia vs the untrained first-C placeholder
+    def inertia(cents):
+        d2 = ((vecs[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(axis=2)
+        return float(d2.min(axis=1).sum())
+
+    assert inertia(c_np) < inertia(vecs[:8]) * 0.95
+
+
+def test_ivf_recall_improves_with_nprobe(spark):
+    """IVF with trained centroids: recall@10 vs brute force grows with
+    nprobe and hits 1.0 at nprobe=C."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_spark.ops import ann, kmeans
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, vecs = ids[order], vecs[order]
+    cents = kmeans.train_np(vecs, 8, iters=3)
+    assign = kmeans.assign_np(vecs, cents)
+
+    def brute_topk(q, k=10):
+        cos = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+        return set(ids[np.argsort(-cos, kind="stable")[:k]])
+
+    def ivf_topk(q, k=10, nprobe=1):
+        probes = set(ann.py_probe(list(q), cents, nprobe))
+        sel = np.isin(assign, list(probes))
+        cos = (vecs[sel] @ q) / (
+            np.linalg.norm(vecs[sel], axis=1) * np.linalg.norm(q)
+        )
+        return set(ids[sel][np.argsort(-cos, kind="stable")[:k]])
+
+    recalls = []
+    for nprobe in (1, 2, 8):
+        r = []
+        for qi in range(5):
+            b = brute_topk(vecs[qi])
+            g = ivf_topk(vecs[qi], nprobe=nprobe)
+            r.append(len(b & g) / len(b))
+        recalls.append(sum(r) / len(r))
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[2] == 1.0

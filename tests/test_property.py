@@ -114,3 +114,94 @@ def test_batch_tokenizer_matches_reference(texts):
             assert list(terms[sel]) == want_t, (text,)
             assert list(positions[sel]) == want_p
             assert counts[d] == len(want_t)
+
+
+def test_batch_encoder_matches_scalar():
+    """encode_partition (the vectorized invert path) must emit block
+    rows BYTE-identical to the per-term encode_term_postings loop."""
+    import numpy as np
+
+    from lucene_spark.codec.blocks import encode_partition, encode_term_postings
+    from lucene_spark.fixtures import make_pages
+    from lucene_spark.util.smallfloat import int_to_byte4_np
+
+    rows = make_pages(300)
+    texts = [r["text"] for r in rows]
+    doc_idx, codes, uniq, positions, counts = ENGLISH.tokenize_batch_coded(texts)
+    norms = int_to_byte4_np(counts)
+    order = np.lexsort((positions, doc_idx, codes))
+    codes_s = codes[order]
+    docs_s = doc_idx[order].astype(np.int64)
+    pos_s = positions[order].astype(np.int64)
+    p_change = np.concatenate(
+        ([True], (codes_s[1:] != codes_s[:-1]) | (docs_s[1:] != docs_s[:-1]))
+    )
+    p_start = np.flatnonzero(p_change)
+    p_codes, p_docs = codes_s[p_start], docs_s[p_start]
+    p_tfs = np.diff(np.concatenate((p_start, [codes_s.size])))
+    batch = encode_partition(p_codes, p_docs, p_tfs, pos_s, norms, uniq, True)
+
+    term_bounds = np.concatenate(
+        ([0], np.flatnonzero(np.diff(codes_s)) + 1, [codes_s.size])
+    )
+    scalar = []
+    for ti in range(uniq.size):
+        s, e = term_bounds[ti], term_bounds[ti + 1]
+        d, p = docs_s[s:e], pos_s[s:e]
+        dc = np.concatenate(([True], d[1:] != d[:-1]))
+        doc_ids = d[dc]
+        tf = np.diff(np.concatenate((np.flatnonzero(dc), [d.size])))
+        rws = encode_term_postings(doc_ids, tf, p, norms, with_positions=True)
+        for r in rws:
+            r["term"] = str(uniq[ti])
+        scalar.extend(rws)
+    assert len(batch) == len(scalar)
+    for a, b in zip(batch, scalar):
+        for k in (
+            "term", "block_id", "num_docs", "first_doc", "last_doc",
+            "docs_bin", "tfs_bin", "pos_bin",
+        ):
+            assert a[k] == b[k], (a["term"], k)
+        assert list(a["impact_tfs"]) == list(b["impact_tfs"]), a["term"]
+        assert list(a["impact_norms"]) == list(b["impact_norms"]), a["term"]
+
+
+@given(
+    st.lists(st.integers(0, 2**31 - 1), min_size=0, max_size=600),
+    st.integers(1, 50),
+)
+def test_pack_many_matches_pack(values, nblocks):
+    """Batch FOR packing == scalar pack, any block partition."""
+    import numpy as np
+
+    from lucene_spark.codec import forutil
+
+    v = np.asarray(values, dtype=np.uint32)
+    cuts = np.linspace(0, v.size, nblocks + 1).astype(np.int64)
+    got = forutil.pack_many(v, cuts[:-1], cuts[1:])
+    for k in range(nblocks):
+        assert got[k] == forutil.pack(v[cuts[k] : cuts[k + 1]])
+
+
+def test_level1_group_bounds_dominate():
+    """Every 32-block group's level-1 bound >= each member block's
+    block-max bound (rank-safety of group skipping)."""
+    import numpy as np
+
+    from lucene_spark.fixtures import make_pages
+    from lucene_spark.search.local import LocalIndex
+    from lucene_spark.similarity import bm25
+
+    rows = make_pages(400)
+    idx = LocalIndex.build(rows, num_segments=1, analyzer=ENGLISH)
+    seg = idx.segments[0]
+    scorer = bm25.BM25Scorer.build(1.5, 20.0)
+    checked = 0
+    for term, tb in list(seg.terms.items())[:200]:
+        bm = tb.block_max_scores(scorer)
+        _, _, g_ndocs, g_bmax, g_starts, g_ends = tb.level1(scorer)
+        assert int(g_ndocs.sum()) == int(tb.num_docs.sum())
+        for g in range(g_starts.size):
+            assert g_bmax[g] >= bm[g_starts[g] : g_ends[g]].max() - 1e-12
+            checked += 1
+    assert checked > 0

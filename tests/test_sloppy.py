@@ -52,9 +52,77 @@ def test_slop_match_set_monotone():
         assert f([p1, p2], (0, 1), 100) > 0
 
 
-def test_repeated_terms_rejected():
-    with pytest.raises(NotImplementedError):
-        parse('"w0000 w0000"~2', ENGLISH)
+def fr(pos_lists, offsets, slop, groups):
+    from lucene_spark.search.sloppy import sloppy_freq_repeats
+
+    return sloppy_freq_repeats(
+        [np.array(p) for p in pos_lists], offsets, slop, groups
+    )
+
+
+def _brute_injective_match(pos_lists, offsets, groups, slop):
+    """Exists an INJECTIVE (per repeat group) selection of one raw
+    position per slot with window <= slop?"""
+    import itertools
+
+    group_of = {}
+    for gi, g in enumerate(groups or []):
+        for i in g:
+            group_of[i] = gi
+    for sel in itertools.product(*[list(p) for p in pos_lists]):
+        ok = True
+        for gi, g in enumerate(groups or []):
+            picks = [sel[i] for i in g]
+            if len(set(picks)) != len(picks):
+                ok = False
+                break
+        if not ok:
+            continue
+        shifted = [s - o for s, o in zip(sel, offsets)]
+        if max(shifted) - min(shifted) <= slop:
+            return True
+    return False
+
+
+def test_repeated_terms_supported():
+    """Repeat groups (SloppyPhraseMatcher repeat machinery): the same
+    term at two slots must match two DIFFERENT document positions."""
+    q = parse('"w0000 w0000"~2', ENGLISH)
+    assert isinstance(q, ast.PhraseQuery) and q.slop == 2
+    g = [[0, 1]]
+    # doc has only ONE occurrence -> injective matching impossible
+    assert fr([[5], [5]], (0, 1), 5, g) == 0.0
+    # two adjacent occurrences -> exact repeat phrase matches
+    assert fr([[5, 6], [5, 6]], (0, 1), 0, g) == 1.0
+    # "a x a": positions 0,2 -> matchLength 1 under offsets (0,1)
+    assert fr([[0, 2], [0, 2]], (0, 1), 0, g) == 0.0
+    assert fr([[0, 2], [0, 2]], (0, 1), 1, g) == 0.5
+
+
+def test_repeat_match_set_equals_brute_force():
+    rng = np.random.default_rng(7)
+    groups = [[0, 2]]  # slots 0 and 2 share a term ("a b a")
+    for _ in range(300):
+        pa = np.unique(rng.integers(0, 12, size=rng.integers(1, 5)))
+        pb = np.unique(rng.integers(0, 12, size=rng.integers(1, 5)))
+        pls = [pa, pb, pa]
+        offs = (0, 1, 2)
+        for slop in (0, 1, 2, 4):
+            got = fr(pls, offs, slop, groups) > 0
+            want = _brute_injective_match(pls, offs, groups, slop)
+            assert got == want, (list(pa), list(pb), slop)
+
+
+def test_repeat_phrase_engine_matches_oracle(pair):
+    searcher, oracle = pair
+    for query in ('"w0000 w0000"~3', '"w0000 w0001 w0000"~2'):
+        q = parse(query, ENGLISH)
+        expected = oracle.top_k(q, k=10)
+        got = searcher.search(query, k=10).collect()
+        assert len(got) == len(expected), query
+        for row, (ed, es, eu) in zip(got, expected):
+            assert row["doc_id"] == ed and row["url"] == eu
+            assert np.float32(row["score"]) == np.float32(es), query
 
 
 def test_parser_slop_syntax():
