@@ -115,16 +115,58 @@ _POSTINGS_MERGE_SCHEMA = (
 )
 
 
+def _live_layout(index_dir: str, group: list, new_base: int) -> list:
+    """Per source segment: dict(segment_id, doc_base, num_docs, live
+    local ids sorted, new_start) — the squeeze remap, derived entirely
+    from the SMALL deletes files, so every executor task rebuilds it
+    locally (no driver-shipped remap; the DocIDMerger state analog,
+    ``index/DocIDMerger.java:30-40``)."""
+    from lucene_spark.index.deletes import _read_deletes
+
+    out = []
+    off = int(new_base)
+    for s in group:
+        n = int(s["num_docs"])
+        dead = _read_deletes(index_dir, s["segment_id"])
+        if dead.size:
+            live = np.setdiff1d(np.arange(n, dtype=np.int64), dead, assume_unique=True)
+        else:
+            live = np.arange(n, dtype=np.int64)
+        out.append(
+            {
+                "segment_id": s["segment_id"],
+                "doc_base": int(s["doc_base"]),
+                "num_docs": n,
+                "live": live,
+                "new_start": off,
+            }
+        )
+        off += int(live.size)
+    return out
+
+
 def merge_segments(
     spark,
     index_dir: str,
     group_segment_ids: list,
     generation: int,
     num_salts: int = 4,
+    squeeze: bool = False,
 ) -> dict:
     """Merge a contiguous group into one new segment and commit a new
     generation. Returns the new commit dict. Idempotent per segment
-    (manifest check), like the builder."""
+    (manifest check), like the builder.
+
+    ``squeeze=True`` additionally RECLAIMS deleted docs (the
+    ``DocIDMerger`` rewrite): live docs are renumbered densely from the
+    group's doc_base, tombstoned postings are dropped, and
+    docFreq/norms/collection stats are recomputed over live docs only —
+    scores change exactly as Lucene's do after a reclaiming merge.
+    Internal doc ids of the group change (later segments keep theirs)."""
+    if squeeze:
+        return _merge_squeeze(
+            spark, index_dir, group_segment_ids, generation, num_salts
+        )
     import pyarrow as pa
     import pyarrow.parquet as pq
     import pyspark.sql.functions as F
@@ -464,10 +506,14 @@ def compact(
         )
 
 
-def force_merge(spark, index_dir: str, num_salts: int = 4) -> dict:
-    """forceMerge(1): merge everything into a single segment."""
+def force_merge(
+    spark, index_dir: str, num_salts: int = 4, squeeze: bool = False
+) -> dict:
+    """forceMerge(1): merge everything into a single segment.
+    ``squeeze=True`` also reclaims deleted docs (expungeDeletes +
+    forceMerge semantics)."""
     commit = read_latest_commit(index_dir)
-    if len(commit["segments"]) <= 1:
+    if len(commit["segments"]) <= 1 and not squeeze:
         return commit
     return merge_segments(
         spark,
@@ -475,6 +521,7 @@ def force_merge(spark, index_dir: str, num_salts: int = 4) -> dict:
         [s["segment_id"] for s in commit["segments"]],
         generation=commit["generation"] + 1,
         num_salts=num_salts,
+        squeeze=squeeze,
     )
 
 
@@ -512,3 +559,397 @@ def vacuum(index_dir: str) -> list:
             if sid not in live:
                 os.remove(os.path.join(mdir, f))
     return sorted(removed)
+
+
+def _merge_squeeze(
+    spark,
+    index_dir: str,
+    group_segment_ids: list,
+    generation: int,
+    num_salts: int = 4,
+) -> dict:
+    """Dead-doc squeezing merge: decode -> drop tombstoned postings ->
+    renumber live docs densely -> re-encode (batch codec) -> recompute
+    per-term and per-field stats. All segment-sized data moves through
+    salted applyInPandas shards; the doc-id remap is rebuilt inside
+    each task from the small deletes files."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    commit = read_latest_commit(index_dir)
+    by_id = {s["segment_id"]: s for s in commit["segments"]}
+    group = sorted(
+        (by_id[sid] for sid in group_segment_ids), key=lambda s: s["doc_base"]
+    )
+    base = group[0]["doc_base"]
+    for s in group:
+        if s["doc_base"] != base:
+            raise ValueError("merge group must be doc_base-contiguous")
+        base += s["num_docs"]
+    new_base = int(group[0]["doc_base"])
+    new_sid = f"g{generation:04d}s{new_base:012d}"
+    manifest_path = os.path.join(index_dir, "manifest", f"segment_{new_sid}.json")
+    tmp_root = os.path.join(index_dir, "_tmp", new_sid)
+    group_meta = [
+        {"segment_id": s["segment_id"], "doc_base": int(s["doc_base"]),
+         "num_docs": int(s["num_docs"])}
+        for s in group
+    ]
+    layout = _live_layout(index_dir, group, new_base)
+    num_live = int(sum(l["live"].size for l in layout))
+
+    if not os.path.exists(manifest_path):
+        t0 = time.time()
+        post_dir = os.path.join(tmp_root, "postings")
+        ts_dir = os.path.join(tmp_root, "term_stats")
+        os.makedirs(post_dir, exist_ok=True)
+        os.makedirs(ts_dir, exist_ok=True)
+        idx_dir = index_dir
+        nb = new_base
+
+        def squeeze_shard(key, pdf):
+            import pandas as pd
+
+            from lucene_spark.codec import blocks as blk
+            from lucene_spark.codec.blocks import encode_term_postings
+            from lucene_spark.search.ast import field_of
+
+            salt = int(key[0])
+            lay = _live_layout(idx_dir, group_meta, nb)
+            by_order = {i: l for i, l in enumerate(lay)}
+            # new per-field norms (for impacts): filter each source's
+            # blobs by its live mask, concat in doc order
+            norms_parts: dict = {}
+            for l in lay:
+                nt = pq.read_table(
+                    os.path.join(
+                        idx_dir, "norms", f"segment_id={l['segment_id']}",
+                        "data.parquet",
+                    )
+                )
+                for f, b in zip(nt["field"], nt["norms_bin"]):
+                    arr = np.frombuffer(b.as_py(), dtype=np.uint8)
+                    norms_parts.setdefault(f.as_py(), []).append(arr[l["live"]])
+            new_norms = {
+                f: np.concatenate(parts) for f, parts in norms_parts.items()
+            }
+            pdf = pdf.sort_values(["term", "seg_order", "block_id"], kind="mergesort")
+            out_rows: list = []
+            ts_terms: list = []
+            ts_df: list = []
+            ts_ttf: list = []
+            pbytes = 0
+            for term, grp in pdf.groupby("term", sort=True):
+                docs_parts, tfs_parts, pos_parts = [], [], []
+                with_pos = False
+                for rec in grp.itertuples(index=False):
+                    l = by_order[int(rec.seg_order)]
+                    d = blk.decode_docs(int(rec.first_doc), rec.docs_bin)
+                    t = blk.decode_tfs(rec.tfs_bin)
+                    keep = np.isin(d, l["live"], assume_unique=True)
+                    if len(rec.pos_bin):
+                        with_pos = True
+                        flat = blk.decode_positions(rec.pos_bin, t)
+                        bounds = np.concatenate(([0], np.cumsum(t)))
+                        kept_idx = np.flatnonzero(keep)
+                        pos_parts.extend(
+                            flat[bounds[j] : bounds[j + 1]] for j in kept_idx
+                        )
+                    if not keep.any():
+                        continue
+                    d, t = d[keep], t[keep]
+                    new_local = (
+                        l["new_start"] - nb + np.searchsorted(l["live"], d)
+                    )
+                    docs_parts.append(new_local.astype(np.int64))
+                    tfs_parts.append(t)
+                if not docs_parts:
+                    continue
+                nd = np.concatenate(docs_parts)
+                ntf = np.concatenate(tfs_parts)
+                npos = (
+                    np.concatenate(pos_parts)
+                    if pos_parts
+                    else np.empty(0, np.int64)
+                )
+                fnorms = new_norms.get(field_of(term))
+                rows = encode_term_postings(
+                    nd, ntf, npos, fnorms, with_positions=with_pos
+                )
+                for r in rows:
+                    r["term"] = term
+                out_rows.extend(rows)
+                ts_terms.append(term)
+                ts_df.append(int(nd.size))
+                ts_ttf.append(int(ntf.sum()))
+                pbytes += sum(
+                    len(r["docs_bin"]) + len(r["tfs_bin"]) + len(r["pos_bin"])
+                    for r in rows
+                )
+            tbl = pa.table(
+                {
+                    "term": pa.array([r["term"] for r in out_rows], pa.string()),
+                    "block_id": pa.array(
+                        [r["block_id"] for r in out_rows], pa.int32()
+                    ),
+                    "num_docs": pa.array(
+                        [r["num_docs"] for r in out_rows], pa.int32()
+                    ),
+                    "first_doc": pa.array(
+                        [r["first_doc"] for r in out_rows], pa.int64()
+                    ),
+                    "last_doc": pa.array(
+                        [r["last_doc"] for r in out_rows], pa.int64()
+                    ),
+                    "docs_bin": pa.array([r["docs_bin"] for r in out_rows], pa.binary()),
+                    "tfs_bin": pa.array([r["tfs_bin"] for r in out_rows], pa.binary()),
+                    "pos_bin": pa.array([r["pos_bin"] for r in out_rows], pa.binary()),
+                    "impact_tfs": pa.array(
+                        [r["impact_tfs"] for r in out_rows], pa.list_(pa.int32())
+                    ),
+                    "impact_norms": pa.array(
+                        [r["impact_norms"] for r in out_rows], pa.list_(pa.int32())
+                    ),
+                }
+            )
+            pq.write_table(
+                tbl,
+                os.path.join(post_dir, f"data_{salt:04d}.parquet"),
+                row_group_size=POSTINGS_ROW_GROUP,
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "term": pa.array(ts_terms, pa.string()),
+                        "doc_freq": pa.array(ts_df, pa.int64()),
+                        "total_tf": pa.array(ts_ttf, pa.int64()),
+                    }
+                ),
+                os.path.join(ts_dir, f"data_{salt:04d}.parquet"),
+            )
+            # per-field sumTotalTermFreq of this shard's terms
+            by_field: dict = {}
+            for term, ttf, df_ in zip(ts_terms, ts_ttf, ts_df):
+                st = by_field.setdefault(field_of(term), [0, 0, 0])
+                st[0] += ttf
+                st[1] += 1
+                st[2] += df_
+            return pd.DataFrame(
+                {
+                    "salt": [salt] * max(len(by_field), 1) or [salt],
+                    "field": list(by_field) or [""],
+                    "ttf": [v[0] for v in by_field.values()] or [0],
+                    "nterms": [v[1] for v in by_field.values()] or [0],
+                    "npostings": [v[2] for v in by_field.values()] or [0],
+                    "pbytes": [pbytes] + [0] * (max(len(by_field), 1) - 1),
+                }
+            )
+
+        posts = spark.read.parquet(os.path.join(index_dir, "postings")).where(
+            F.col("segment_id").isin([s["segment_id"] for s in group])
+        )
+        dim = spark.createDataFrame(
+            [(s["segment_id"], i) for i, s in enumerate(group)],
+            "segment_id string, seg_order int",
+        )
+        shard_rows = (
+            posts.join(F.broadcast(dim), "segment_id")
+            .withColumn("salt", F.pmod(F.hash("term"), F.lit(num_salts)))
+            .repartition(num_salts, "salt")
+            .groupBy("salt")
+            .applyInPandas(
+                squeeze_shard,
+                schema="salt int, field string, ttf long, nterms long, "
+                       "npostings long, pbytes long",
+            )
+            .collect()
+        )
+        field_ttf: dict = {}
+        n_terms_total = 0
+        n_postings_total = 0
+        postings_bytes = 0
+        for r in shard_rows:
+            field_ttf[r["field"]] = field_ttf.get(r["field"], 0) + int(r["ttf"])
+            n_terms_total += int(r["nterms"])
+            n_postings_total += int(r["npostings"])
+            postings_bytes += int(r["pbytes"])
+
+        # norms: filtered per-field blobs, concat in doc order (1 B/doc)
+        norms_rows = []
+        norms_parts: dict = {}
+        for l in layout:
+            nt = pq.read_table(
+                os.path.join(
+                    index_dir, "norms", f"segment_id={l['segment_id']}",
+                    "data.parquet",
+                )
+            )
+            for f, b in zip(nt["field"], nt["norms_bin"]):
+                arr = np.frombuffer(b.as_py(), dtype=np.uint8)
+                norms_parts.setdefault(f.as_py(), []).append(arr[l["live"]])
+        for fname in sorted(norms_parts):
+            blob = np.concatenate(norms_parts[fname])
+            assert blob.size == num_live
+            norms_rows.append(
+                (
+                    fname,
+                    blob.tobytes(),
+                    int(np.count_nonzero(blob)),
+                    int(field_ttf.get(fname, 0)),
+                )
+            )
+        os.makedirs(os.path.join(tmp_root, "norms"), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "field": pa.array([r[0] for r in norms_rows], pa.string()),
+                    "doc_base": pa.array([new_base] * len(norms_rows), pa.int64()),
+                    "num_docs": pa.array([num_live] * len(norms_rows), pa.int64()),
+                    "field_doc_count": pa.array(
+                        [r[2] for r in norms_rows], pa.int64()
+                    ),
+                    "sum_total_tf": pa.array([r[3] for r in norms_rows], pa.int64()),
+                    "norms_bin": pa.array([r[1] for r in norms_rows], pa.binary()),
+                }
+            ),
+            os.path.join(tmp_root, "norms", "data.parquet"),
+        )
+
+        # docmap: drop dead docs, renumber — distributed range shards
+        dm_dir = os.path.join(tmp_root, "docmap")
+        os.makedirs(dm_dir, exist_ok=True)
+        span = max(1, (num_live + num_salts - 1) // num_salts)
+
+        def dm_shard(key, pdf):
+            import pandas as pd
+
+            shard = int(key[0])
+            pdf = pdf.sort_values("doc_id", kind="mergesort")
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+                        "url": pa.array(pdf["url"], pa.string()),
+                    }
+                ),
+                os.path.join(dm_dir, f"data_{shard:04d}.parquet"),
+            )
+            return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+        def dm_map(iterator):
+            import pandas as pd
+
+            lay = _live_layout(idx_dir, group_meta, nb)
+            bases = np.array([l["doc_base"] for l in lay], dtype=np.int64)
+            for pdf in iterator:
+                ids = pdf["doc_id"].to_numpy()
+                seg_idx = np.searchsorted(bases, ids, side="right") - 1
+                out_id = np.full(ids.size, -1, dtype=np.int64)
+                for si in np.unique(seg_idx):
+                    l = lay[int(si)]
+                    sel = np.flatnonzero(seg_idx == si)
+                    local = ids[sel] - l["doc_base"]
+                    pos = np.searchsorted(l["live"], local)
+                    ok = (pos < l["live"].size) & (l["live"][np.minimum(pos, l["live"].size - 1)] == local)
+                    out_id[sel[ok]] = l["new_start"] + pos[ok]
+                keep = out_id >= 0
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_id[keep],
+                        "url": pdf["url"].to_numpy()[keep],
+                        "shard": ((out_id[keep] - nb) // span).astype("int32"),
+                    }
+                )
+
+        dm_counts = (
+            spark.read.parquet(os.path.join(index_dir, "docmap"))
+            .where(F.col("segment_id").isin([s["segment_id"] for s in group]))
+            .select("doc_id", "url")
+            .mapInPandas(dm_map, schema="doc_id long, url string, shard int")
+            .repartition(num_salts, "shard")
+            .groupBy("shard")
+            .applyInPandas(dm_shard, schema="shard int, n long")
+            .collect()
+        )
+        assert int(sum(r["n"] for r in dm_counts)) == num_live
+
+        import shutil
+
+        for kind in ("postings", "term_stats", "norms", "docmap"):
+            final = os.path.join(index_dir, kind, f"segment_id={new_sid}")
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            os.replace(os.path.join(tmp_root, kind), final)
+        default_field = ""
+        m = {
+            "segment_id": new_sid,
+            "pid": -1,
+            "generation": generation,
+            "doc_base": new_base,
+            "num_docs": num_live,
+            "num_terms": n_terms_total,
+            "num_postings": n_postings_total,
+            "sum_total_tf": int(field_ttf.get(default_field, 0)),
+            "field_stats": {
+                r[0]: {"doc_count": r[2], "sum_total_tf": r[3]} for r in norms_rows
+            },
+            "postings_bytes": postings_bytes,
+            "input_hash": "+".join(s["input_hash"] for s in group),
+            "merged_from": [s["segment_id"] for s in group],
+            "squeezed": True,
+            "build_secs": round(time.time() - t0, 3),
+            "status": "merged",
+        }
+        _atomic_write_json(manifest_path, m)
+    else:
+        with open(manifest_path) as f:
+            m = json.load(f)
+
+    merged_ids = set(group_segment_ids)
+    new_segments = [s for s in commit["segments"] if s["segment_id"] not in merged_ids]
+    row = {
+        k: m[k]
+        for k in (
+            "segment_id", "pid", "doc_base", "num_docs", "num_terms",
+            "num_postings", "sum_total_tf", "postings_bytes", "input_hash",
+            "status",
+        )
+    }
+    row["field_stats"] = _json.dumps(m.get("field_stats") or {})
+    row["del_count"] = 0
+    new_segments.append(row)
+    new_segments.sort(key=lambda s: s["doc_base"])
+    new_commit = dict(commit)
+    new_commit["generation"] = generation
+    new_commit["segments"] = new_segments
+    new_commit["num_segments"] = len(new_segments)
+    new_commit["doc_count"] = int(sum(s["num_docs"] for s in new_segments))
+    new_commit["sum_total_tf"] = int(sum(s["sum_total_tf"] for s in new_segments))
+    fields_agg: dict = {}
+    have_all = True
+    for s in new_segments:
+        fs = s.get("field_stats")
+        if fs is None:
+            have_all = False
+            break
+        if isinstance(fs, str):
+            fs = _json.loads(fs or "{}")
+        for f, st in fs.items():
+            cur = fields_agg.setdefault(f, {"doc_count": 0, "sum_total_tf": 0})
+            cur["doc_count"] += int(st["doc_count"])
+            cur["sum_total_tf"] += int(st["sum_total_tf"])
+    if have_all and fields_agg:
+        new_commit["fields"] = fields_agg
+    else:
+        new_commit.pop("fields", None)
+    new_commit["deleted_docs"] = int(
+        sum(int(s.get("del_count") or 0) for s in new_segments)
+    )
+    _atomic_write_json(
+        os.path.join(index_dir, "commits", f"gen_{generation:06d}.json"), new_commit
+    )
+    return new_commit
