@@ -6,13 +6,22 @@ Re-implements the computation of the reference chain
 
 - **Tokenizer**: UAX#29 word-break over web text. The reference uses a
   generated JFlex grammar (``StandardTokenizerImpl.jflex:161-226``); we
-  use a precompiled Unicode regex implementing the same word rules for
-  the scripts our corpora exercise: alphanumeric runs (letters, digits,
-  underscore/ExtendNumLet), medial apostrophes U+0027/U+2019 and periods
-  between word chars (MidNumLetQ, WB6/WB7), medial commas between digits
-  (MidNum, WB11/WB12), single-character Han/Hiragana tokens, Katakana
-  runs. Consciously unsupported vs the full grammar: emoji sequences,
-  regional indicators, Thai/Lao segmentation (documented limitation).
+  use a precompiled Unicode regex implementing the same rules:
+  alphanumeric runs (letters, digits, underscore/ExtendNumLet), medial
+  apostrophes U+0027/U+2019 and periods between word chars (MidNumLetQ,
+  WB6/WB7), medial commas between digits (MidNum, WB11/WB12),
+  single-character Han/Hiragana tokens, Katakana runs, TR51 emoji
+  sequences (``_emoji.py``: ZWJ/modifier/keycap/flag/tag sequences, one
+  token each, highest priority like the grammar's first rule),
+  South-East-Asian Complex_Context runs kept whole (``_sea.py``;
+  Thai/Lao/Myanmar/Khmer/Tai, jflex:255-274), and WB4 extension of
+  word tokens by combining marks + format chars + ZWJ/ZWNJ (so
+  Persian ZWNJ compounds and "3\\uFE0E" stay single tokens).
+  Remaining divergences from the JFlex DFA: ordered-alternation
+  tie-breaks where JFlex longest-match would prefer a LONGER
+  NUMERIC over a keycap-emoji prefix (e.g. ``3️⃣45``), and Hebrew
+  gershayim/double-quote joins (WB7b/c) — both documented, neither on
+  the golden corpora.
 - Tokens longer than ``max_token_length`` (default 255,
   ``StandardAnalyzer.java:37``) are dropped but still increment the
   position counter (``StandardTokenizer.java:152-175``).
@@ -46,16 +55,23 @@ ENGLISH_STOP_WORDS = frozenset(
 _HAN = "一-鿿㐀-䶿豈-﫿"
 _HIRA = "぀-ゟ"
 _KATA = "゠-ヿㇰ-ㇿ"
-# word char = \w excluding Han/Hiragana/Katakana (those get script rules)
-_W = rf"(?:(?![{_HAN}{_HIRA}{_KATA}])\w)"
-# combining marks extend a word without being able to start one
-# (UAX#29 Extend; python \w excludes category M -- without this, Indic
-# vowel signs / Arabic harakat / combining diacritics split tokens)
+from lucene_spark.analysis._emoji import EMOJI_SEQ as _EMOJI_SEQ  # noqa: E402
+from lucene_spark.analysis._emoji import _FORMAT_CF  # noqa: E402
 from lucene_spark.analysis._marks import MARKS as _MARKS  # noqa: E402
+from lucene_spark.analysis._sea import SEA as _SEA  # noqa: E402
 
-_WM = rf"(?:{_W}|[{_MARKS}])"
+# word char = \w excluding Han/Hiragana/Katakana/SEA (script rules)
+_W = rf"(?:(?![{_HAN}{_HIRA}{_KATA}{_SEA}])\w)"
+# WB4: combining marks, format chars (soft hyphen, ZWNJ, bidi marks,
+# ...), and ZWJ extend a word without being able to start one (python
+# \w excludes categories M and Cf -- without this, Indic vowel signs /
+# Arabic harakat / Persian ZWNJ compounds split into fragments)
+_EXT = rf"{_MARKS}{_FORMAT_CF}\u200d"
+_WM = rf"(?:{_W}|[{_EXT}])"
 _TOKEN_RE = re.compile(
-    rf"[{_HAN}]|[{_HIRA}]|[{_KATA}]+"
+    rf"{_EMOJI_SEQ}"
+    rf"|[{_HAN}]|[{_HIRA}]|[{_KATA}]+"
+    rf"|[{_SEA}](?:[{_SEA}{_EXT}])*"
     rf"|{_W}{_WM}*(?:(?:['’.]|(?<=\d),(?=\d)){_W}{_WM}*)*",
     re.UNICODE,
 )

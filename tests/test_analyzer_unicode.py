@@ -1,0 +1,128 @@
+"""Tokenizer goldens for the round-2 Unicode surface: emoji sequences,
+South-East-Asian runs, and WB4 format-char extension.
+
+Cases transcribe the reference's
+``core/src/test/.../standard/TestStandardAnalyzer.java`` (testThai,
+testLao, testEmoji*, testEmojiTokenization) plus the full generated
+Unicode 12.1 corpus
+``test-framework/.../standard/EmojiTokenizationTestUnicode_12_1.java``
+(= unicode.org emoji-test.txt 12.1: every qualified sequence must
+tokenize as exactly one token equal to itself), parsed from the
+reference tree when present.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from lucene_spark.analysis.analyzer import _TOKEN_RE, Analyzer
+
+A = Analyzer(lowercase=False)  # pure tokenizer behavior
+
+
+def toks(text):
+    return A.tokenize_one(text)[0]
+
+
+def test_no_capturing_groups():
+    # _doc_tokens uses findall(), which returns groups if any exist
+    assert _TOKEN_RE.groups == 0
+
+
+def test_thai():
+    assert toks("การที่ได้ต้องแสดงว่างานดี. แล้วเธอจะไปไหน? ๑๒๓๔") == [
+        "การที่ได้ต้องแสดงว่างานดี",
+        "แล้วเธอจะไปไหน",
+        "๑๒๓๔",
+    ]
+
+
+def test_lao():
+    assert toks("ສາທາລະນະລັດ ປະຊາທິປະໄຕ ປະຊາຊົນລາວ") == [
+        "ສາທາລະນະລັດ",
+        "ປະຊາທິປະໄຕ",
+        "ປະຊາຊົນລາວ",
+    ]
+
+
+def test_simple_emoji():
+    assert toks("💩 💩💩") == ["💩", "💩", "💩"]
+
+
+def test_emoji_zwj_sequence():
+    assert toks("👩‍❤️‍👩") == ["👩‍❤️‍👩"]
+
+
+def test_emoji_zwj_with_modifier():
+    assert toks("👨🏼‍⚕️") == ["👨🏼‍⚕️"]
+
+
+def test_regional_indicator_pairs():
+    assert toks("🇺🇸🇺🇸") == ["🇺🇸", "🇺🇸"]
+
+
+def test_keycap_variation_sequences():
+    assert toks("#️⃣") == ["#️⃣"]
+    assert toks("3️⃣") == ["3️⃣"]
+    # text presentation: bare '#' + FE0E is no token at all; digit+FE0E
+    # is a NUMERIC token including the selector (FE0E is WB:Extend)
+    assert toks("#︎") == []
+    assert toks("3︎") == ["3︎"]
+    # FE0E terminates an emoji token (excluded from its extend set)
+    assert toks("⭕︎") == ["⭕"]
+    assert toks("⭕︎‍⭕︎") == ["⭕", "‍⭕"]
+
+
+def test_emoji_tag_sequence():
+    assert toks("🏴󠁧󠁢󠁥󠁮󠁧󠁿") == ["🏴󠁧󠁢󠁥󠁮󠁧󠁿"]
+
+
+def test_emoji_around_words():
+    assert toks("poo💩poo") == ["poo", "💩", "poo"]
+    assert toks("💩中國💩") == ["💩", "中", "國", "💩"]
+
+
+def test_format_chars_extend_words():
+    # ZWNJ (Persian compounds), ZWJ, and soft hyphen stay inside tokens
+    assert toks("می‌خواهم") == ["می‌خواهم"]
+    assert toks("ab‍cd") == ["ab‍cd"]
+    assert toks("co­operate") == ["co­operate"]
+
+
+_REF = (
+    "/root/reference/lucene/test-framework/src/java/org/apache/lucene/"
+    "tests/analysis/standard/EmojiTokenizationTestUnicode_12_1.java"
+)
+
+
+def _decode_java(s: str) -> str:
+    out = re.sub(r"\\u([0-9a-fA-F]{4})", lambda m: chr(int(m.group(1), 16)), s)
+    return (
+        out.encode("utf-16", "surrogatepass")
+        .decode("utf-16")
+        if any(0xD800 <= ord(c) < 0xE000 for c in out)
+        else out
+    )
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference tree absent")
+def test_unicode_12_1_emoji_corpus():
+    """Every emoji-test.txt sequence is exactly one token equal to
+    itself (the reference's EmojiTokenizationTestUnicode_12_1.test)."""
+    src = open(_REF, encoding="utf-8").read()
+    body = src[src.index("TESTS =") :]
+    lits = [
+        _decode_java(m.group(1))
+        for m in re.finditer(r'"((?:[^"\\]|\\.)*)"', body)
+    ]
+    pairs = list(zip(lits[::2], lits[1::2]))
+    assert len(pairs) > 3000
+    bad = []
+    for comment, seq in pairs:
+        got = toks(seq)
+        if got != [seq]:
+            bad.append((comment.split("#")[-1].strip(), seq, got))
+    assert not bad, (len(bad), bad[:15])
