@@ -105,8 +105,12 @@ _TAG = "[\U000e0020-\U000e007e]+\U000e007f"
 
 # The full emoji_sequence alternation, parenthesised for embedding as
 # one branch of the tokenizer's master regex.
+# trailing (?:ZWJ ext*)* : a dangling ZWJ not followed by another core
+# stays inside the token (jflex ExtZ* includes ZWJ); connector ZWJs are
+# consumed by the (ZWJ core)+ branch first, so this only sees terminal
+# ones (WordBreakTest golden "⌚‍" -> one token).
 EMOJI_SEQ = (
-    f"(?:{_CORE_OR_MOD}(?:(?:{_ZWJ}{_CORE_OR_MOD})+|{_TAG})?"
+    f"(?:{_CORE_OR_MOD}(?:(?:{_ZWJ}{_CORE_OR_MOD})+|{_TAG})?(?:{_ZWJ}{_X})*"
     f"|[0-9#*]{_X}️?⃣{_X}"
     f"|[{REGIONAL_INDICATOR}]{_X}[{REGIONAL_INDICATOR}]{_X})"
 )

@@ -52,44 +52,89 @@ ENGLISH_STOP_WORDS = frozenset(
     that the their then there these they this to was will with""".split()
 )
 
-_HAN = "一-鿿㐀-䶿豈-﫿"
-_HIRA = "぀-ゟ"
-_KATA = "゠-ヿㇰ-ㇿ"
+_HAN = (
+    "々〇〡-〩〸-〻㐀-䶿一-鿿"
+    "豈-﫿\U00020000-\U0002fa1f\U00030000-\U0003134f"
+)
+_HIRA = "ぁ-゚ゝ-ゟ\U0001b001-\U0001b11f\U0001b150-\U0001b152"
+# WB:Katakana (kana repeat marks, sound marks, halfwidth, circled,
+# squared-word blocks; 30FB/FF65 middle dots are NOT Katakana)
+_KATA = (
+    "〱-〵゛-゜゠-ヺー-ヿㇰ-ㇿ"
+    "㋐-㋾㌀-㍗ｦ-ﾟ\U0001b000"
+)
 from lucene_spark.analysis._emoji import EMOJI_SEQ as _EMOJI_SEQ  # noqa: E402
 from lucene_spark.analysis._emoji import _FORMAT_CF  # noqa: E402
 from lucene_spark.analysis._marks import MARKS as _MARKS  # noqa: E402
 from lucene_spark.analysis._sea import SEA as _SEA  # noqa: E402
 
-# word char = \w excluding Han/Hiragana/Katakana/SEA (script rules)
-_W = rf"(?:(?![{_HAN}{_HIRA}{_KATA}{_SEA}])\w)"
-# WB4: combining marks, format chars (soft hyphen, ZWNJ, bidi marks,
-# ...), and ZWJ extend a word without being able to start one (python
-# \w excludes categories M and Cf -- without this, Indic vowel signs /
-# Arabic harakat / Persian ZWNJ compounds split into fragments)
-_EXT = rf"{_MARKS}{_FORMAT_CF}\u200d"
-_WM = rf"(?:{_W}|[{_EXT}])"
+# ---- UAX#29 word-break classes (WordBreakProperty.txt) ----------------
+# WB4 extenders: combining marks (Extend), format chars (Format), ZWJ --
+# every grammar element below is "char + extender run", the jflex Ex
+# convention (StandardTokenizerImpl.jflex:85-100)
+_EXT = rf"{_MARKS}{_FORMAT_CF}‍"
+_E = f"[{_EXT}]*"
+_ENL = "_‿⁀⁔︳︴﹍-﹏＿"  # ExtendNumLet
+_HEB = (  # WB:Hebrew_Letter
+    "א-תׯיִײַ-ﬨשׁ-זּטּ-לּ"
+    "מּנּ-סּףּ-פּצּ-ﭏ"
+)
+_MIDLET = ":··՟״‧︓﹕："  # MidLetter
+_MIDNUMLET = ".’․﹒．"  # MidNumLet (incl. U+2019)
+_MIDNUM = (  # MidNum
+    ",;;։،؍٫٬߸⁄︐︔"
+    "﹐﹔，；"
+)
+# ALetter approximation: word chars that are not digits, connectors, or
+# any separately-ruled script class (Han/Hiragana/Katakana/SEA/Hebrew)
+_LET = rf"(?:(?![\d{_ENL}{_HAN}{_HIRA}{_KATA}{_SEA}{_HEB}])\w)"
+
+# ---- the WORD/NUMERIC rule (StandardTokenizerImpl.jflex:225-252) ------
+# WB5-WB13b with the Hebrew quote rules: a Hebrew letter may chain
+# gershayim double-quote joins (WB7b/c) and keep one trailing single
+# quote (WB7a); '.'/':'-class medials need AHLetter on both sides,
+# ','/';'-class medials need Numeric on both sides, ExtendNumLet runs
+# bridge everything (WB13a/b). Python re is first-match, not
+# longest-match like the jflex DFA, so element order inside each
+# alternation is chosen to reproduce the longest parse.
+_ENLx = f"(?:[{_ENL}]{_E})"
+_HEB_ELEM = f'[{_HEB}]{_E}(?:"{_E}[{_HEB}]{_E})*(?:\'{_E})?'
+_LETELEM = f"(?:{_HEB_ELEM}|{_LET}{_E})"
+_DELEM = rf"\d{_E}(?:(?:{_ENLx}+|[{_MIDNUM}{_MIDNUMLET}']{_E})?\d{_E})*"
+_LRUN = f"{_LETELEM}(?:(?:{_ENLx}+|[{_MIDLET}{_MIDNUMLET}']{_E})?{_LETELEM})*"
+_CORE = f"(?:{_DELEM}|{_LRUN})+"
+_KATRUN = f"[{_KATA}]{_E}(?:{_ENLx}*[{_KATA}]{_E})*"
+_WORDRULE = (
+    f"{_ENLx}*(?:{_KATRUN}|{_CORE})"
+    f"(?:{_ENLx}+(?:{_KATRUN}|{_CORE}))*{_ENLx}*"
+)
+
 _TOKEN_RE = re.compile(
     rf"{_EMOJI_SEQ}"
-    rf"|[{_HAN}]|[{_HIRA}]|[{_KATA}]+"
+    rf"|[{_HAN}]{_E}|[{_HIRA}]{_E}"
     rf"|[{_SEA}](?:[{_SEA}{_EXT}])*"
-    rf"|{_W}{_WM}*(?:(?:['’.]|(?<=\d),(?=\d)){_W}{_WM}*)*",
+    rf"|{_WORDRULE}",
     re.UNICODE,
 )
 # runs of only underscores are not UAX#29 words (ExtendNumLet alone)
 _ONLY_UNDERSCORE = re.compile(r"_+$")
 
 # ASCII specialization of _TOKEN_RE (identical matches on ASCII input:
-# the Han/Hiragana/Katakana branches can never fire and \w reduces to
-# [0-9A-Za-z_]) — explicit byte classes skip the per-char Unicode
-# property lookups, ~2-3x faster on web-scale English text
-_ASCII_TOKEN_RE = re.compile(
-    r"[0-9A-Za-z_]+(?:(?:['.]|(?<=[0-9]),(?=[0-9]))[0-9A-Za-z_]+)*"
-)
+# emoji/script branches can never fire, ASCII has no extenders, and the
+# classes reduce to letter [A-Za-z] / digit [0-9] / ENL '_' with
+# letter-medials ['.:] and digit-medials ['.,;]) — explicit byte
+# classes skip the per-char Unicode property lookups, ~2-3x faster on
+# web-scale English text. Structure mirrors _WORDRULE element-for-
+# element; equivalence is property-tested (tests/test_property.py).
+_A_DELEM = r"[0-9]+(?:(?:_+|['.,;])?[0-9]+)*"
+_A_LRUN = r"[A-Za-z]+(?:(?:_+|['.:])?[A-Za-z]+)*"
+_A_CORE = rf"(?:{_A_DELEM}|{_A_LRUN})+"
+_ASCII_TOKEN_RE = re.compile(rf"_*{_A_CORE}(?:_+{_A_CORE})*_*")
 
 # a doc is "simple" if its tokens are plain [0-9A-Za-z_] runs — no
-# medial apostrophe/period/comma joins possible. Simple ASCII docs take
-# the fully-vectorized (object-free) numpy tokenizer.
-_COMPLEX_ASCII = re.compile(r"[0-9A-Za-z_]['.,][0-9A-Za-z_]")
+# medial apostrophe/period/comma/colon/semicolon joins possible. Simple
+# ASCII docs take the fully-vectorized (object-free) numpy tokenizer.
+_COMPLEX_ASCII = re.compile(r"[0-9A-Za-z_]['.,:;][0-9A-Za-z_]")
 
 _WORD_BYTE = np.zeros(256, dtype=bool)
 for _c in range(256):

@@ -126,3 +126,45 @@ def test_unicode_12_1_emoji_corpus():
         if got != [seq]:
             bad.append((comment.split("#")[-1].strip(), seq, got))
     assert not bad, (len(bad), bad[:15])
+
+
+_WBREF = (
+    "/root/reference/lucene/test-framework/src/java/org/apache/lucene/"
+    "tests/analysis/standard/WordBreakTestUnicode_12_1_0.java"
+)
+
+
+def _decode_java_full(s: str) -> str:
+    s = _decode_java(s)
+    return (
+        s.replace("\\r", "\r")
+        .replace("\\n", "\n")
+        .replace("\\t", "\t")
+        .replace('\\"', '"')
+        .replace("\\\\", "\\")
+    )
+
+
+@pytest.mark.skipif(not os.path.exists(_WBREF), reason="reference tree absent")
+def test_uax29_wordbreak_corpus():
+    """The official UAX#29 WordBreakTest.txt corpus, via the reference's
+    generated expectations (WordBreakTestUnicode_12_1_0.java: each input
+    lists the exact tokens a conforming tokenizer must emit)."""
+    src = open(_WBREF, encoding="utf-8").read()
+    cases = re.findall(
+        r'assertAnalyzesTo\(analyzer,\s*"((?:[^"\\]|\\.)*)",'
+        r"\s*new String\[\] \{([^}]*)\}\);",
+        src,
+    )
+    assert len(cases) > 1500
+    bad = []
+    for inp, exp in cases:
+        text = _decode_java_full(inp)
+        expected = [
+            _decode_java_full(m.group(1))
+            for m in re.finditer(r'"((?:[^"\\]|\\.)*)"', exp)
+        ]
+        got = toks(text)
+        if got != expected:
+            bad.append((ascii(text), expected, got))
+    assert not bad, (len(bad), bad[:20])
