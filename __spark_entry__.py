@@ -147,6 +147,48 @@ def _searcher_mf(spark: SparkSession, sf_dir: str):
     return s
 
 
+def _searcher_fa(spark: SparkSession, sf_dir: str):
+    """Per-field-analyzer index: same two-field corpus as _searcher_mf
+    but the TITLE field is analyzed with the empty StandardAnalyzer
+    stop set while the body keeps the 33-word English list
+    (IndexConfig.field_analyzers — the PerFieldAnalyzerWrapper /
+    FieldInfos per-field analysis model). Stopwords like "the" are
+    searchable in title: and absent from the body field."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from lucene_spark.analysis.analyzer import ENGLISH, Analyzer
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.searcher import Searcher
+
+    key = _corpus_key(sf_dir) + "fa"
+    if key in _searchers:
+        return _searchers[key]
+    index_dir = os.path.join("/tmp", "lucene_spark_idx", key)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    chunk = max(1, math.ceil(n / _NUM_SEGMENTS))
+    pages = docs.select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"),
+        F.col("text"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, TITLE_WORDS), " "
+        ).alias("title"),
+    )
+    cfg = IndexConfig(
+        num_segments=_NUM_SEGMENTS,
+        analyzer=ENGLISH,
+        fields=(("", "text"), ("title", "title")),
+        field_analyzers=(("title", Analyzer()),),
+        pid_expr=f"int(cast(url as bigint) / {chunk})",
+    )
+    build_index(spark, pages, index_dir, cfg)
+    s = Searcher(spark, index_dir)
+    _searchers[key] = s
+    return s
+
+
 def _docs_view(spark: SparkSession, sf_dir: str) -> None:
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView(
         "documents"
@@ -456,6 +498,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _searcher_mf(spark, sf_dir).search(qq, k=K, pruned=True, dtype="f64")
         )
 
+    def field_analyzer_title_topk(spark, sf_dir):
+        # "the" is a body stopword but title-searchable: per-field
+        # analyzers give title its own (stop-free) postings and stats
+        ast = _ast()
+        qq = ast.TermQuery(ast.fielded("title", "the"))
+        return _topk_docs(
+            _searcher_fa(spark, sf_dir).search(qq, k=K, pruned=True, dtype="f64")
+        )
+
     def field_mixed_or_scores(spark, sf_dir):
         ast = _ast()
         qq = ast.BooleanQuery(
@@ -568,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         prefix_wide_match=prefix_wide_match,
         field_exists_match=field_exists_match,
         field_title_topk=field_title_topk,
+        field_analyzer_title_topk=field_analyzer_title_topk,
         field_mixed_or_scores=field_mixed_or_scores,
         synonym_scores=synonym_scores,
         dismax_scores=dismax_scores,
@@ -650,6 +702,9 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "field_exists_match": osql.field_exists_sql(TITLE_WORDS),
         "field_title_topk": osql.field_title_topk_sql(
             FIELD_TITLE_TERM, K, TITLE_WORDS
+        ),
+        "field_analyzer_title_topk": osql.field_title_topk_sql(
+            "the", K, TITLE_WORDS, title_stop=False
         ),
         "field_mixed_or_scores": osql.fielded_or_scores_sql(
             FIELD_TITLE_TERM, FIELD_BODY_TERM, TITLE_WORDS

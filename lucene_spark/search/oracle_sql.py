@@ -365,23 +365,32 @@ ORDER BY doc_id"""
 # --------------------------------------------------------- multi-field gate
 
 
-def fielded_ctes(title_words: int = 8, table: str = "documents") -> str:
+def fielded_ctes(
+    title_words: int = 8, table: str = "documents", title_stop: bool = True
+) -> str:
     """Two-field corpus CTEs: body = text, title = first ``title_words``
     whitespace words of text (the derived second field of the driver
     gate). Each field gets its OWN token list, quantized length and
     CollectionStatistics (docCount = docs with >=1 token of the field,
     avg = sumTotalTermFreq / docCount — Terms.getDocCount semantics,
-    mirroring GlobalStats.collection per-field stats)."""
+    mirroring GlobalStats.collection per-field stats).
+
+    ``title_stop=False`` models a PER-FIELD analyzer (title indexed
+    with the empty StandardAnalyzer stop set while body keeps the
+    33-word English list — IndexConfig.field_analyzers /
+    PerFieldAnalyzerWrapper semantics)."""
     title = (
         f"array_to_string(list_slice(str_split(text, ' '), 1, {title_words}), ' ')"
     )
+    ttoks = f"regexp_extract_all(lower({title}), '[a-z0-9]+')"
+    if title_stop:
+        ttoks = f"list_filter({ttoks}, t -> t NOT IN ({_STOP}))"
     return f"""
 tok AS (
   SELECT doc_id,
          list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
                      t -> t NOT IN ({_STOP})) AS btoks,
-         list_filter(regexp_extract_all(lower({title}), '[a-z0-9]+'),
-                     t -> t NOT IN ({_STOP})) AS ttoks
+         {ttoks} AS ttoks
   FROM {table}
 ),
 docs AS (
@@ -415,13 +424,18 @@ def _fscore(idf: str, tf: str, qdl: str, avg: str) -> str:
 
 
 def field_title_topk_sql(
-    term: str, k: int = 10, title_words: int = 8, table: str = "documents"
+    term: str,
+    k: int = 10,
+    title_words: int = 8,
+    table: str = "documents",
+    title_stop: bool = True,
 ) -> str:
     """Top-k BM25 over the TITLE field only — field-scoped docFreq,
-    docCount, avgdl and norms."""
+    docCount, avgdl and norms. ``title_stop=False`` = the per-field-
+    analyzer index (title keeps stopwords)."""
     tf = _ftf("ttoks", term)
     score = _fscore(_fidf("tn", "df_t"), tf, "tqdl", "tavg")
-    return f"""WITH {fielded_ctes(title_words, table)},
+    return f"""WITH {fielded_ctes(title_words, table, title_stop)},
 dfs AS (SELECT CAST(count(*) FILTER (WHERE {tf} > 0) AS BIGINT) AS df_t FROM docs)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {score} AS score
 FROM docs, stats, dfs
