@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 # time).
 ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
-_FORMAT_VERSION = "v4"
+_FORMAT_VERSION = "v5"  # v5: dense bit-set doc blocks
 _NUM_SEGMENTS = 4
 TITLE_WORDS = 8  # title field = first 8 whitespace words of text
 FIELD_TITLE_TERM = "merge"  # title df ~40/500 at sf0.01

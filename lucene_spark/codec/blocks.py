@@ -29,6 +29,30 @@ from lucene_spark.util.smallfloat import byte4_to_int_np
 
 BLOCK_SIZE = 256  # ForUtil.java:34
 
+# dense-block marker byte in the doc stream (FOR width bytes are 0..32;
+# the reference writes a NEGATIVE long-count byte for its bit-set
+# blocks, Lucene104PostingsWriter.java:444-460)
+DENSE_MARKER = 0xFF
+
+
+def _dense_wins(n, span, width, all_equal):
+    """True where a doc block is cheaper as a bit set than FOR-packed
+    deltas (the writer's storage-size rule; we compare byte-rounded
+    sizes, the reference compares long-rounded bit counts). All-equal
+    delta blocks keep the 9-byte run-length FOR encoding."""
+    return (~all_equal) & ((span + 7) // 8 < (n * width + 7) // 8)
+
+
+def _pack_dense(offsets: np.ndarray, span: int) -> bytes:
+    """Bit set of doc offsets relative to the block's first doc."""
+    import struct
+
+    bits = np.zeros(int(span), dtype=np.uint8)
+    bits[offsets] = 1
+    return struct.pack("<BI", DENSE_MARKER, offsets.size) + np.packbits(
+        bits, bitorder="little"
+    ).tobytes()
+
 
 def competitive_impacts(tfs: np.ndarray, norms: np.ndarray) -> tuple[list[int], list[int]]:
     """Pareto frontier of (tf max, decoded-length min) pairs for one block.
@@ -91,7 +115,14 @@ def encode_term_postings(
         deltas = np.empty(d.size, dtype=np.uint32)
         deltas[0] = 0  # first doc stored absolutely in first_doc
         np.subtract(d[1:], d[:-1], out=deltas[1:], casting="unsafe")
-        docs_bin = forutil.pack(deltas)
+        span = int(d[-1] - d[0] + 1)
+        w = forutil.bit_width(deltas)
+        if _dense_wins(
+            d.size, span, max(1, w), bool((deltas == deltas[0]).all())
+        ):
+            docs_bin = _pack_dense((d - d[0]).astype(np.int64), span)
+        else:
+            docs_bin = forutil.pack(deltas)
         tfs_bin = pforutil.pack(t.astype(np.uint32))
         if with_positions:
             p0, p1 = pos_bounds[b0], pos_bounds[b1]
@@ -122,7 +153,13 @@ def encode_term_postings(
 
 
 def decode_docs(first_doc: int, docs_bin: bytes) -> np.ndarray:
-    """Inverse of the doc-id delta encoding -> int64 local doc ids."""
+    """Inverse of the doc-id encoding -> int64 local doc ids (delta-FOR
+    or dense bit-set blocks)."""
+    if docs_bin and docs_bin[0] == DENSE_MARKER:
+        bits = np.unpackbits(
+            np.frombuffer(docs_bin, np.uint8, offset=5), bitorder="little"
+        )
+        return first_doc + np.flatnonzero(bits)
     deltas = forutil.unpack(docs_bin).astype(np.int64)
     deltas[0] = first_doc
     return np.cumsum(deltas)
@@ -305,9 +342,36 @@ def encode_partition(
     deltas[0] = 0
     np.subtract(p_docs[1:], p_docs[:-1], out=deltas[1:])
     deltas[b_start] = 0
-    docs_bins = forutil.pack_many(
-        deltas.astype(np.uint32), b_start, b_end
-    )
+    # dense-vs-FOR decision per block (same rule as the scalar path)
+    from lucene_spark.codec.forutil import _bit_widths
+
+    d_max = np.maximum.reduceat(deltas, b_start)
+    d_min = np.minimum.reduceat(deltas, b_start)
+    span = last_doc - first_doc + 1
+    w = np.maximum(_bit_widths(d_max), 1)
+    dense_sel = _dense_wins(b_n, span, w, d_max == d_min)
+    docs_bins: list = [None] * nb
+    sparse_idx = np.flatnonzero(~dense_sel)
+    if sparse_idx.size:
+        packed = forutil.pack_many(
+            deltas.astype(np.uint32), b_start[sparse_idx], b_end[sparse_idx]
+        )
+        for k, i in enumerate(sparse_idx):
+            docs_bins[i] = packed[k]
+    dense_idx = np.flatnonzero(dense_sel)
+    if dense_idx.size:
+        # one scatter for ALL dense blocks: each block gets a byte-
+        # aligned bit range of ceil(span/8)*8 bits
+        span_bits = ((span[dense_idx] + 7) // 8) * 8
+        base = np.concatenate(([0], np.cumsum(span_bits)))
+        bits = np.zeros(int(base[-1]), dtype=np.uint8)
+        for k, i in enumerate(dense_idx):
+            s, e = b_start[i], b_end[i]
+            bits[base[k] + (p_docs[s:e] - first_doc[i])] = 1
+        packed_bytes = np.packbits(bits, bitorder="little").tobytes()
+        for k, i in enumerate(dense_idx):
+            hdr = _struct.pack("<BI", DENSE_MARKER, int(b_n[i]))
+            docs_bins[i] = hdr + packed_bytes[base[k] // 8 : base[k + 1] // 8]
     tfs_bins = _pfor_pack_many(p_tfs.astype(np.uint32), b_start, b_end)
     # positions: per-doc delta streams, FOR-packed per block
     if with_positions:

@@ -91,3 +91,47 @@ def test_impacts_are_pareto_and_sound():
             for tf, nb in zip(r["impact_tfs"], r["impact_norms"])
         )
         assert (true_scores <= bound + 0).all()
+
+
+def test_dense_block_round_trip_and_engagement():
+    """Blocks denser than their FOR encoding switch to the bit-set doc
+    encoding (Lucene104PostingsWriter.java:444-460 analog): round-trips
+    exactly, beats FOR on size, and the batch encoder emits identical
+    bytes to the scalar path."""
+    import numpy as np
+
+    from lucene_spark.codec import blocks as blk
+
+    rng = np.random.default_rng(7)
+    norms = np.full(4096, 124, dtype=np.uint8)
+    # ~60% density: bitset wins over 2-bit FOR deltas
+    docs = np.sort(rng.choice(700, size=420, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 4, size=docs.size).astype(np.int64)
+    rows = blk.encode_term_postings(docs, tfs, np.empty(0, np.int64), norms, with_positions=False)
+    assert any(r["docs_bin"][0] == blk.DENSE_MARKER for r in rows)
+    got = np.concatenate(
+        [blk.decode_docs(r["first_doc"], r["docs_bin"]) for r in rows]
+    )
+    np.testing.assert_array_equal(got, docs)
+    # sparse lists stay FOR-packed
+    sparse = np.sort(rng.choice(100000, size=300, replace=False)).astype(np.int64)
+    srows = blk.encode_term_postings(sparse, tfs[:300], np.empty(0, np.int64), norms[:1].repeat(100000), with_positions=False)
+    assert all(r["docs_bin"][0] != blk.DENSE_MARKER for r in srows)
+    # batch == scalar bytes, mixed dense + sparse terms
+    p_codes = np.concatenate((np.zeros(docs.size, np.int64), np.ones(sparse.size, np.int64)))
+    p_docs = np.concatenate((docs, sparse % 4096))
+    # re-sort the sparse term's docs (mod may break order)
+    s2 = np.sort(np.unique(sparse % 4096))
+    p_codes = np.concatenate((np.zeros(docs.size, np.int64), np.ones(s2.size, np.int64)))
+    p_docs = np.concatenate((docs, s2))
+    p_tfs = np.concatenate((tfs, np.ones(s2.size, np.int64)))
+    brows = blk.encode_partition(
+        p_codes, p_docs, p_tfs, np.empty(0, np.int64), norms,
+        np.array(["t0", "t1"], object), with_positions=False,
+    )
+    scalar = blk.encode_term_postings(docs, tfs, np.empty(0, np.int64), norms, with_positions=False)
+    scalar += blk.encode_term_postings(s2, np.ones(s2.size, np.int64), np.empty(0, np.int64), norms, with_positions=False)
+    assert len(brows) == len(scalar)
+    for b, s in zip(brows, scalar):
+        assert b["docs_bin"] == s["docs_bin"]
+        assert b["tfs_bin"] == s["tfs_bin"]
