@@ -115,12 +115,24 @@ _POSTINGS_MERGE_SCHEMA = (
 )
 
 
-def _live_layout(index_dir: str, group: list, new_base: int) -> list:
+def _live_layout(
+    index_dir: str, group: list, new_base: int, sort_keys: bool = False
+) -> list:
     """Per source segment: dict(segment_id, doc_base, num_docs, live
-    local ids sorted, new_start) — the squeeze remap, derived entirely
-    from the SMALL deletes files, so every executor task rebuilds it
-    locally (no driver-shipped remap; the DocIDMerger state analog,
-    ``index/DocIDMerger.java:30-40``)."""
+    local ids sorted, new_start[, newloc]) — the squeeze remap, derived
+    entirely from the SMALL deletes files, so every executor task
+    rebuilds it locally (no driver-shipped remap; the DocIDMerger state
+    analog, ``index/DocIDMerger.java:30-40``).
+
+    ``sort_keys=True`` is the SORTED merge (IndexWriterConfig
+    setIndexSort + DocIDMerger sorted mode,
+    ``index/DocIDMerger.java:109-158``): live docs across the whole
+    group are renumbered in (url, old doc id) order, so the merged
+    segment has the same key order a fresh build would produce. The
+    per-live-doc target id is in ``newloc`` (relative to new_base);
+    deriving it reads the group's docmap keys — the same per-merge
+    in-memory doc-map the reference builds, sized docs-in-merge, not
+    corpus."""
     from lucene_spark.index.deletes import _read_deletes
 
     out = []
@@ -142,6 +154,68 @@ def _live_layout(index_dir: str, group: list, new_base: int) -> list:
             }
         )
         off += int(live.size)
+    if sort_keys:
+        import pyarrow.parquet as pq
+
+        keys_parts, seg_idx_parts, local_parts = [], [], []
+        for i, l in enumerate(out):
+            t = pq.read_table(
+                os.path.join(
+                    index_dir, "docmap", f"segment_id={l['segment_id']}"
+                ),
+                columns=["doc_id", "url"],
+            )
+            ids = t["doc_id"].to_numpy() - l["doc_base"]
+            urls = np.asarray(t["url"].to_pandas(), dtype=object)
+            order = np.argsort(ids, kind="stable")
+            ids, urls = ids[order], urls[order]
+            sel = np.searchsorted(ids, l["live"])
+            keys_parts.append(urls[sel])
+            seg_idx_parts.append(np.full(l["live"].size, i, np.int64))
+            local_parts.append(l["live"])
+        keys = np.concatenate(keys_parts)
+        segi = np.concatenate(seg_idx_parts)
+        loc = np.concatenate(local_parts)
+        # (url, old global id) order — old id = stable tie-break
+        perm = np.lexsort((segi * (1 << 40) + loc, keys))
+        newloc = np.empty(perm.size, dtype=np.int64)
+        newloc[perm] = np.arange(perm.size)
+        bounds = np.concatenate(
+            ([0], np.cumsum([l["live"].size for l in out]))
+        )
+        for i, l in enumerate(out):
+            l["newloc"] = newloc[bounds[i] : bounds[i + 1]]
+    return out
+
+
+def _map_live(l: dict, nb: int, d: np.ndarray) -> np.ndarray:
+    """New local ids (relative to new_base) of live doc ids ``d``."""
+    pos = np.searchsorted(l["live"], d)
+    if "newloc" in l:
+        return l["newloc"][pos]
+    return l["new_start"] - nb + pos
+
+
+def _gather_norms(index_dir: str, layout: list, num_live: int) -> dict:
+    """field -> uint8 norms blob of the rewritten segment: each source's
+    live norm bytes placed at their NEW local ids (identity order for
+    squeeze, permuted for sorted merges)."""
+    import pyarrow.parquet as pq
+
+    nb0 = layout[0]["new_start"] if layout else 0
+    out: dict = {}
+    for l in layout:
+        nt = pq.read_table(
+            os.path.join(
+                index_dir, "norms", f"segment_id={l['segment_id']}",
+                "data.parquet",
+            )
+        )
+        dst = _map_live(l, nb0, l["live"])
+        for f, b in zip(nt["field"], nt["norms_bin"]):
+            arr = np.frombuffer(b.as_py(), dtype=np.uint8)
+            blob = out.setdefault(f.as_py(), np.zeros(num_live, np.uint8))
+            blob[dst] = arr[l["live"]]
     return out
 
 
@@ -152,6 +226,7 @@ def merge_segments(
     generation: int,
     num_salts: int = 4,
     squeeze: bool = False,
+    sort_by_key: bool = False,
 ) -> dict:
     """Merge a contiguous group into one new segment and commit a new
     generation. Returns the new commit dict. Idempotent per segment
@@ -162,10 +237,18 @@ def merge_segments(
     group's doc_base, tombstoned postings are dropped, and
     docFreq/norms/collection stats are recomputed over live docs only —
     scores change exactly as Lucene's do after a reclaiming merge.
-    Internal doc ids of the group change (later segments keep theirs)."""
-    if squeeze:
+    Internal doc ids of the group change (later segments keep theirs).
+
+    ``sort_by_key=True`` is INDEX SORTING through the merge
+    (setIndexSort + DocIDMerger sorted mode): the merged segment's live
+    docs are renumbered in url order, reproducing exactly the ids a
+    fresh single-segment build over the survivors would assign (the
+    builder sorts each segment by key, builder.py). Implies the rewrite
+    path; composes with squeeze."""
+    if squeeze or sort_by_key:
         return _merge_squeeze(
-            spark, index_dir, group_segment_ids, generation, num_salts
+            spark, index_dir, group_segment_ids, generation, num_salts,
+            sort_by_key=sort_by_key,
         )
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -507,13 +590,18 @@ def compact(
 
 
 def force_merge(
-    spark, index_dir: str, num_salts: int = 4, squeeze: bool = False
+    spark,
+    index_dir: str,
+    num_salts: int = 4,
+    squeeze: bool = False,
+    sort_by_key: bool = False,
 ) -> dict:
     """forceMerge(1): merge everything into a single segment.
     ``squeeze=True`` also reclaims deleted docs (expungeDeletes +
-    forceMerge semantics)."""
+    forceMerge semantics); ``sort_by_key=True`` renumbers the merged
+    docs in url order (index sorting)."""
     commit = read_latest_commit(index_dir)
-    if len(commit["segments"]) <= 1 and not squeeze:
+    if len(commit["segments"]) <= 1 and not (squeeze or sort_by_key):
         return commit
     return merge_segments(
         spark,
@@ -522,6 +610,7 @@ def force_merge(
         generation=commit["generation"] + 1,
         num_salts=num_salts,
         squeeze=squeeze,
+        sort_by_key=sort_by_key,
     )
 
 
@@ -567,6 +656,7 @@ def _merge_squeeze(
     group_segment_ids: list,
     generation: int,
     num_salts: int = 4,
+    sort_by_key: bool = False,
 ) -> dict:
     """Dead-doc squeezing merge: decode -> drop tombstoned postings ->
     renumber live docs densely -> re-encode (batch codec) -> recompute
@@ -598,8 +688,9 @@ def _merge_squeeze(
          "num_docs": int(s["num_docs"])}
         for s in group
     ]
-    layout = _live_layout(index_dir, group, new_base)
+    layout = _live_layout(index_dir, group, new_base, sort_keys=sort_by_key)
     num_live = int(sum(l["live"].size for l in layout))
+    srt = bool(sort_by_key)
 
     if not os.path.exists(manifest_path):
         t0 = time.time()
@@ -618,24 +709,9 @@ def _merge_squeeze(
             from lucene_spark.search.ast import field_of
 
             salt = int(key[0])
-            lay = _live_layout(idx_dir, group_meta, nb)
+            lay = _live_layout(idx_dir, group_meta, nb, sort_keys=srt)
             by_order = {i: l for i, l in enumerate(lay)}
-            # new per-field norms (for impacts): filter each source's
-            # blobs by its live mask, concat in doc order
-            norms_parts: dict = {}
-            for l in lay:
-                nt = pq.read_table(
-                    os.path.join(
-                        idx_dir, "norms", f"segment_id={l['segment_id']}",
-                        "data.parquet",
-                    )
-                )
-                for f, b in zip(nt["field"], nt["norms_bin"]):
-                    arr = np.frombuffer(b.as_py(), dtype=np.uint8)
-                    norms_parts.setdefault(f.as_py(), []).append(arr[l["live"]])
-            new_norms = {
-                f: np.concatenate(parts) for f, parts in norms_parts.items()
-            }
+            new_norms = _gather_norms(idx_dir, lay, num_live)
             pdf = pdf.sort_values(["term", "seg_order", "block_id"], kind="mergesort")
             out_rows: list = []
             ts_terms: list = []
@@ -661,15 +737,20 @@ def _merge_squeeze(
                     if not keep.any():
                         continue
                     d, t = d[keep], t[keep]
-                    new_local = (
-                        l["new_start"] - nb + np.searchsorted(l["live"], d)
-                    )
-                    docs_parts.append(new_local.astype(np.int64))
+                    docs_parts.append(_map_live(l, nb, d))
                     tfs_parts.append(t)
                 if not docs_parts:
                     continue
                 nd = np.concatenate(docs_parts)
                 ntf = np.concatenate(tfs_parts)
+                if srt and nd.size > 1:
+                    # the sort permutation is not monotone: re-sort the
+                    # term's postings (and per-posting position slices)
+                    # by new doc id
+                    order = np.argsort(nd, kind="stable")
+                    nd, ntf = nd[order], ntf[order]
+                    if pos_parts:
+                        pos_parts = [pos_parts[j] for j in order]
                 npos = (
                     np.concatenate(pos_parts)
                     if pos_parts
@@ -777,21 +858,11 @@ def _merge_squeeze(
             n_postings_total += int(r["npostings"])
             postings_bytes += int(r["pbytes"])
 
-        # norms: filtered per-field blobs, concat in doc order (1 B/doc)
+        # norms: filtered per-field blobs placed at the new doc ids
         norms_rows = []
-        norms_parts: dict = {}
-        for l in layout:
-            nt = pq.read_table(
-                os.path.join(
-                    index_dir, "norms", f"segment_id={l['segment_id']}",
-                    "data.parquet",
-                )
-            )
-            for f, b in zip(nt["field"], nt["norms_bin"]):
-                arr = np.frombuffer(b.as_py(), dtype=np.uint8)
-                norms_parts.setdefault(f.as_py(), []).append(arr[l["live"]])
-        for fname in sorted(norms_parts):
-            blob = np.concatenate(norms_parts[fname])
+        gathered = _gather_norms(index_dir, layout, num_live)
+        for fname in sorted(gathered):
+            blob = gathered[fname]
             assert blob.size == num_live
             norms_rows.append(
                 (
@@ -842,7 +913,7 @@ def _merge_squeeze(
         def dm_map(iterator):
             import pandas as pd
 
-            lay = _live_layout(idx_dir, group_meta, nb)
+            lay = _live_layout(idx_dir, group_meta, nb, sort_keys=srt)
             bases = np.array([l["doc_base"] for l in lay], dtype=np.int64)
             for pdf in iterator:
                 ids = pdf["doc_id"].to_numpy()
@@ -854,7 +925,7 @@ def _merge_squeeze(
                     local = ids[sel] - l["doc_base"]
                     pos = np.searchsorted(l["live"], local)
                     ok = (pos < l["live"].size) & (l["live"][np.minimum(pos, l["live"].size - 1)] == local)
-                    out_id[sel[ok]] = l["new_start"] + pos[ok]
+                    out_id[sel[ok]] = nb + _map_live(l, nb, local[ok])
                 keep = out_id >= 0
                 yield pd.DataFrame(
                     {
@@ -901,6 +972,7 @@ def _merge_squeeze(
             "input_hash": "+".join(s["input_hash"] for s in group),
             "merged_from": [s["segment_id"] for s in group],
             "squeezed": True,
+            "sorted": srt,
             "build_secs": round(time.time() - t0, 3),
             "status": "merged",
         }
