@@ -581,6 +581,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def emb_near_dup_pairs(spark, sf_dir):
+        # IVF-blocked embedding near-dup join (bucket equijoin + cosine
+        # threshold) — the scale shape for embedding dedup
+        _emb_view(spark, sf_dir)
+        return spark.sql(
+            ann.near_dup_pairs_sql(SPARK, _centroids(sf_dir), threshold=0.4)
+        )
+
     def emb_ivf_assign_arr(spark, sf_dir):
         # array-native DataFrame assignment (zip_with + sequential fold
         # + struct-argmin) — no per-centroid SQL literal columns
@@ -643,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_sessionize=_sql_events(windows.sessionize_sql),
         emb_cosine_topk=emb_cosine_topk,
         emb_ivf_assign=emb_ivf_assign,
+        emb_near_dup_pairs=emb_near_dup_pairs,
         emb_ivf_assign_arr=emb_ivf_assign_arr,
         emb_ivf_topk=emb_ivf_topk,
         emb_ivf_topk2=emb_ivf_topk2,
@@ -731,6 +740,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "events_sessionize": windows.sessionize_sql(DUCK),
         "emb_cosine_topk": ann.cosine_topk_sql(DUCK, qvec0, k=10),
         "emb_ivf_assign": ann.ivf_assign_sql(DUCK, cents),
+        "emb_near_dup_pairs": ann.near_dup_pairs_sql(DUCK, cents, threshold=0.4),
         "emb_ivf_assign_arr": ann.ivf_assign_sql(DUCK, cents),
         "emb_ivf_topk": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5),
         "emb_ivf_topk2": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5, nprobe=2),

@@ -165,3 +165,44 @@ FROM assigned
 ORDER BY cos DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+def near_dup_pairs_sql(
+    d: str,
+    centroids: list,
+    dim: int = 64,
+    threshold: float = 0.4,
+    table: str = "embeddings",
+) -> str:
+    """(a, b, cos): embedding near-duplicate candidate pairs — vectors
+    in the SAME nearest-centroid bucket with cosine >= threshold.
+
+    This is the IVF-blocked near-dup join, the scale shape for
+    embedding dedup over 10^12 rows: the quadratic all-pairs cosine is
+    confined to each centroid bucket (an equijoin on centroid_id that
+    Spark shuffles once), so cost is sum of per-bucket squares instead
+    of corpus^2, and skewed buckets split further by raising C. Recall
+    vs the unblocked join is bounded by cluster quality exactly like
+    IVF search recall at nprobe=1; the driver gate runs this same
+    blocked definition in DuckDB, so the comparison is exact."""
+    cols, case, m = _assign_expr(d, centroids, dim)
+    dot = _dot(d, "x.embedding", "y.embedding", dim)
+    nx = _sq_norm(d, "x.embedding", dim)
+    ny = _sq_norm(d, "y.embedding", dim)
+    cos = f"({dot}) / (sqrt({nx}) * sqrt({ny}))"
+    thr = f"CAST('{float(threshold)!r}' AS DOUBLE)"
+    return f"""
+WITH dists AS (
+  SELECT vec_id, embedding,
+       {cols}
+  FROM {table}
+),
+mm AS (SELECT *, {m} AS m FROM dists),
+assigned AS (SELECT vec_id, embedding, CAST({case} AS INT) AS cid FROM mm)
+SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b,
+       {cos} AS cos
+FROM assigned x JOIN assigned y
+  ON x.cid = y.cid AND x.vec_id < y.vec_id
+WHERE {cos} >= {thr}
+ORDER BY a, b
+"""
