@@ -168,3 +168,28 @@ def test_uax29_wordbreak_corpus():
         if got != expected:
             bad.append((ascii(text), expected, got))
     assert not bad, (len(bad), bad[:20])
+
+
+def test_emoji_and_sea_terms_end_to_end():
+    """Emoji and SEA tokens flow through the index + query path: index
+    docs containing emoji sequences and Thai runs, query them as terms
+    and phrases through the same parser/kernels the Spark Searcher
+    uses (LocalIndex = same invert + scorers, no Spark overhead)."""
+    from lucene_spark.analysis.analyzer import Analyzer as An
+    from lucene_spark.search.local import LocalIndex
+
+    rows = [
+        {"url": "u1", "text": "happy 💩 day"},
+        {"url": "u2", "text": "sad day no emoji"},
+        {"url": "u3", "text": "👩‍❤️‍👩 couple photo"},
+        {"url": "u4", "text": "การที่ได้ต้อง segmentation test"},
+        {"url": "u5", "text": "💩 💩 double poo"},
+    ]
+    idx = LocalIndex.build(rows, num_segments=2, analyzer=An())
+    hits = idx.search("💩", k=10)
+    assert {h[2] for h in hits} == {"u1", "u5"}
+    assert hits[0][2] == "u5"  # tf=2 ranks first
+    assert {h[2] for h in idx.search("👩‍❤️‍👩", k=10)} == {"u3"}
+    assert {h[2] for h in idx.search("การที่ได้ต้อง", k=10)} == {"u4"}
+    assert {h[2] for h in idx.search('"happy 💩"', k=10)} == {"u1"}
+    assert idx.search('"💩 day"', k=10)[0][2] == "u1"
