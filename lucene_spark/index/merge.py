@@ -560,6 +560,9 @@ def merge_segments(
     return new_commit
 
 
+DELETES_PCT_ALLOWED = 20.0  # TieredMergePolicy.java:91
+
+
 def compact(
     spark,
     index_dir: str,
@@ -567,9 +570,17 @@ def compact(
     floor_bytes: int = FLOOR_SEGMENT_BYTES,
     max_merged_bytes: int = MAX_MERGED_SEGMENT_BYTES,
     num_salts: int = 4,
+    deletes_pct_allowed: float = DELETES_PCT_ALLOWED,
 ) -> dict:
     """Run tiered merges until the geometry is satisfied (the
-    ConcurrentMergeScheduler loop, serialized)."""
+    ConcurrentMergeScheduler loop, serialized).
+
+    A merge group carrying more than ``deletes_pct_allowed`` percent
+    tombstoned docs is rewritten with ``squeeze=True`` (the
+    TieredMergePolicy deletesPctAllowed trigger,
+    ``index/TieredMergePolicy.java:91,140-151``: reclaim space and
+    docFreq once deletions cross the threshold; cheaper concatenation
+    merges otherwise)."""
     commit = read_latest_commit(index_dir)
     while True:
         grp = find_merge(
@@ -580,12 +591,16 @@ def compact(
         )
         if not grp:
             return commit
+        ndocs = sum(int(s["num_docs"]) for s in grp)
+        ndel = sum(int(s.get("del_count") or 0) for s in grp)
+        squeeze = ndocs > 0 and 100.0 * ndel / ndocs > deletes_pct_allowed
         commit = merge_segments(
             spark,
             index_dir,
             [s["segment_id"] for s in grp],
             generation=commit["generation"] + 1,
             num_salts=num_salts,
+            squeeze=squeeze,
         )
 
 

@@ -110,3 +110,33 @@ def test_squeeze_docmap_renumbered(squeezed):
     base = commit["segments"][0]["doc_base"]
     assert ids == list(range(base, base + len(live)))  # dense, gap-free
     assert {r["url"] for r in dm} == {r["url"] for r in live}
+
+
+def test_compact_squeezes_when_deletes_exceed_threshold(spark, tmp_path_factory):
+    """compact() applies the deletesPctAllowed trigger: a merge group
+    carrying >20% tombstones is rewritten (deleted docs reclaimed),
+    below-threshold groups keep the cheap concatenation merge."""
+    from lucene_spark.index.merge import compact
+
+    corpus = make_pages(150)
+    d = str(tmp_path_factory.mktemp("cmp_idx"))
+    build_index(
+        spark, _df(spark, corpus), d,
+        IndexConfig(num_segments=6, analyzer=ENGLISH),
+    )
+    dead = [r["url"] for r in corpus[::3]]  # ~33% > 20% threshold
+    delete_docs(spark, d, keys=dead)
+    before = read_latest_commit(d)
+    assert before["deleted_docs"] == len(dead)
+    commit = compact(spark, d, segs_per_tier=2)
+    assert commit["num_segments"] < 6
+    assert commit["deleted_docs"] < len(dead)  # some tombstones reclaimed
+    check_index(spark, d)
+    # answers still correct vs a fresh build over survivors
+    live = [r for r in corpus if r["url"] not in set(dead)]
+    ref = str(tmp_path_factory.mktemp("cmp_ref"))
+    build_index(spark, _df(spark, live), ref, IndexConfig(num_segments=1, analyzer=ENGLISH))
+    a = _answers(spark, d, QUERIES[:4])
+    b = _answers(spark, ref, QUERIES[:4])
+    for q in QUERIES[:4]:
+        assert {u for u, _ in a[q]} == {u for u, _ in b[q]}, q
