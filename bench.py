@@ -98,6 +98,19 @@ def main() -> None:
         searcher.search_many([q for _, q in QUERY_SET], k=10).collect()
         queries["batched_set"] = round(time.time() - t0, 4)
 
+        # serving mode: LocalSearcher (no Spark job per query) — warm
+        # per-query latency for the whole set, the per-node serving
+        # plane (search/serve.py)
+        from lucene_spark.search.serve import LocalSearcher
+
+        ls = LocalSearcher(index_dir)
+        for _, q in QUERY_SET:
+            ls.search(q, k=10)  # cold pass populates block caches
+        t0 = time.time()
+        for _, q in QUERY_SET:
+            ls.search(q, k=10)
+        queries["serve_warm_set"] = round(time.time() - t0, 4)
+
         # ---- training-pipeline ops ----
         docs.createOrReplaceTempView("documents")
         spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")) \

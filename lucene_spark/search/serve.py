@@ -1,0 +1,389 @@
+"""Serving mode: low-latency per-query search without Spark jobs.
+
+``LocalSearcher`` answers queries over a committed index directory with
+the SAME parser, scorers, and pruned kernels as the Spark ``Searcher``,
+but reads postings through pyarrow with term filters (row-group
+min/max pruning over the term-sorted parquet — the BlockTree-seek
+analog) instead of launching a Spark job per query. This is the
+reference's own deployment model for query serving: one node owns a
+shard that fits its storage, opens the immutable segment files, and
+seeks terms on demand (``search/IndexSearcher.java`` over a local
+``Directory``); Spark remains the build/merge/refresh plane and the
+throughput plane (``Searcher.search_many`` for batched query sets).
+
+Latency model: the per-query Spark floor (~0.3-0.5 s of job
+scheduling, measured in BENCH.md) drops to the cost of a few pruned
+parquet reads (cold) or pure kernel time (warm — term blocks are
+cached per segment, the LRUQueryCache analog). Memory: term stats
+dictionary + norms (1 byte/doc/field) + cached blocks for queried
+terms; the corpus itself is never resident.
+
+Scale note: a 100-TB index is served by MANY LocalSearcher shards
+behind a router (doc-partitioned, like Lucene/Solr/ES); each node's
+index_dir is one shard's directory. This module is the per-shard
+server; sharding/routing is deployment topology, not engine code.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from lucene_spark.analysis.analyzer import Analyzer
+from lucene_spark.index.builder import read_latest_commit
+from lucene_spark.search import ast as ast_mod
+from lucene_spark.search import kernels
+from lucene_spark.search.parser import parse
+from lucene_spark.search.scoring import GlobalStats, build_scorers
+from lucene_spark.search.searcher import _load_segment_view
+
+
+# ---- process-sharded serving (one node, K worker processes) ----------
+
+_WORKER: "LocalSearcher | None" = None
+
+
+def _shard_init(index_dir: str, seg_ids: list) -> None:
+    global _WORKER
+    _WORKER = LocalSearcher(index_dir, segment_ids=seg_ids, workers=1)
+
+
+def _shard_search(args):
+    q, k, pruned, dtype, threshold = args
+    return _WORKER.search(
+        q, k=k, pruned=pruned, dtype=dtype, total_hits_threshold=threshold
+    )
+
+
+def _shard_count(args):
+    (q,) = args
+    return _WORKER.count(q)
+
+
+class ShardedSearcher:
+    """One-node serving across K worker PROCESSES, each owning a
+    disjoint subset of the index's segments — the in-miniature form of
+    the shard-router deployment (Lucene behind Solr/ES: doc-partitioned
+    shards, scatter-gather top-k). Python threads cannot parallelize
+    the block kernels (GIL), so heavy queries (dense-term phrases) get
+    real CPU scaling only across processes; per-query latency scales
+    ~1/K for kernel-bound queries while the merge stays k-sized.
+
+    Same answer contract as LocalSearcher/Searcher: per-shard top-k are
+    merged by (score desc, doc asc) — identical to Spark's reduce."""
+
+    def __init__(self, index_dir: str, shards: int | None = None):
+        from concurrent.futures import ProcessPoolExecutor
+
+        commit = read_latest_commit(index_dir)
+        segs = sorted(commit["segments"], key=lambda s: s["doc_base"])
+        n = min(shards or (os.cpu_count() or 4), len(segs)) or 1
+        self.commit = commit
+        self._pools = []
+        for i in range(n):
+            ids = [s["segment_id"] for s in segs[i::n]]
+            pool = ProcessPoolExecutor(
+                max_workers=1,
+                initializer=_shard_init,
+                initargs=(index_dir, ids),
+            )
+            pool.submit(os.getpid).result()  # force worker start + init
+            self._pools.append(pool)
+
+    def search(
+        self,
+        query,
+        k: int = 10,
+        pruned: bool = True,
+        dtype: str = "f32",
+        total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
+    ) -> list:
+        args = (query, k, pruned, dtype, total_hits_threshold)
+        futs = [p.submit(_shard_search, args) for p in self._pools]
+        rows = [r for f in futs for r in f.result()]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
+
+    def count(self, query) -> int:
+        futs = [p.submit(_shard_count, (query,)) for p in self._pools]
+        return sum(f.result() for f in futs)
+
+    def close(self) -> None:
+        for p in self._pools:
+            p.shutdown()
+
+
+class LocalSearcher:
+    """Per-shard query server over an index directory (no Spark)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        analyzer: Analyzer | None = None,
+        preload_stats: bool = True,
+        workers: int | None = None,
+        segment_ids: "list | None" = None,
+    ):
+        """``workers``: segment-level thread parallelism per query —
+        overlaps the pyarrow I/O of cold term loads, but NOT the block
+        kernels (pure-Python loops hold the GIL); use ShardedSearcher
+        for CPU scaling. ``segment_ids``: restrict this searcher to a
+        subset of the commit's segments (a ShardedSearcher worker's
+        slice); global stats stay whole-index (scores must not depend
+        on the sharding)."""
+        self.index_dir = index_dir
+        self.workers = int(workers) if workers else (os.cpu_count() or 4)
+        self._segment_ids = set(segment_ids) if segment_ids else None
+        self._views: dict = {}  # sid -> SegmentView (terms fill lazily)
+        self._missing: set = set()  # (sid, term) negative cache
+        self._stats: dict | None = None
+        self._analyzer = analyzer
+        self._preload = preload_stats
+        self._open(read_latest_commit(index_dir))
+
+    def _open(self, commit) -> None:
+        self.commit = commit
+        if self._analyzer is None:
+            sw = frozenset(commit.get("stopwords", []))
+            self.analyzer = Analyzer(stopwords=sw)
+        else:
+            self.analyzer = self._analyzer
+        self.all_segments = sorted(
+            commit["segments"], key=lambda s: s["doc_base"]
+        )
+        self.segments = [
+            s
+            for s in self.all_segments
+            if self._segment_ids is None or s["segment_id"] in self._segment_ids
+        ]
+        self._views = {}
+        self._missing = set()
+        self._stats = self._load_stats() if self._preload else None
+
+    def refresh(self) -> bool:
+        """SearcherManager.maybeRefresh: re-open the latest commit."""
+        latest = read_latest_commit(self.index_dir)
+        if latest["generation"] == self.commit["generation"]:
+            return False
+        self._open(latest)
+        return True
+
+    # ---- stats --------------------------------------------------------
+    def _load_stats(self) -> dict:
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for s in self.all_segments:
+            t = pq.read_table(
+                os.path.join(
+                    self.index_dir, "term_stats",
+                    f"segment_id={s['segment_id']}",
+                ),
+                columns=["term", "doc_freq", "total_tf"],
+            )
+            terms = t["term"].to_pylist()
+            dfs = t["doc_freq"].to_numpy()
+            tfs = t["total_tf"].to_numpy()
+            for term, df, ttf in zip(terms, dfs, tfs):
+                cur = out.get(term)
+                if cur is None:
+                    out[term] = [int(df), int(ttf)]
+                else:
+                    cur[0] += int(df)
+                    cur[1] += int(ttf)
+        return out
+
+    def global_term_stats(self, terms) -> dict:
+        if self._stats is not None:
+            return {
+                t: tuple(self._stats[t]) for t in terms if t in self._stats
+            }
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        tl = list(terms)
+        if not tl:
+            return out
+        for s in self.all_segments:
+            t = pq.read_table(
+                os.path.join(
+                    self.index_dir, "term_stats",
+                    f"segment_id={s['segment_id']}",
+                ),
+                columns=["term", "doc_freq", "total_tf"],
+                filters=[("term", "in", tl)],
+            )
+            for term, df, ttf in zip(
+                t["term"].to_pylist(),
+                t["doc_freq"].to_numpy(),
+                t["total_tf"].to_numpy(),
+            ):
+                cur = out.setdefault(term, [0, 0])
+                cur[0] += int(df)
+                cur[1] += int(ttf)
+        return {t: tuple(v) for t, v in out.items()}
+
+    def _global_stats(self, tstats: dict) -> GlobalStats:
+        fields = self.commit.get("fields") or None
+        field_stats = (
+            {
+                f: (int(st["doc_count"]), int(st["sum_total_tf"]))
+                for f, st in fields.items()
+            }
+            if fields
+            else None
+        )
+        return GlobalStats(
+            doc_count=int(self.commit["doc_count"]),
+            sum_total_tf=int(self.commit["sum_total_tf"]),
+            doc_freq={t: v[0] for t, v in tstats.items()},
+            field_stats=field_stats,
+        )
+
+    # ---- segment views (lazy, cached term blocks) ---------------------
+    def _view(self, seg: dict, terms):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        sid = seg["segment_id"]
+        view = self._views.get(sid)
+        need = [
+            t
+            for t in terms
+            if (view is None or t not in view.terms)
+            and (sid, t) not in self._missing
+        ]
+        if view is None or need:
+            cols = [
+                "term", "block_id", "num_docs", "first_doc", "last_doc",
+                "docs_bin", "tfs_bin", "pos_bin", "impact_tfs",
+                "impact_norms",
+            ]
+            if need:
+                tbl = pq.read_table(
+                    os.path.join(self.index_dir, "postings", f"segment_id={sid}"),
+                    columns=cols,
+                    filters=[("term", "in", need)],
+                )
+                pdf = tbl.to_pandas()
+            else:
+                pdf = pd.DataFrame(columns=cols)
+            fresh = _load_segment_view(self.index_dir, sid, pdf)
+            if view is None:
+                view = fresh
+                self._views[sid] = view
+            else:
+                view.terms.update(fresh.terms)
+            for t in need:
+                if t not in view.terms:
+                    self._missing.add((sid, t))
+        return view
+
+    # ---- query surface ------------------------------------------------
+    def parse(self, query: str):
+        return parse(query, self.analyzer)
+
+    def search(
+        self,
+        query,
+        k: int = 10,
+        pruned: bool = True,
+        dtype: str = "f32",
+        total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
+    ) -> list:
+        """[(global doc_id, score, url)] — identical contract (values,
+        tie-breaks) to ``Searcher.search`` and ``LocalIndex.search``."""
+        q = (
+            parse(query, self.analyzer)
+            if isinstance(query, str)
+            else ast_mod.rewrite(query)
+        )
+        terms = ast_mod.query_terms(q)
+        stats = self._global_stats(self.global_term_stats(terms))
+        scorers = build_scorers(q, stats, dtype=dtype)
+
+        def one(seg):
+            view = self._view(seg, terms)
+            docs, scores = kernels.search_segment(
+                view, q, scorers, k, pruned=pruned, dtype=dtype,
+                total_hits_threshold=total_hits_threshold,
+            )
+            return docs + view.doc_base, np.asarray(scores, dtype=np.float64)
+
+        all_docs, all_scores = [], []
+        if self.workers > 1 and len(self.segments) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # views are populated serially first (the cache dict is not
+            # thread-safe to MUTATE concurrently); kernels then run in
+            # parallel over the immutable views
+            for seg in self.segments:
+                self._view(seg, terms)
+            with ThreadPoolExecutor(max_workers=self.workers) as ex:
+                for d, s in ex.map(one, self.segments):
+                    all_docs.append(d)
+                    all_scores.append(s)
+        else:
+            for seg in self.segments:
+                d, s = one(seg)
+                all_docs.append(d)
+                all_scores.append(s)
+        docs = np.concatenate(all_docs) if all_docs else np.empty(0, np.int64)
+        scores = (
+            np.concatenate(all_scores) if all_scores else np.empty(0, np.float64)
+        )
+        docs, scores = kernels.top_k_select(docs, scores, k)
+        urls = self._urls_of(docs)
+        return [
+            (
+                int(d),
+                float(np.float32(s)) if dtype == "f32" else float(s),
+                urls[int(d)],
+            )
+            for d, s in zip(docs, scores)
+        ]
+
+    def count(self, query) -> int:
+        q = (
+            parse(query, self.analyzer)
+            if isinstance(query, str)
+            else ast_mod.rewrite(query)
+        )
+        terms = ast_mod.query_terms(q)
+        scorers = build_scorers(
+            q, self._global_stats(self.global_term_stats(terms)), dtype="f32"
+        )
+        n = 0
+        for seg in self.segments:
+            view = self._view(seg, terms)
+            docs, _ = kernels.score_exhaustive(view, q, scorers, "f32")
+            if view.live is not None and docs.size:
+                docs = docs[view.live_mask(docs)]
+            n += int(docs.size)
+        return n
+
+    def _urls_of(self, docs: np.ndarray) -> dict:
+        """doc_id -> url via per-segment doc_id-filtered docmap reads
+        (row groups are doc_id-sorted; k lookups, not a table scan)."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        if docs.size == 0:
+            return out
+        ids = np.sort(docs.astype(np.int64))
+        for s in self.segments:
+            lo, hi = int(s["doc_base"]), int(s["doc_base"] + s["num_docs"])
+            mine = ids[(ids >= lo) & (ids < hi)]
+            if mine.size == 0:
+                continue
+            t = pq.read_table(
+                os.path.join(
+                    self.index_dir, "docmap", f"segment_id={s['segment_id']}"
+                ),
+                columns=["doc_id", "url"],
+                filters=[("doc_id", "in", mine.tolist())],
+            )
+            for d, u in zip(t["doc_id"].to_numpy(), t["url"].to_pylist()):
+                out[int(d)] = u
+        return out

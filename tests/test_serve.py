@@ -1,0 +1,72 @@
+"""Serving mode: LocalSearcher must return bit-identical answers to the
+Spark Searcher over the same index directory (same parser, scorers,
+kernels — only the I/O plane differs), at per-query latencies without
+a Spark job."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis.analyzer import ENGLISH
+from lucene_spark.fixtures import make_pages, make_queries
+from lucene_spark.index.builder import IndexConfig, build_index
+from lucene_spark.index.deletes import delete_docs
+from lucene_spark.search.searcher import Searcher
+from lucene_spark.search.serve import LocalSearcher
+
+QUERIES = [q["query"] for q in make_queries()[::4]]
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    corpus = make_pages(220)
+    d = str(tmp_path_factory.mktemp("srv_idx"))
+    build_index(
+        spark, spark.createDataFrame(
+            [(r["url"], r["text"]) for r in corpus], ["url", "text"]
+        ), d, IndexConfig(num_segments=3, analyzer=ENGLISH),
+    )
+    delete_docs(spark, d, keys=[corpus[11]["url"], corpus[42]["url"]])
+    return spark, d
+
+
+def test_local_searcher_matches_spark_searcher(served):
+    spark, d = served
+    s = Searcher(spark, d)
+    l = LocalSearcher(d)
+    for q in QUERIES:
+        a = [
+            (r["doc_id"], np.float32(r["score"]), r["url"])
+            for r in s.search(q, k=10).collect()
+        ]
+        b = [(doc, np.float32(sc), u) for doc, sc, u in l.search(q, k=10)]
+        assert a == b, (q, a, b)
+        assert s.count(q) == l.count(q), q
+
+
+def test_local_searcher_warm_cache_consistent(served):
+    spark, d = served
+    l = LocalSearcher(d)
+    q = QUERIES[0]
+    first = l.search(q, k=10)
+    again = l.search(q, k=10)  # cached term blocks path
+    assert first == again
+
+
+def test_local_searcher_refresh(served):
+    spark, d = served
+    l = LocalSearcher(d)
+    assert l.refresh() is False
+
+
+def test_sharded_searcher_matches_local(served):
+    from lucene_spark.search.serve import ShardedSearcher
+
+    spark, d = served
+    l = LocalSearcher(d, workers=1)
+    ss = ShardedSearcher(d, shards=2)
+    try:
+        for q in QUERIES[:6]:
+            assert ss.search(q, k=10) == l.search(q, k=10), q
+            assert ss.count(q) == l.count(q), q
+    finally:
+        ss.close()
