@@ -294,6 +294,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _searcher(spark, sf_dir).search(TERM, k=K, pruned=True, dtype="f64")
         )
 
+    def serve_term_topk(spark, sf_dir):
+        # the SERVING plane under the same oracle: LocalSearcher
+        # (pyarrow reads, no Spark job) must produce bitwise-identical
+        # top-k to both the Spark plane and DuckDB
+        from lucene_spark.search.serve import LocalSearcher
+
+        s = _searcher(spark, sf_dir)  # ensure the index is built
+        key = ("serve", s.index_dir)
+        ls = _searchers.get(key)
+        if ls is None:
+            ls = LocalSearcher(s.index_dir, workers=1)
+            _searchers[key] = ls
+        rows = ls.search(TERM, k=K, pruned=True, dtype="f64")
+        return spark.createDataFrame(
+            [(int(u), float(sc)) for _d, sc, u in rows],
+            "doc_id long, score double",
+        )
+
     def term_topk_rare(spark, sf_dir):
         return _topk_docs(
             _searcher(spark, sf_dir).search(TERM_RARE, k=K, pruned=True, dtype="f64")
@@ -601,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         term_postings=term_postings,
         term_postings_rare=term_postings_rare,
         term_topk=term_topk,
+        serve_term_topk=serve_term_topk,
         term_topk_rare=term_topk_rare,
         bool_and_topk=bool_and_topk,
         bool_or_topk=bool_or_topk,
@@ -681,6 +700,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "term_postings": osql.term_postings_sql(TERM),
         "term_postings_rare": osql.term_postings_sql(TERM_RARE),
         "term_topk": osql.term_topk_sql(TERM, K),
+        "serve_term_topk": osql.term_topk_sql(TERM, K),
         "term_topk_rare": osql.term_topk_sql(TERM_RARE, K),
         "bool_and_topk": osql.bool_topk_sql(AND3_TERMS, [], K),
         "bool_or_topk": osql.bool_topk_sql([], OR_TERMS, K),
