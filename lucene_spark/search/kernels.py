@@ -251,19 +251,49 @@ def _verify_sloppy(seg, q, tbs, docs):
     return docs[hit], freqs[hit]
 
 
+_POS_OFF = 1 << 20  # keeps (pos - rel) non-negative in the packed key
+
+
+def _positions_flat(tb: TermBlocks, docs: np.ndarray):
+    """(lens, flat): per-doc position counts and the concatenation of
+    all requested docs' positions in doc order — the ragged slices are
+    gathered with one index-arithmetic pass per block, no per-doc
+    Python loop. ``docs`` must be sorted and present in ``tb``."""
+    lens = np.zeros(docs.size, dtype=np.int64)
+    parts: list = []
+    bidx = np.searchsorted(tb.last_doc, docs, side="left")
+    for b in np.unique(bidx):
+        sel = np.flatnonzero(bidx == b)
+        bd, _ = tb.decode(int(b))
+        flat, bounds = tb.decode_positions(int(b))
+        jj = np.searchsorted(bd, docs[sel])
+        lb = bounds[jj + 1] - bounds[jj]
+        lens[sel] = lb
+        offs = np.concatenate(([0], np.cumsum(lb)))
+        idx = np.arange(offs[-1]) + np.repeat(bounds[jj] - offs[:-1], lb)
+        parts.append(flat[idx])
+    return lens, (np.concatenate(parts) if parts else _EMPTY_POS)
+
+
 def _verify_phrase(seg, q, tbs, docs):
-    pos_lists = [_positions_for_docs(tb, docs) for tb in tbs]
-    freqs = np.zeros(docs.size, dtype=np.int64)
+    """Exact-phrase verification, vectorized across ALL candidate docs:
+    each term's occurrences become packed ``doc_index << 32 | (pos -
+    rel)`` keys (globally sorted by construction), so the whole
+    candidate set needs ONE sorted intersection per phrase term instead
+    of one per (doc, term) — phraseFreq per doc is then a bincount of
+    the surviving keys."""
     rels = q.positions
-    for i in range(docs.size):
-        cand = pos_lists[0][i] - rels[0]
-        for lst, rel in zip(pos_lists[1:], rels[1:]):
-            cand = np.intersect1d(cand, lst[i] - rel, assume_unique=False)
-            if cand.size == 0:
-                break
-        freqs[i] = cand.size
+    keys = None
+    for tb, rel in zip(tbs, rels):
+        lens, flat = _positions_flat(tb, docs)
+        didx = np.repeat(np.arange(docs.size, dtype=np.int64), lens)
+        k = (didx << 32) | (flat - rel + _POS_OFF)
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if keys.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    freqs = np.bincount(keys >> 32, minlength=docs.size)
     hit = freqs > 0
-    return docs[hit], freqs[hit]
+    return docs[hit], freqs[hit].astype(np.int64)
 
 
 _EMPTY_POS = np.empty(0, np.int64)
