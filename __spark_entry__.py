@@ -294,6 +294,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _searcher(spark, sf_dir).search(TERM, k=K, pruned=True, dtype="f64")
         )
 
+    def squeeze_term_topk(spark, sf_dir):
+        # delete + squeezing merge under the driver gate: every 5th doc
+        # is tombstoned, the reclaiming merge renumbers the survivors
+        # and recomputes docFreq/norms/stats, and the top-k must
+        # hash-match BM25 computed over only the surviving rows
+        import math
+
+        import pyspark.sql.functions as F
+
+        from lucene_spark.analysis.analyzer import ENGLISH
+        from lucene_spark.index.builder import IndexConfig, build_index
+        from lucene_spark.index.deletes import delete_docs
+        from lucene_spark.index.merge import force_merge, read_latest_commit
+        from lucene_spark.search.searcher import Searcher
+
+        key = _corpus_key(sf_dir) + "sq"
+        s = _searchers.get(key)
+        if s is None:
+            index_dir = os.path.join("/tmp", "lucene_spark_idx", key)
+            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            n = docs.count()
+            chunk = max(1, math.ceil(n / _NUM_SEGMENTS))
+            pages = docs.select(
+                F.format_string("%012d", F.col("doc_id")).alias("url"),
+                F.col("text"),
+            )
+            cfg = IndexConfig(
+                num_segments=_NUM_SEGMENTS,
+                analyzer=ENGLISH,
+                pid_expr=f"int(cast(url as bigint) / {chunk})",
+            )
+            build_index(spark, pages, index_dir, cfg)
+            commit = read_latest_commit(index_dir)
+            if not commit.get("deleted_docs") and commit["num_segments"] > 1:
+                dead = [
+                    r["url"]
+                    for r in pages.where(F.col("url").cast("long") % 5 == 0)
+                    .select("url")
+                    .collect()
+                ]
+                delete_docs(spark, index_dir, keys=dead)
+                force_merge(spark, index_dir, squeeze=True)
+            s = Searcher(spark, index_dir)
+            _searchers[key] = s
+        return _topk_docs(s.search(TERM, k=K, pruned=True, dtype="f64"))
+
     def serve_term_topk(spark, sf_dir):
         # the SERVING plane under the same oracle: LocalSearcher
         # (pyarrow reads, no Spark job) must produce bitwise-identical
@@ -620,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         term_postings_rare=term_postings_rare,
         term_topk=term_topk,
         serve_term_topk=serve_term_topk,
+        squeeze_term_topk=squeeze_term_topk,
         term_topk_rare=term_topk_rare,
         bool_and_topk=bool_and_topk,
         bool_or_topk=bool_or_topk,
@@ -701,6 +748,10 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "term_postings_rare": osql.term_postings_sql(TERM_RARE),
         "term_topk": osql.term_topk_sql(TERM, K),
         "serve_term_topk": osql.term_topk_sql(TERM, K),
+        "squeeze_term_topk": osql.term_topk_sql(
+            TERM, K,
+            table="(SELECT * FROM documents WHERE (doc_id % 5) <> 0) live",
+        ),
         "term_topk_rare": osql.term_topk_sql(TERM_RARE, K),
         "bool_and_topk": osql.bool_topk_sql(AND3_TERMS, [], K),
         "bool_or_topk": osql.bool_topk_sql([], OR_TERMS, K),
