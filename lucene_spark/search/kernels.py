@@ -254,19 +254,27 @@ def _verify_sloppy(seg, q, tbs, docs):
 _POS_OFF = 1 << 20  # keeps (pos - rel) non-negative in the packed key
 
 
-def _positions_flat(tb: TermBlocks, docs: np.ndarray):
+def _positions_flat(tb: TermBlocks, docs: np.ndarray, optional: bool = False):
     """(lens, flat): per-doc position counts and the concatenation of
     all requested docs' positions in doc order — the ragged slices are
     gathered with one index-arithmetic pass per block, no per-doc
-    Python loop. ``docs`` must be sorted and present in ``tb``."""
+    Python loop. ``docs`` must be sorted; with ``optional=True`` absent
+    docs get length 0 (the MultiPhrase per-slot union case)."""
     lens = np.zeros(docs.size, dtype=np.int64)
     parts: list = []
     bidx = np.searchsorted(tb.last_doc, docs, side="left")
     for b in np.unique(bidx):
+        if b >= tb.nblocks:
+            continue
         sel = np.flatnonzero(bidx == b)
         bd, _ = tb.decode(int(b))
         flat, bounds = tb.decode_positions(int(b))
         jj = np.searchsorted(bd, docs[sel])
+        if optional:
+            ok = (jj < bd.size) & (bd[np.minimum(jj, bd.size - 1)] == docs[sel])
+            sel, jj = sel[ok], jj[ok]
+            if sel.size == 0:
+                continue
         lb = bounds[jj + 1] - bounds[jj]
         lens[sel] = lb
         offs = np.concatenate(([0], np.cumsum(lb)))
@@ -299,24 +307,6 @@ def _verify_phrase(seg, q, tbs, docs):
 _EMPTY_POS = np.empty(0, np.int64)
 
 
-def _positions_for_docs_opt(tb: TermBlocks, docs: np.ndarray) -> list:
-    """Like ``_positions_for_docs`` but tolerates absent docs (empty
-    position array) — needed for per-slot unions in MultiPhrase."""
-    out: list = [_EMPTY_POS] * docs.size
-    bidx = np.searchsorted(tb.last_doc, docs, side="left")
-    for b in np.unique(bidx):
-        if b >= tb.nblocks:
-            continue
-        sel = np.flatnonzero(bidx == b)
-        bd, _ = tb.decode(int(b))
-        flat, bounds = tb.decode_positions(int(b))
-        j = np.searchsorted(bd, docs[sel])
-        for row, jj in zip(sel, j):
-            if jj < bd.size and bd[jj] == docs[row]:
-                out[row] = flat[bounds[jj] : bounds[jj + 1]]
-    return out
-
-
 def _multi_phrase_doc_freqs(seg: SegmentView, q: ast.MultiPhraseQuery):
     """MultiPhraseQuery matching (``search/MultiPhraseQuery.java`` via
     ``UnionPostingsEnum``): each slot accepts any of its member terms;
@@ -336,26 +326,29 @@ def _multi_phrase_doc_freqs(seg: SegmentView, q: ast.MultiPhraseQuery):
     docs = docs[seg.live_mask(docs)]
     if docs.size == 0:
         return docs, np.empty(0, np.int64)
-    # per-slot, per-doc unioned positions
-    slot_pos = []
-    for tbs in slot_tbs:
-        per_member = [_positions_for_docs_opt(tb, docs) for tb in tbs]
-        merged = [
-            np.unique(np.concatenate([pm[i] for pm in per_member]))
-            for i in range(docs.size)
-        ]
-        slot_pos.append(merged)
-    freqs = np.zeros(docs.size, dtype=np.int64)
+    # per-slot union of member positions as packed doc<<32|pos keys,
+    # then one sorted intersection per slot (same vectorization as
+    # _verify_phrase; the per-slot np.unique IS the UnionPostingsEnum
+    # position dedup)
     rels = q.positions
-    for i in range(docs.size):
-        cand = slot_pos[0][i] - rels[0]
-        for lst, rel in zip(slot_pos[1:], rels[1:]):
-            cand = np.intersect1d(cand, lst[i] - rel, assume_unique=False)
-            if cand.size == 0:
-                break
-        freqs[i] = cand.size
+    keys = None
+    for tbs, rel in zip(slot_tbs, rels):
+        member_keys = []
+        for tb in tbs:
+            lens, flat = _positions_flat(tb, docs, optional=True)
+            didx = np.repeat(np.arange(docs.size, dtype=np.int64), lens)
+            member_keys.append((didx << 32) | (flat - rel + _POS_OFF))
+        k = (
+            np.unique(np.concatenate(member_keys))
+            if len(member_keys) > 1
+            else member_keys[0]
+        )
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if keys.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    freqs = np.bincount(keys >> 32, minlength=docs.size)
     hit = freqs > 0
-    return docs[hit], freqs[hit]
+    return docs[hit], freqs[hit].astype(np.int64)
 
 
 # ------------------------------------------------------------ pruned kernels
