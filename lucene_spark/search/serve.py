@@ -74,11 +74,17 @@ class ShardedSearcher:
     merged by (score desc, doc asc) — identical to Spark's reduce."""
 
     def __init__(self, index_dir: str, shards: int | None = None):
+        self.index_dir = index_dir
+        self._shards = shards
+        self._pools: list = []
+        self._open(read_latest_commit(index_dir))
+
+    def _open(self, commit) -> None:
         from concurrent.futures import ProcessPoolExecutor
 
-        commit = read_latest_commit(index_dir)
+        self.close()
         segs = sorted(commit["segments"], key=lambda s: s["doc_base"])
-        n = min(shards or (os.cpu_count() or 4), len(segs)) or 1
+        n = min(self._shards or (os.cpu_count() or 4), len(segs)) or 1
         self.commit = commit
         self._pools = []
         for i in range(n):
@@ -86,10 +92,20 @@ class ShardedSearcher:
             pool = ProcessPoolExecutor(
                 max_workers=1,
                 initializer=_shard_init,
-                initargs=(index_dir, ids),
+                initargs=(self.index_dir, ids),
             )
             pool.submit(os.getpid).result()  # force worker start + init
             self._pools.append(pool)
+
+    def refresh(self) -> bool:
+        """Re-open on a new commit generation. Segment-to-shard
+        assignment depends on the segment list (merges rewrite it), so
+        refresh rebuilds the worker pool rather than patching it."""
+        latest = read_latest_commit(self.index_dir)
+        if latest["generation"] == self.commit["generation"]:
+            return False
+        self._open(latest)
+        return True
 
     def search(
         self,

@@ -70,3 +70,22 @@ def test_sharded_searcher_matches_local(served):
             assert ss.count(q) == l.count(q), q
     finally:
         ss.close()
+
+
+def test_sharded_refresh_picks_up_new_generation(served, tmp_path_factory):
+    """ShardedSearcher.refresh rebuilds worker shards on a new commit
+    (merges change the segment list, so pools are reopened)."""
+    from lucene_spark.index.merge import force_merge
+    from lucene_spark.search.serve import ShardedSearcher
+
+    spark, d = served
+    ss = ShardedSearcher(d, shards=2)
+    try:
+        assert ss.refresh() is False
+        before = ss.search(QUERIES[0], k=10)
+        force_merge(spark, d)
+        assert ss.refresh() is True
+        after = ss.search(QUERIES[0], k=10)
+        assert before == after  # concatenation merge preserves answers
+    finally:
+        ss.close()
