@@ -122,14 +122,18 @@ _ONLY_UNDERSCORE = re.compile(r"_+$")
 # ASCII specialization of _TOKEN_RE (identical matches on ASCII input:
 # emoji/script branches can never fire, ASCII has no extenders, and the
 # classes reduce to letter [A-Za-z] / digit [0-9] / ENL '_' with
-# letter-medials ['.:] and digit-medials ['.,;]) — explicit byte
-# classes skip the per-char Unicode property lookups, ~2-3x faster on
-# web-scale English text. Structure mirrors _WORDRULE element-for-
-# element; equivalence is property-tested (tests/test_property.py).
-_A_DELEM = r"[0-9]+(?:(?:_+|['.,;])?[0-9]+)*"
-_A_LRUN = r"[A-Za-z]+(?:(?:_+|['.:])?[A-Za-z]+)*"
-_A_CORE = rf"(?:{_A_DELEM}|{_A_LRUN})+"
-_ASCII_TOKEN_RE = re.compile(rf"_*{_A_CORE}(?:_+{_A_CORE})*_*")
+# letter-medials ['.:] and digit-medials ['.,;]). Shape chosen for the
+# regex engine, not the grammar: one [0-9A-Za-z_]+ atom swallows each
+# run (letters/digits/connectors join unconditionally under
+# WB5/8/9/10/13a/b), and a medial extends the token only when its
+# lookbehind/lookahead type-match holds — ~2.5x faster than a literal
+# element-for-element transcription of _WORDRULE, fuzz-verified
+# equivalent to it (tests/test_property.py). The leading lookahead
+# rejects connector-only runs (not words under UAX#29).
+_ASCII_TOKEN_RE = re.compile(
+    r"(?=_*[0-9A-Za-z])[0-9A-Za-z_]+"
+    r"(?:(?:(?<=[A-Za-z])['.:](?=[A-Za-z])|(?<=[0-9])['.,;](?=[0-9]))[0-9A-Za-z_]+)*"
+)
 
 # a doc is "simple" if its tokens are plain [0-9A-Za-z_] runs — no
 # medial apostrophe/period/comma/colon/semicolon joins possible. Simple

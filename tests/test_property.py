@@ -205,3 +205,31 @@ def test_level1_group_bounds_dominate():
             assert g_bmax[g] >= bm[g_starts[g] : g_ends[g]].max() - 1e-12
             checked += 1
     assert checked > 0
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab1_'.:,; Z9é", min_size=0, max_size=18),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_ascii_fast_regex_matches_wordrule(texts):
+    """The lookaround-shaped ASCII tokenizer regex must match the full
+    UAX#29 _WORDRULE grammar token-for-token on ASCII input (the é
+    samples exercise the isascii() gate, not the regex)."""
+    from lucene_spark.analysis.analyzer import (
+        _ASCII_TOKEN_RE,
+        _ONLY_UNDERSCORE,
+        _TOKEN_RE,
+    )
+
+    for s in texts:
+        if not s.isascii():
+            continue
+        full = [
+            t for t in _TOKEN_RE.findall(s) if not _ONLY_UNDERSCORE.fullmatch(t)
+        ]
+        fast = _ASCII_TOKEN_RE.findall(s)
+        assert full == fast, s
