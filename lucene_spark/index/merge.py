@@ -548,12 +548,22 @@ def merge_segments(
         if isinstance(m.get("field_stats"), str)
         else _json.dumps(m.get("field_stats") or {})
     )
+    # tombstones carried into the merged segment stay countable (the
+    # deletesPctAllowed trigger in compact() reads del_count from the
+    # commit rows); derive from the deletes FILE so resumed merges and
+    # pre-existing manifests stay in sync
+    from lucene_spark.index.deletes import _read_deletes as _rd
+
+    row["del_count"] = int(_rd(index_dir, m["segment_id"]).size)
     new_segments.append(row)
     new_segments.sort(key=lambda s: s["doc_base"])
     new_commit = dict(commit)
     new_commit["generation"] = generation
     new_commit["segments"] = new_segments
     new_commit["num_segments"] = len(new_segments)
+    new_commit["deleted_docs"] = int(
+        sum(int(s.get("del_count") or 0) for s in new_segments)
+    )
     _atomic_write_json(
         os.path.join(index_dir, "commits", f"gen_{generation:06d}.json"), new_commit
     )
@@ -706,6 +716,12 @@ def _merge_squeeze(
     layout = _live_layout(index_dir, group, new_base, sort_keys=sort_by_key)
     num_live = int(sum(l["live"].size for l in layout))
     srt = bool(sort_by_key)
+    # sorted mode: the permutation needs the group's docmap urls, which
+    # only the driver reads (once); tasks get the finished layout via
+    # closure — docs-in-merge sized, the same in-memory doc map the
+    # reference's DocIDMerger holds per merge. Squeeze-only tasks keep
+    # rebuilding locally from the SMALL deletes files instead.
+    ship_layout = layout if srt else None
 
     if not os.path.exists(manifest_path):
         t0 = time.time()
@@ -724,7 +740,11 @@ def _merge_squeeze(
             from lucene_spark.search.ast import field_of
 
             salt = int(key[0])
-            lay = _live_layout(idx_dir, group_meta, nb, sort_keys=srt)
+            lay = (
+                ship_layout
+                if ship_layout is not None
+                else _live_layout(idx_dir, group_meta, nb)
+            )
             by_order = {i: l for i, l in enumerate(lay)}
             new_norms = _gather_norms(idx_dir, lay, num_live)
             pdf = pdf.sort_values(["term", "seg_order", "block_id"], kind="mergesort")
@@ -928,7 +948,11 @@ def _merge_squeeze(
         def dm_map(iterator):
             import pandas as pd
 
-            lay = _live_layout(idx_dir, group_meta, nb, sort_keys=srt)
+            lay = (
+                ship_layout
+                if ship_layout is not None
+                else _live_layout(idx_dir, group_meta, nb)
+            )
             bases = np.array([l["doc_base"] for l in lay], dtype=np.int64)
             for pdf in iterator:
                 ids = pdf["doc_id"].to_numpy()

@@ -45,20 +45,27 @@ _WORKER: "LocalSearcher | None" = None
 
 
 def _shard_init(index_dir: str, seg_ids: list) -> None:
+    # workers do NOT preload the whole-index stats dictionary (K
+    # duplicate vocab dicts + K full term_stats scans at open); the
+    # parent owns the single preloaded copy and ships each query's
+    # k-term stats with the task
     global _WORKER
-    _WORKER = LocalSearcher(index_dir, segment_ids=seg_ids, workers=1)
+    _WORKER = LocalSearcher(
+        index_dir, segment_ids=seg_ids, workers=1, preload_stats=False
+    )
 
 
 def _shard_search(args):
-    q, k, pruned, dtype, threshold = args
+    q, k, pruned, dtype, threshold, tstats = args
     return _WORKER.search(
-        q, k=k, pruned=pruned, dtype=dtype, total_hits_threshold=threshold
+        q, k=k, pruned=pruned, dtype=dtype, total_hits_threshold=threshold,
+        tstats=tstats,
     )
 
 
 def _shard_count(args):
-    (q,) = args
-    return _WORKER.count(q)
+    q, tstats = args
+    return _WORKER.count(q, tstats=tstats)
 
 
 class ShardedSearcher:
@@ -77,7 +84,9 @@ class ShardedSearcher:
         self.index_dir = index_dir
         self._shards = shards
         self._pools: list = []
-        self._open(read_latest_commit(index_dir))
+        # stats-only searcher: whole-index term dictionary, no segments
+        self._stats_ls = LocalSearcher(index_dir, segment_ids=[], workers=1)
+        self._open(self._stats_ls.commit)
 
     def _open(self, commit) -> None:
         from concurrent.futures import ProcessPoolExecutor
@@ -101,10 +110,9 @@ class ShardedSearcher:
         """Re-open on a new commit generation. Segment-to-shard
         assignment depends on the segment list (merges rewrite it), so
         refresh rebuilds the worker pool rather than patching it."""
-        latest = read_latest_commit(self.index_dir)
-        if latest["generation"] == self.commit["generation"]:
+        if not self._stats_ls.refresh():
             return False
-        self._open(latest)
+        self._open(self._stats_ls.commit)
         return True
 
     def search(
@@ -115,15 +123,27 @@ class ShardedSearcher:
         dtype: str = "f32",
         total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
     ) -> list:
-        args = (query, k, pruned, dtype, total_hits_threshold)
+        args = (
+            query, k, pruned, dtype, total_hits_threshold,
+            self._query_stats(query),
+        )
         futs = [p.submit(_shard_search, args) for p in self._pools]
         rows = [r for f in futs for r in f.result()]
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
 
     def count(self, query) -> int:
-        futs = [p.submit(_shard_count, (query,)) for p in self._pools]
+        args = (query, self._query_stats(query))
+        futs = [p.submit(_shard_count, args) for p in self._pools]
         return sum(f.result() for f in futs)
+
+    def _query_stats(self, query) -> dict:
+        q = (
+            self._stats_ls.parse(query)
+            if isinstance(query, str)
+            else ast_mod.rewrite(query)
+        )
+        return self._stats_ls.global_term_stats(ast_mod.query_terms(q))
 
     def close(self) -> None:
         for p in self._pools:
@@ -150,7 +170,9 @@ class LocalSearcher:
         on the sharding)."""
         self.index_dir = index_dir
         self.workers = int(workers) if workers else (os.cpu_count() or 4)
-        self._segment_ids = set(segment_ids) if segment_ids else None
+        self._segment_ids = (
+            set(segment_ids) if segment_ids is not None else None
+        )
         self._views: dict = {}  # sid -> SegmentView (terms fill lazily)
         self._missing: set = set()  # (sid, term) negative cache
         self._stats: dict | None = None
@@ -307,16 +329,21 @@ class LocalSearcher:
         pruned: bool = True,
         dtype: str = "f32",
         total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
+        tstats: "dict | None" = None,
     ) -> list:
         """[(global doc_id, score, url)] — identical contract (values,
-        tie-breaks) to ``Searcher.search`` and ``LocalIndex.search``."""
+        tie-breaks) to ``Searcher.search`` and ``LocalIndex.search``.
+        ``tstats``: pre-computed term stats (a ShardedSearcher parent
+        ships them so workers skip the stats lookup)."""
         q = (
             parse(query, self.analyzer)
             if isinstance(query, str)
             else ast_mod.rewrite(query)
         )
         terms = ast_mod.query_terms(q)
-        stats = self._global_stats(self.global_term_stats(terms))
+        stats = self._global_stats(
+            tstats if tstats is not None else self.global_term_stats(terms)
+        )
         scorers = build_scorers(q, stats, dtype=dtype)
 
         def one(seg):
@@ -360,22 +387,27 @@ class LocalSearcher:
             for d, s in zip(docs, scores)
         ]
 
-    def count(self, query) -> int:
+    def count(self, query, tstats: "dict | None" = None) -> int:
         q = (
             parse(query, self.analyzer)
             if isinstance(query, str)
             else ast_mod.rewrite(query)
         )
         terms = ast_mod.query_terms(q)
+        if not terms:
+            return 0  # term-less query: same contract as Searcher.count
         scorers = build_scorers(
-            q, self._global_stats(self.global_term_stats(terms)), dtype="f32"
+            q,
+            self._global_stats(
+                tstats if tstats is not None else self.global_term_stats(terms)
+            ),
+            dtype="f32",
         )
         n = 0
         for seg in self.segments:
             view = self._view(seg, terms)
+            # score_exhaustive already applies the live mask per leaf
             docs, _ = kernels.score_exhaustive(view, q, scorers, "f32")
-            if view.live is not None and docs.size:
-                docs = docs[view.live_mask(docs)]
             n += int(docs.size)
         return n
 

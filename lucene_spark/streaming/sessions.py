@@ -33,10 +33,7 @@ from __future__ import annotations
 SESSION_SCHEMA = (
     "user_id long, session_id long, n_events long, start_us long, end_us long"
 )
-STATE_SCHEMA = (
-    "session_id long, n_events long, start_us long, end_us long, "
-    "emitted long"
-)
+STATE_SCHEMA = "session_id long, n_events long, start_us long, end_us long"
 
 
 def make_sessionizer(gap_secs: int = 1800):
@@ -50,7 +47,7 @@ def make_sessionizer(gap_secs: int = 1800):
 
         (user_id,) = key
         if state.exists:
-            sid, n, start_us, end_us, _ = state.get
+            sid, n, start_us, end_us = state.get
         else:
             sid, n, start_us, end_us = 0, 0, None, None
         out = []
@@ -71,7 +68,7 @@ def make_sessionizer(gap_secs: int = 1800):
                 out.append((user_id, sid, n, start_us, end_us))
             state.remove()
         else:
-            state.update((sid, n, start_us, end_us, 0))
+            state.update((sid, n, start_us, end_us))
         return iter(
             [
                 pd.DataFrame(

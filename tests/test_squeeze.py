@@ -140,3 +140,32 @@ def test_compact_squeezes_when_deletes_exceed_threshold(spark, tmp_path_factory)
     b = _answers(spark, ref, QUERIES[:4])
     for q in QUERIES[:4]:
         assert {u for u, _ in a[q]} == {u for u, _ in b[q]}, q
+
+
+def test_concat_merge_carries_del_count(spark, tmp_path_factory):
+    """A concatenation merge keeps tombstones AND their commit-row
+    del_count, so compact()'s deletesPctAllowed trigger sees the true
+    group delete ratio on later iterations."""
+    from lucene_spark.index.merge import merge_segments
+
+    corpus = make_pages(120)
+    d = str(tmp_path_factory.mktemp("dc_idx"))
+    build_index(
+        spark, _df(spark, corpus), d,
+        IndexConfig(num_segments=4, analyzer=ENGLISH),
+    )
+    dead = [r["url"] for r in corpus[::6]]
+    delete_docs(spark, d, keys=dead)
+    before = read_latest_commit(d)
+    sids = [s["segment_id"] for s in before["segments"][:2]]
+    expect = sum(
+        int(s.get("del_count") or 0)
+        for s in before["segments"]
+        if s["segment_id"] in sids
+    )
+    commit = merge_segments(spark, d, sids, generation=before["generation"] + 1)
+    merged = [s for s in commit["segments"] if s["segment_id"] not in
+              {x["segment_id"] for x in before["segments"]}]
+    assert len(merged) == 1
+    assert int(merged[0]["del_count"]) == expect > 0
+    assert commit["deleted_docs"] == len(dead)
