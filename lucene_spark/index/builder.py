@@ -491,6 +491,13 @@ def build_index(
         "key_col": config.key_col,
         "text_col": config.text_col,
         "stopwords": sorted(config.analyzer.stopwords),
+        # per-field analyzer config (at least the stopword sets) so
+        # Searcher/LocalSearcher reconstruct the same query-time
+        # analysis chain a PerFieldAnalyzerWrapper index was built with
+        "field_stopwords": {
+            fname: sorted(analyzer_for(config, fname).stopwords)
+            for fname, _ in (config.field_analyzers or ())
+        },
         "store_positions": config.store_positions,
     }
     if write_commit:

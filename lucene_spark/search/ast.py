@@ -210,6 +210,24 @@ def _rewrite_once(q: Query) -> Query:
     )
 
 
+def has_termless_match(q: Query) -> bool:
+    """True if the tree contains a leaf that can match docs WITHOUT any
+    postings term (FieldExistsQuery / MatchAllDocsQuery) — those queries
+    must still visit every live segment even though the term-pruned
+    postings scan yields no rows (``search/FieldExistsQuery.java`` /
+    ``MatchAllDocsQuery.java`` iterate norms / all docs, not postings)."""
+    if isinstance(q, (FieldExistsQuery, MatchAllDocsQuery)):
+        return True
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return has_termless_match(q.query)
+    if isinstance(q, BooleanQuery):
+        return any(
+            has_termless_match(c)
+            for c in q.must + q.should + q.must_not + q.filter
+        )
+    return False
+
+
 def query_terms(q: Query) -> set:
     """All terms a query touches (for postings pruning)."""
     if isinstance(q, TermQuery):

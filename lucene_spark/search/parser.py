@@ -27,14 +27,38 @@ _TOK = re.compile(r'"[^"]*"|\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+')
 _FIELD_PREFIX = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 
 
-def parse(query: str, analyzer: Analyzer) -> Query:
+def parse(
+    query: str,
+    analyzer: Analyzer,
+    field_analyzers: "dict[str, Analyzer] | None" = None,
+) -> Query:
+    """``field_analyzers``: per-field analyzer overrides — a fielded
+    clause ``f:text`` is analyzed with ``field_analyzers[f]`` when
+    present (the PerFieldAnalyzerWrapper behavior of
+    ``QueryParserBase.getFieldQuery``: query-time analysis must match
+    the field's index-time analyzer, so e.g. a stop-free ``title`` field
+    keeps ``title:the`` searchable while the body drops it)."""
     if query.count('"') % 2:
         raise ValueError(f"unbalanced quote in query: {query!r}")
     tokens = _TOK.findall(query)
-    q, rest = _parse_or(tokens, 0, analyzer)
+    an = _FieldAnalyzers(analyzer, field_analyzers)
+    q, rest = _parse_or(tokens, 0, an)
     if rest != len(tokens):
         raise ValueError(f"trailing tokens in query: {query!r}")
     return rewrite(q)
+
+
+class _FieldAnalyzers:
+    """Resolver: default analyzer + per-field overrides."""
+
+    def __init__(self, default: Analyzer, overrides=None):
+        self.default = default
+        self.overrides = dict(overrides or {})
+
+    def for_field(self, field: str) -> Analyzer:
+        if isinstance(self.default, _FieldAnalyzers):  # defensive
+            return self.default.for_field(field)
+        return self.overrides.get(field, self.default)
 
 
 def _parse_or(toks, i, analyzer):
@@ -126,10 +150,10 @@ def _parse_unit(toks, i, analyzer):
     m = _FIELD_PREFIX.match(t)
     if m:
         qfield, t = m.group(1), m.group(2)
-    # single clause: analyze; may expand to several tokens -> phrase-like?
-    # Lucene's classic QueryParser turns a multi-token analysis of one
-    # whitespace clause into a phrase/boolean; our clauses are single terms.
-    terms, positions = analyzer.tokenize_one(t)
+    # single clause: analyze with the FIELD's analyzer; may expand to
+    # several tokens -> phrase-like? Lucene's classic QueryParser turns
+    # a multi-token analysis of one whitespace clause into a phrase.
+    terms, positions = _an(analyzer, qfield).tokenize_one(t)
     if not terms:
         return MatchNoDocsQuery(), i + 1
     if len(terms) == 1:
@@ -144,8 +168,16 @@ def _parse_unit(toks, i, analyzer):
     return q, i + 1
 
 
-def _phrase(text: str, analyzer: Analyzer) -> Query:
-    terms, positions = analyzer.tokenize_one(text)
+def _an(analyzer, field: str = "") -> Analyzer:
+    """Resolve a _FieldAnalyzers wrapper (or plain Analyzer) to the
+    analyzer for ``field``."""
+    if isinstance(analyzer, _FieldAnalyzers):
+        return analyzer.for_field(field)
+    return analyzer
+
+
+def _phrase(text: str, analyzer) -> Query:
+    terms, positions = _an(analyzer).tokenize_one(text)
     if not terms:
         return MatchNoDocsQuery()
     if len(terms) == 1:

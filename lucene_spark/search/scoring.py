@@ -77,11 +77,18 @@ def build_scorers(q: ast.Query, stats: GlobalStats, dtype: str = "f32") -> dict:
     _field_avg: dict = {}
 
     def field_env(field: str):
-        """(docCount, av32, av64) of one field, cached."""
+        """(docCount, av32, av64) of one field, cached. A field with
+        doc_count == 0 (every value empty -> no norms, no postings) gets
+        avgdl 1: its terms have df == 0 and no postings, so they score
+        as no-match like the reference's absent terms — the avgdl value
+        is never observable, it just must not divide by zero."""
         hit = _field_avg.get(field)
         if hit is None:
             dc, stf = stats.collection(field)
-            hit = (dc, bm25.avgdl(stf, dc), stf / float(dc))
+            if dc == 0:
+                hit = (0, np.float32(1.0), 1.0)
+            else:
+                hit = (dc, bm25.avgdl(stf, dc), stf / float(dc))
             _field_avg[field] = hit
         return hit
 

@@ -72,6 +72,8 @@ def _load_segment_view(index_dir: str, segment_id: str, pdf_postings) -> Segment
             live[dead] = False
     rows_by_term: dict[str, list] = {}
     for rec in pdf_postings.itertuples(index=False):
+        if rec.term is None or not isinstance(rec.term, str):
+            continue  # segment-skeleton row (term-less queries)
         rows_by_term.setdefault(rec.term, []).append(
             {
                 "block_id": rec.block_id,
@@ -118,6 +120,12 @@ class Searcher:
             sw = frozenset(self.commit.get("stopwords", []))
             analyzer = _A(stopwords=sw)
         self.analyzer = analyzer
+        # per-field analyzers reconstructed from the commit (query-time
+        # analysis must match each field's index-time chain)
+        self.field_analyzers = {
+            f: _A(stopwords=frozenset(sw))
+            for f, sw in (self.commit.get("field_stopwords") or {}).items()
+        }
         import pyspark.sql.functions as F
 
         self.live_segments = {s["segment_id"] for s in self.commit["segments"]}
@@ -179,7 +187,7 @@ class Searcher:
         return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
 
     def parse(self, query: str) -> ast_mod.Query:
-        return parse(query, self.analyzer)
+        return parse(query, self.analyzer, self.field_analyzers)
 
     def search(
         self,
@@ -219,7 +227,10 @@ class Searcher:
                 }
             )
 
-        per_seg = self._per_segment(terms, kernel, "doc_id long, score double")
+        per_seg = self._per_segment(
+            terms, kernel, "doc_id long, score double",
+            ensure_segments=ast_mod.has_termless_match(q),
+        )
         topk = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         out = (
             self.docmap.join(F.broadcast(topk), "doc_id")
@@ -288,7 +299,10 @@ class Searcher:
             )
 
         per_seg = self._per_segment(
-            all_terms, kernel, "query_id string, doc_id long, score double"
+            all_terms, kernel, "query_id string, doc_id long, score double",
+            ensure_segments=any(
+                ast_mod.has_termless_match(q) for q in parsed.values()
+            ),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
@@ -310,7 +324,8 @@ class Searcher:
 
         q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
         terms = ast_mod.query_terms(q)
-        if not terms:
+        ensure = ast_mod.has_termless_match(q)
+        if not terms and not ensure:
             return 0
         tstats = self.global_term_stats(terms)
         stats = self._global_stats(tstats)
@@ -327,18 +342,25 @@ class Searcher:
             docs, _ = kernels.score_exhaustive(seg, kq, scorers, "f32")
             return pd.DataFrame({"n": [int(docs.size)]})
 
-        per_seg = self._per_segment(terms, kernel, "n long")
+        per_seg = self._per_segment(terms, kernel, "n long",
+                                    ensure_segments=ensure)
         row = per_seg.agg(F.sum("n").alias("total")).collect()[0]
         return int(row["total"] or 0)
 
     # ---- generic per-segment kernel scaffolding -------------------------
-    def _per_segment(self, terms, kernel, schema, term_pred=None):
+    def _per_segment(self, terms, kernel, schema, term_pred=None,
+                     ensure_segments=False):
         """Term-pruned postings scan -> groupBy(segment) -> kernel rows.
         The scan's ``term IN (...)`` predicate is pushed to Parquet
         row-group stats; ``segment_id IN (live)`` prunes dead (merged-
         away) segment directories at the partition level. ``term_pred``
         filters by an arbitrary term predicate instead (MultiTermQuery
-        rewrites) — sargable predicates (prefix/range) still push down."""
+        rewrites) — sargable predicates (prefix/range) still push down.
+        ``ensure_segments=True`` unions one null-term skeleton row per
+        live segment so the kernel runs even where the term filter
+        matches nothing — required for term-less matching leaves
+        (FieldExistsQuery / MatchAllDocsQuery evaluate off norms, not
+        postings)."""
         import pyspark.sql.functions as F
 
         filtered = self.postings.where(
@@ -351,6 +373,17 @@ class Searcher:
                 filtered = filtered.where(F.lit(False))
             else:
                 filtered = filtered.where(F.col("term").isin(list(terms)))
+        if ensure_segments:
+            skel = self.spark.createDataFrame(
+                [(sid,) for sid in sorted(self.live_segments)],
+                "segment_id string",
+            )
+            for f_ in filtered.schema.fields:
+                if f_.name != "segment_id":
+                    skel = skel.withColumn(
+                        f_.name, F.lit(None).cast(f_.dataType)
+                    )
+            filtered = filtered.unionByName(skel.select(filtered.columns))
         # explicit-count repartition: one kernel task per segment (AQE
         # would otherwise coalesce the small term-pruned block rows into
         # one task and serialize the per-segment kernels)
@@ -409,7 +442,10 @@ class Searcher:
             docs, _ = kernels.score_exhaustive(seg, kq, scorers, "f64")
             return pd.DataFrame({"doc_id": (docs + seg.doc_base).astype("int64")})
 
-        per_seg = self._per_segment(terms, kernel, "doc_id long")
+        per_seg = self._per_segment(
+            terms, kernel, "doc_id long",
+            ensure_segments=ast_mod.has_termless_match(q),
+        )
         return self._with_url(per_seg, ["doc_id", "url"])
 
     def score_docs_df(self, query, dtype: str = "f64"):
@@ -439,7 +475,10 @@ class Searcher:
                  "score": np.asarray(scores, dtype=np.float64)}
             )
 
-        per_seg = self._per_segment(terms, kernel, "doc_id long, score double")
+        per_seg = self._per_segment(
+            terms, kernel, "doc_id long, score double",
+            ensure_segments=ast_mod.has_termless_match(q),
+        )
         return self._with_url(per_seg, ["doc_id", "url", "score"])
 
     def term_postings_df(self, term: str):

@@ -187,6 +187,10 @@ class LocalSearcher:
             self.analyzer = Analyzer(stopwords=sw)
         else:
             self.analyzer = self._analyzer
+        self.field_analyzers = {
+            f: Analyzer(stopwords=frozenset(sw))
+            for f, sw in (commit.get("field_stopwords") or {}).items()
+        }
         self.all_segments = sorted(
             commit["segments"], key=lambda s: s["doc_base"]
         )
@@ -320,7 +324,7 @@ class LocalSearcher:
 
     # ---- query surface ------------------------------------------------
     def parse(self, query: str):
-        return parse(query, self.analyzer)
+        return parse(query, self.analyzer, self.field_analyzers)
 
     def search(
         self,
@@ -336,7 +340,7 @@ class LocalSearcher:
         ``tstats``: pre-computed term stats (a ShardedSearcher parent
         ships them so workers skip the stats lookup)."""
         q = (
-            parse(query, self.analyzer)
+            parse(query, self.analyzer, self.field_analyzers)
             if isinstance(query, str)
             else ast_mod.rewrite(query)
         )
@@ -389,7 +393,7 @@ class LocalSearcher:
 
     def count(self, query, tstats: "dict | None" = None) -> int:
         q = (
-            parse(query, self.analyzer)
+            parse(query, self.analyzer, self.field_analyzers)
             if isinstance(query, str)
             else ast_mod.rewrite(query)
         )
