@@ -53,11 +53,20 @@ def top_k_select(docs: np.ndarray, scores: np.ndarray, k: int):
 
 class _TopK:
     """Bounded top-k accumulator with Lucene's tie-break; tracks total hits
-    for the pruning threshold."""
+    for the pruning threshold.
 
-    def __init__(self, k: int, threshold: int):
+    ``seed``: externally shared minCompetitiveScore floor — the
+    cross-segment threshold publication of
+    ``search/MaxScoreAccumulator.java`` /
+    ``TopScoreDocCollectorManager.java:127-132``: another leaf's kth
+    score (already nudged one ulp down by ``seed_below`` so equal-score
+    lower-doc-id hits stay competitive) lets this kernel prune from the
+    first block, before its own heap fills."""
+
+    def __init__(self, k: int, threshold: int, seed: float = -np.inf):
         self.k = k
         self.threshold = threshold
+        self.seed = float(seed)
         self.docs = np.empty(0, np.int64)
         self.scores = np.empty(0, np.float64)
         self.hits = 0
@@ -74,10 +83,25 @@ class _TopK:
     @property
     def theta(self) -> float:
         """Current pruning threshold: kth score once the heap is full AND
-        totalHitsThreshold hits were seen; else -inf (no pruning yet)."""
+        totalHitsThreshold hits were seen; else the shared seed (-inf
+        when none)."""
         if self.docs.size >= self.k and self.hits >= self.threshold:
-            return float(self.scores[-1])
-        return -np.inf
+            return max(float(self.scores[-1]), self.seed)
+        return self.seed
+
+
+def seed_below(kth: float, dtype: str) -> float:
+    """A rank-safe shared-theta floor from a kth COMPARABLE score (the
+    value ranking actually compares: float32-cast under 'f32').
+
+    Blocks with bound <= seed contain only docs whose comparable score
+    is strictly below the kth — under 'f32' that means one float32 ulp
+    below (float64 accumulations that would round up to the kth's f32
+    value must survive, since they tie and can win on doc id)."""
+    if dtype == "f32":
+        s32 = np.float32(kth)
+        return float(np.nextafter(s32, np.float32(-np.inf)))
+    return float(np.nextafter(np.float64(kth), -np.inf))
 
 
 # ---------------------------------------------------------------- exhaustive
@@ -354,9 +378,9 @@ def _multi_phrase_doc_freqs(seg: SegmentView, q: ast.MultiPhraseQuery):
 # ------------------------------------------------------------ pruned kernels
 
 
-def _term_topk(seg, term, scorers, k, threshold, dtype):
+def _term_topk(seg, term, scorers, k, threshold, dtype, seed=-np.inf):
     tb = seg.term_blocks(term)
-    heap = _TopK(k, threshold)
+    heap = _TopK(k, threshold, seed)
     if tb is None:
         return heap
     scorer = scorers[("t", term)]
@@ -382,9 +406,9 @@ def _term_topk(seg, term, scorers, k, threshold, dtype):
     return heap
 
 
-def _or_topk(seg, leaves, scorers, k, threshold, dtype):
+def _or_topk(seg, leaves, scorers, k, threshold, dtype, seed=-np.inf):
     """leaves: list of (tb, scorer) — window MAXSCORE disjunction."""
-    heap = _TopK(k, threshold)
+    heap = _TopK(k, threshold, seed)
     leaves = [(tb, sc, tb.block_max_scores(sc)) for tb, sc in leaves if tb is not None]
     if not leaves:
         return heap
@@ -431,9 +455,9 @@ def _or_topk(seg, leaves, scorers, k, threshold, dtype):
     return heap
 
 
-def _and_topk(seg, terms, scorers, k, threshold, dtype):
+def _and_topk(seg, terms, scorers, k, threshold, dtype, seed=-np.inf):
     """Block-max conjunction over term clauses, led by the rarest term."""
-    heap = _TopK(k, threshold)
+    heap = _TopK(k, threshold, seed)
     tbs = []
     for t in terms:
         tb = seg.term_blocks(t)
@@ -483,10 +507,10 @@ def _and_topk(seg, terms, scorers, k, threshold, dtype):
     return heap
 
 
-def _phrase_topk(seg, q: ast.PhraseQuery, scorers, k, threshold, dtype):
+def _phrase_topk(seg, q: ast.PhraseQuery, scorers, k, threshold, dtype, seed=-np.inf):
     """Two-phase pruned phrase: lead = rarest member term; block-max bound
     via phrase scorer over member impacts (valid: phraseFreq <= member tf)."""
-    heap = _TopK(k, threshold)
+    heap = _TopK(k, threshold, seed)
     tbs = [seg.term_blocks(t) for t in q.terms]
     if any(tb is None for tb in tbs):
         return heap
@@ -732,11 +756,12 @@ def _make_leaf(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost:
     return None
 
 
-def _wand_topk(seg, q: ast.BooleanQuery, scorers, k, threshold, dtype, boost=1.0):
+def _wand_topk(seg, q: ast.BooleanQuery, scorers, k, threshold, dtype, boost=1.0,
+               seed=-np.inf):
     """General pruned boolean top-k (WANDScorer/MaxScoreBulkScorer
     analog). Returns a _TopK, or None when some clause is not
     leaf-adaptable (caller falls back to the exhaustive kernel)."""
-    heap = _TopK(k, threshold)
+    heap = _TopK(k, threshold, seed)
     must, should, filters, excl = [], [], [], []
     for c in q.must:
         leaf = _make_leaf(seg, c, scorers, dtype, boost)
@@ -883,19 +908,25 @@ def search_segment(
     pruned: bool = True,
     dtype: str = "f32",
     total_hits_threshold: int = TOTAL_HITS_THRESHOLD,
+    seed_theta: float = -np.inf,
 ):
     """Top-k of one segment: (local doc ids, scores) sorted by
     (score desc, doc asc). Strategy selection mirrors
-    ``BooleanScorerSupplier.java:287-418`` (see module docstring)."""
+    ``BooleanScorerSupplier.java:287-418`` (see module docstring).
+
+    ``seed_theta``: shared minCompetitiveScore floor from other
+    segments (must come from ``seed_below`` — rank-safe by
+    construction; results are bit-identical with or without it)."""
     q = ast.rewrite(q)
+    th, sd = total_hits_threshold, seed_theta
     if pruned:
         if isinstance(q, ast.TermQuery):
-            heap = _term_topk(seg, q.term, scorers, k, total_hits_threshold, dtype)
+            heap = _term_topk(seg, q.term, scorers, k, th, dtype, sd)
             return heap.docs, _final_scores(heap.scores, dtype)
         if isinstance(q, ast.PhraseQuery) and q.slop == 0:
             # sloppy phrases use dummy impacts in the reference too
             # (SloppyPhraseMatcher.java:119-127) -> exhaustive path
-            heap = _phrase_topk(seg, q, scorers, k, total_hits_threshold, dtype)
+            heap = _phrase_topk(seg, q, scorers, k, th, dtype, sd)
             return heap.docs, _final_scores(heap.scores, dtype)
         if isinstance(q, ast.BooleanQuery):
             or_leaves = _pure_or_terms(q)
@@ -904,15 +935,15 @@ def search_segment(
                 for c in or_leaves:
                     tb = seg.term_blocks(c.term)
                     leaves.append((tb, scorers[("t", c.term)]))
-                heap = _or_topk(seg, leaves, scorers, k, total_hits_threshold, dtype)
+                heap = _or_topk(seg, leaves, scorers, k, th, dtype, sd)
                 # nested f32 cast: each should-clause is a term scorer whose
                 # f32 output we already accumulate in f64 — matches WANDScorer
                 return heap.docs, _final_scores(heap.scores, dtype)
             and_terms = _pure_and_terms(q)
             if and_terms is not None:
-                heap = _and_topk(seg, and_terms, scorers, k, total_hits_threshold, dtype)
+                heap = _and_topk(seg, and_terms, scorers, k, th, dtype, sd)
                 return heap.docs, _final_scores(heap.scores, dtype)
-            heap = _wand_topk(seg, q, scorers, k, total_hits_threshold, dtype)
+            heap = _wand_topk(seg, q, scorers, k, th, dtype, seed=sd)
             if heap is not None:
                 return heap.docs, _final_scores(heap.scores, dtype)
         # boosted / constant-score / plain leaf at the root: run it as a
@@ -928,8 +959,9 @@ def search_segment(
                     ast.BooleanQuery(must=(q,)),
                     scorers,
                     k,
-                    total_hits_threshold,
+                    th,
                     dtype,
+                    seed=sd,
                 )
                 if heap is not None:
                     return heap.docs, _final_scores(heap.scores, dtype)

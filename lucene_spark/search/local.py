@@ -113,21 +113,42 @@ class LocalIndex:
         pruned: bool = True,
         dtype: str = "f32",
         total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
+        share_theta: bool = True,
     ):
         """[(global doc_id, score, url)] — identical contract to the
-        Spark Searcher and to OracleIndex.top_k."""
+        Spark Searcher and to OracleIndex.top_k. ``share_theta`` carries
+        the running kth score into each next segment's kernel (the
+        sequential-leaf minCompetitiveScore sharing of the reference's
+        ``IndexSearcher.search``); results are bit-identical either way."""
         q = parse(query, self.analyzer) if isinstance(query, str) else ast_mod.rewrite(query)
         terms = ast_mod.query_terms(q)
         stats = self.global_stats(terms)
         scorers = build_scorers(q, stats, dtype=dtype)
         all_docs, all_scores = [], []
-        for seg in self.segments:
+        seed = -np.inf
+        run_docs = np.empty(0, np.int64)
+        run_scores = np.empty(0, np.float64)
+        order = self.segments
+        if share_theta and pruned:
+            order = sorted(
+                self.segments,
+                key=lambda s: (-int(s.max_doc), s.segment_id),
+            )
+        for seg in order:
             docs, scores = kernels.search_segment(
                 seg, q, scorers, k, pruned=pruned, dtype=dtype,
-                total_hits_threshold=total_hits_threshold,
+                total_hits_threshold=total_hits_threshold, seed_theta=seed,
             )
             all_docs.append(docs + seg.doc_base)
             all_scores.append(np.asarray(scores, dtype=np.float64))
+            if share_theta and pruned:
+                run_docs = np.concatenate([run_docs, all_docs[-1]])
+                run_scores = np.concatenate([run_scores, all_scores[-1]])
+                run_docs, run_scores = kernels.top_k_select(run_docs, run_scores, k)
+                if k > 0 and run_docs.size >= k:
+                    seed = max(
+                        seed, kernels.seed_below(float(run_scores[-1]), dtype)
+                    )
         docs = np.concatenate(all_docs) if all_docs else np.empty(0, np.int64)
         scores = np.concatenate(all_scores) if all_scores else np.empty(0, np.float64)
         docs, scores = kernels.top_k_select(docs, scores, k)

@@ -189,6 +189,56 @@ class Searcher:
     def parse(self, query: str) -> ast_mod.Query:
         return parse(query, self.analyzer, self.field_analyzers)
 
+    # ---- cross-segment minCompetitiveScore sharing ----------------------
+    def _champion_seeds(self, parsed: dict, scorers, k, dtype, threshold):
+        """{query_id: seed_theta} from a driver-side pre-pass over the
+        CHAMPION (largest) segment — the ``MaxScoreAccumulator`` /
+        ``TopScoreDocCollectorManager.java:127-132`` cross-leaf
+        threshold publication, adapted to Spark's one-stage-per-query
+        execution: the champion's kth score (nudged rank-safe by
+        ``kernels.seed_below``) seeds EVERY segment kernel's theta, so
+        non-champion tasks prune from their first block instead of
+        re-filling a heap from -inf.
+
+        Cost model at scale: the pre-pass reads only the champion
+        segment's term-filtered postings blocks (pyarrow row-group
+        pruning over shared storage — the same access pattern the
+        serving plane uses) and runs the pruned kernel once; the
+        distributed stage it accelerates touches S segments. Results
+        are bit-identical with or without seeding (differential-tested);
+        queries where the champion yields < k hits simply get no seed."""
+        from lucene_spark.search.serve import LocalSearcher
+
+        segs = self.commit["segments"]
+        if len(segs) <= 1 or not parsed or k <= 0:
+            return {}
+        champ = max(segs, key=lambda s: (int(s["num_docs"]), s["segment_id"]))
+        ck = (self.commit["generation"], champ["segment_id"])
+        cached = getattr(self, "_champ", None)
+        if cached is None or cached[0] != ck:
+            ls = LocalSearcher(
+                self.index_dir,
+                segment_ids=[champ["segment_id"]],
+                preload_stats=False,
+                workers=1,
+            )
+            self._champ = (ck, ls)
+        ls = self._champ[1]
+        seg_meta = ls.segments[0]
+        all_terms: set = set()
+        for q in parsed.values():
+            all_terms |= ast_mod.query_terms(q)
+        view = ls._view(seg_meta, all_terms)
+        seeds: dict = {}
+        for qid, q in parsed.items():
+            docs, scores = kernels.search_segment(
+                view, q, scorers, k, pruned=True, dtype=dtype,
+                total_hits_threshold=threshold,
+            )
+            if docs.size >= k:
+                seeds[qid] = kernels.seed_below(float(scores[k - 1]), dtype)
+        return seeds
+
     def search(
         self,
         query,
@@ -196,6 +246,7 @@ class Searcher:
         pruned: bool = True,
         dtype: str = "f32",
         total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
+        share_theta: bool = True,
     ):
         """Top-k DataFrame (doc_id, score, url), rank == Lucene contract."""
         import pyspark.sql.functions as F
@@ -206,7 +257,12 @@ class Searcher:
         stats = self._global_stats(tstats)
         scorers = build_scorers(q, stats, dtype=dtype)
         index_dir = self.index_dir
-        kq, kk, kp, kd, kt = q, k, pruned, dtype, total_hits_threshold
+        seed = -np.inf
+        if share_theta and pruned:
+            seed = self._champion_seeds(
+                {"q": q}, scorers, k, dtype, total_hits_threshold
+            ).get("q", -np.inf)
+        kq, kk, kp, kd, kt, ks = q, k, pruned, dtype, total_hits_threshold, seed
 
         def kernel(key, pdf):
             import pandas as pd
@@ -218,7 +274,8 @@ class Searcher:
             sid = str(key[0])
             seg = _load_segment_view(index_dir, sid, pdf)
             docs, scores = kernels.search_segment(
-                seg, kq, scorers, kk, pruned=kp, dtype=kd, total_hits_threshold=kt
+                seg, kq, scorers, kk, pruned=kp, dtype=kd,
+                total_hits_threshold=kt, seed_theta=ks,
             )
             return pd.DataFrame(
                 {
@@ -246,6 +303,7 @@ class Searcher:
         pruned: bool = True,
         dtype: str = "f32",
         total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
+        share_theta: bool = True,
     ):
         """Batched query evaluation: ONE stats job + ONE postings scan
         answers the whole query set — the Spark-native shape for query
@@ -274,7 +332,13 @@ class Searcher:
         for q in parsed.values():
             scorers.update(build_scorers(q, stats, dtype=dtype))
         index_dir = self.index_dir
+        seeds: dict = {}
+        if share_theta and pruned:
+            seeds = self._champion_seeds(
+                parsed, scorers, k, dtype, total_hits_threshold
+            )
         kqs, kk, kp, kd, kt = parsed, k, pruned, dtype, total_hits_threshold
+        kseeds = seeds
 
         def kernel(key, pdf):
             import pandas as pd
@@ -286,6 +350,7 @@ class Searcher:
                     docs, scores = kernels.search_segment(
                         seg, q, scorers, kk, pruned=kp, dtype=kd,
                         total_hits_threshold=kt,
+                        seed_theta=kseeds.get(qid, -np.inf),
                     )
                     out_q.extend([qid] * docs.size)
                     out_d.append((docs + seg.doc_base).astype("int64"))

@@ -15,6 +15,19 @@ import numpy as np
 
 from lucene_spark.codec import blocks as blk
 
+# process-local decoded-block counter (diagnostics: the differential
+# tests assert that theta seeding / skip consumption decode FEWER
+# blocks for identical results; bench reports it per query class)
+_DECODED_BLOCKS = [0]
+
+
+def reset_decode_count() -> None:
+    _DECODED_BLOCKS[0] = 0
+
+
+def decode_count() -> int:
+    return _DECODED_BLOCKS[0]
+
 
 @dataclass
 class TermBlocks:
@@ -46,6 +59,7 @@ class TermBlocks:
             t = blk.decode_tfs(self.tfs_bin[i])
             hit = (d, t)
             self._cache[i] = hit
+            _DECODED_BLOCKS[0] += 1
         return hit
 
     def decode_positions(self, i: int) -> tuple[np.ndarray, np.ndarray]:

@@ -56,10 +56,10 @@ def _shard_init(index_dir: str, seg_ids: list) -> None:
 
 
 def _shard_search(args):
-    q, k, pruned, dtype, threshold, tstats = args
+    q, k, pruned, dtype, threshold, tstats, seed = args
     return _WORKER.search(
         q, k=k, pruned=pruned, dtype=dtype, total_hits_threshold=threshold,
-        tstats=tstats,
+        tstats=tstats, seed_theta=seed,
     )
 
 
@@ -96,8 +96,18 @@ class ShardedSearcher:
         n = min(self._shards or (os.cpu_count() or 4), len(segs)) or 1
         self.commit = commit
         self._pools = []
+        champ = (
+            max(segs, key=lambda s: (int(s["num_docs"]), s["segment_id"]))[
+                "segment_id"
+            ]
+            if segs
+            else None
+        )
+        self._champ_pool = 0
         for i in range(n):
             ids = [s["segment_id"] for s in segs[i::n]]
+            if champ in ids:
+                self._champ_pool = i
             pool = ProcessPoolExecutor(
                 max_workers=1,
                 initializer=_shard_init,
@@ -122,13 +132,37 @@ class ShardedSearcher:
         pruned: bool = True,
         dtype: str = "f32",
         total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
+        share_theta: bool = False,
     ) -> list:
-        args = (
-            query, k, pruned, dtype, total_hits_threshold,
-            self._query_stats(query),
-        )
-        futs = [p.submit(_shard_search, args) for p in self._pools]
-        rows = [r for f in futs for r in f.result()]
+        """``share_theta=True`` runs the champion shard (the one owning
+        the largest segment) first and publishes its kth score as the
+        other shards' theta seed (``MaxScoreAccumulator`` across
+        processes). Trades one shard's latency for less decode work in
+        the rest — right for throughput-bound fleets; the default
+        all-parallel mode stays optimal for single-query latency."""
+        tstats = self._query_stats(query)
+        base = (query, k, pruned, dtype, total_hits_threshold, tstats)
+        if share_theta and pruned and len(self._pools) > 1:
+            rows0 = self._pools[self._champ_pool].submit(
+                _shard_search, base + (-np.inf,)
+            ).result()
+            seed = (
+                kernels.seed_below(float(rows0[k - 1][1]), dtype)
+                if k > 0 and len(rows0) >= k
+                else -np.inf
+            )
+            futs = [
+                p.submit(_shard_search, base + (seed,))
+                for i, p in enumerate(self._pools)
+                if i != self._champ_pool
+            ]
+            rows = rows0 + [r for f in futs for r in f.result()]
+        else:
+            futs = [
+                p.submit(_shard_search, base + (-np.inf,))
+                for p in self._pools
+            ]
+            rows = [r for f in futs for r in f.result()]
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
 
@@ -334,11 +368,23 @@ class LocalSearcher:
         dtype: str = "f32",
         total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
         tstats: "dict | None" = None,
+        share_theta: bool = True,
+        seed_theta: float = -np.inf,
     ) -> list:
         """[(global doc_id, score, url)] — identical contract (values,
         tie-breaks) to ``Searcher.search`` and ``LocalIndex.search``.
         ``tstats``: pre-computed term stats (a ShardedSearcher parent
-        ships them so workers skip the stats lookup)."""
+        ships them so workers skip the stats lookup).
+
+        ``share_theta``: sequential mode visits segments largest-first
+        and carries the running kth score into each next segment's
+        kernel as a rank-safe theta seed — exactly the reference's
+        single-threaded leaf loop, where each ``LeafCollector`` starts
+        at the PQ's current minCompetitiveScore
+        (``TopScoreDocCollector.java`` + ``IndexSearcher.search``
+        sequential leaf order). Results are bit-identical either way.
+        ``seed_theta``: an externally supplied starting floor (a
+        ShardedSearcher parent publishes the champion shard's kth)."""
         q = (
             parse(query, self.analyzer, self.field_analyzers)
             if isinstance(query, str)
@@ -349,22 +395,26 @@ class LocalSearcher:
             tstats if tstats is not None else self.global_term_stats(terms)
         )
         scorers = build_scorers(q, stats, dtype=dtype)
+        shared = {"seed": float(seed_theta)}
 
         def one(seg):
             view = self._view(seg, terms)
             docs, scores = kernels.search_segment(
                 view, q, scorers, k, pruned=pruned, dtype=dtype,
                 total_hits_threshold=total_hits_threshold,
+                seed_theta=shared["seed"],
             )
             return docs + view.doc_base, np.asarray(scores, dtype=np.float64)
 
-        all_docs, all_scores = [], []
+        all_docs = [np.empty(0, np.int64)]
+        all_scores = [np.empty(0, np.float64)]
         if self.workers > 1 and len(self.segments) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             # views are populated serially first (the cache dict is not
             # thread-safe to MUTATE concurrently); kernels then run in
-            # parallel over the immutable views
+            # parallel over the immutable views. Theta is read at task
+            # start, so concurrent tasks only benefit from seed_theta.
             for seg in self.segments:
                 self._view(seg, terms)
             with ThreadPoolExecutor(max_workers=self.workers) as ex:
@@ -372,14 +422,31 @@ class LocalSearcher:
                     all_docs.append(d)
                     all_scores.append(s)
         else:
-            for seg in self.segments:
+            order = self.segments
+            if share_theta and pruned:
+                order = sorted(
+                    self.segments,
+                    key=lambda s: (-int(s["num_docs"]), s["segment_id"]),
+                )
+            run_docs = np.empty(0, np.int64)
+            run_scores = np.empty(0, np.float64)
+            for seg in order:
                 d, s = one(seg)
                 all_docs.append(d)
                 all_scores.append(s)
-        docs = np.concatenate(all_docs) if all_docs else np.empty(0, np.int64)
-        scores = (
-            np.concatenate(all_scores) if all_scores else np.empty(0, np.float64)
-        )
+                if share_theta and pruned:
+                    run_docs = np.concatenate([run_docs, d])
+                    run_scores = np.concatenate([run_scores, s])
+                    run_docs, run_scores = kernels.top_k_select(
+                        run_docs, run_scores, k
+                    )
+                    if k > 0 and run_docs.size >= k:
+                        shared["seed"] = max(
+                            shared["seed"],
+                            kernels.seed_below(float(run_scores[-1]), dtype),
+                        )
+        docs = np.concatenate(all_docs)
+        scores = np.concatenate(all_scores)
         docs, scores = kernels.top_k_select(docs, scores, k)
         urls = self._urls_of(docs)
         return [
