@@ -286,9 +286,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def term_postings(spark, sf_dir):
         return _out_docs(_searcher(spark, sf_dir).term_postings_df(TERM), "tf")
 
-    def term_postings_rare(spark, sf_dir):
-        return _out_docs(_searcher(spark, sf_dir).term_postings_df(TERM_RARE), "tf")
-
     def term_topk(spark, sf_dir):
         return _topk_docs(
             _searcher(spark, sf_dir).search(TERM, k=K, pruned=True, dtype="f64")
@@ -358,11 +355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id long, score double",
         )
 
-    def term_topk_rare(spark, sf_dir):
-        return _topk_docs(
-            _searcher(spark, sf_dir).search(TERM_RARE, k=K, pruned=True, dtype="f64")
-        )
-
     def bool_and_topk(spark, sf_dir):
         ast = _ast()
         qq = ast.BooleanQuery(must=tuple(ast.TermQuery(t) for t in AND3_TERMS))
@@ -379,11 +371,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _searcher(spark, sf_dir).search(qq, k=K, pruned=True, dtype="f64")
         )
 
-    def bool_and_match(spark, sf_dir):
-        ast = _ast()
-        qq = ast.BooleanQuery(must=tuple(ast.TermQuery(t) for t in AND_TERMS))
-        return _out_docs(_searcher(spark, sf_dir).match_docs(qq))
-
     def bool_not_match(spark, sf_dir):
         ast = _ast()
         qq = ast.BooleanQuery(
@@ -399,12 +386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_should_match=MSM_N,
         )
         return _out_docs(_searcher(spark, sf_dir).match_docs(qq))
-
-    def phrase_match(spark, sf_dir):
-        return _out_docs(
-            _searcher(spark, sf_dir).phrase_freqs_df(f'"{PHRASE[0]} {PHRASE[1]}"'),
-            "freq",
-        )
 
     def phrase_hole_match(spark, sf_dir):
         ast = _ast()
@@ -555,13 +536,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def field_exists_match(spark, sf_dir):
         return _out_docs(_searcher_mf(spark, sf_dir).field_exists_docs("title"))
 
-    def field_title_topk(spark, sf_dir):
-        ast = _ast()
-        qq = ast.TermQuery(ast.fielded("title", FIELD_TITLE_TERM))
-        return _topk_docs(
-            _searcher_mf(spark, sf_dir).search(qq, k=K, pruned=True, dtype="f64")
-        )
-
     def field_analyzer_title_topk(spark, sf_dir):
         # "the" is a body stopword but title-searchable: per-field
         # analyzers give title its own (stop-free) postings and stats
@@ -627,16 +601,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb_view(spark, sf_dir)
         return spark.sql(ann.cosine_topk_sql(SPARK, _vec(sf_dir, 0), k=10))
 
-    def emb_ivf_assign(spark, sf_dir):
-        _emb_view(spark, sf_dir)
-        return spark.sql(ann.ivf_assign_sql(SPARK, _centroids(sf_dir)))
-
-    def emb_ivf_topk(spark, sf_dir):
-        _emb_view(spark, sf_dir)
-        return spark.sql(
-            ann.ivf_topk_sql(SPARK, _vec(sf_dir, 1), _centroids(sf_dir), k=5)
-        )
-
     def emb_ivf_topk2(spark, sf_dir):
         _emb_view(spark, sf_dir)
         return spark.sql(
@@ -661,19 +625,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return kmeans.ivf_assign_df(df, _centroids(sf_dir))
 
+    # NOTE: the driver's correctness gate records at most 50 entries in
+    # REGISTRATION ORDER — entries the r2 gate never reached (the emb_*
+    # / events_sessionize tail) therefore come FIRST, and redundant
+    # near-duplicates of already-gated paths (rare-term twins, literal
+    # IVF SQL forms, subset dedup variants) were consolidated out of the
+    # gate; they remain covered by tests/ (see NOTES.md).
     q.update(
+        events_sessionize=_sql_events(windows.sessionize_sql),
+        emb_cosine_topk=emb_cosine_topk,
+        emb_near_dup_pairs=emb_near_dup_pairs,
+        emb_ivf_assign_arr=emb_ivf_assign_arr,
+        emb_ivf_topk2=emb_ivf_topk2,
         term_postings=term_postings,
-        term_postings_rare=term_postings_rare,
         term_topk=term_topk,
         serve_term_topk=serve_term_topk,
         squeeze_term_topk=squeeze_term_topk,
-        term_topk_rare=term_topk_rare,
         bool_and_topk=bool_and_topk,
         bool_or_topk=bool_or_topk,
-        bool_and_match=bool_and_match,
         bool_not_match=bool_not_match,
         bool_msm_match=bool_msm_match,
-        phrase_match=phrase_match,
         phrase_hole_match=phrase_hole_match,
         phrase_topk=phrase_topk,
         phrase_sloppy_topk=phrase_sloppy_topk,
@@ -692,7 +663,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wildcard_match=wildcard_match,
         prefix_wide_match=prefix_wide_match,
         field_exists_match=field_exists_match,
-        field_title_topk=field_title_topk,
         field_analyzer_title_topk=field_analyzer_title_topk,
         field_mixed_or_scores=field_mixed_or_scores,
         synonym_scores=synonym_scores,
@@ -705,22 +675,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lang_id=_sql_docs(text.lang_id_sql),
         fingerprint=_sql_docs(text.fingerprint_sql),
         dedup_exact=_sql_docs(dedup.exact_groups_sql),
-        dedup_jaccard_pairs=_sql_docs(lambda d: dedup.jaccard_pairs_sql(d, threshold=0.8)),
         dedup_jaccard_capped=_sql_docs(
             lambda d: dedup.jaccard_pairs_sql(d, threshold=0.8, max_shingle_df=5)
         ),
-        dedup_minhash_bands=_sql_docs(lambda d: dedup.minhash_bands_spark_sql()),
         dedup_minhash_pairs=dedup_minhash_pairs,
         dedup_simhash=_sql_docs(lambda d: dedup.simhash_spark_sql()),
         media_features=media_features,
         events_tumbling=_sql_events(windows.tumbling_counts_sql),
-        events_sessionize=_sql_events(windows.sessionize_sql),
-        emb_cosine_topk=emb_cosine_topk,
-        emb_ivf_assign=emb_ivf_assign,
-        emb_near_dup_pairs=emb_near_dup_pairs,
-        emb_ivf_assign_arr=emb_ivf_assign_arr,
-        emb_ivf_topk=emb_ivf_topk,
-        emb_ivf_topk2=emb_ivf_topk2,
     )
     return q
 
@@ -745,23 +706,24 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
 
     return {
         "term_postings": osql.term_postings_sql(TERM),
-        "term_postings_rare": osql.term_postings_sql(TERM_RARE),
         "term_topk": osql.term_topk_sql(TERM, K),
         "serve_term_topk": osql.term_topk_sql(TERM, K),
         "squeeze_term_topk": osql.term_topk_sql(
             TERM, K,
             table="(SELECT * FROM documents WHERE (doc_id % 5) <> 0) live",
         ),
-        "term_topk_rare": osql.term_topk_sql(TERM_RARE, K),
         "bool_and_topk": osql.bool_topk_sql(AND3_TERMS, [], K),
         "bool_or_topk": osql.bool_topk_sql([], OR_TERMS, K),
-        "bool_and_match": osql.match_sql(must=AND_TERMS),
         "bool_not_match": osql.match_sql(must=NOT_MUST, must_not=NOT_NOT),
         "bool_msm_match": osql.match_sql(should=MSM_TERMS, min_should_match=MSM_N),
-        "phrase_match": osql.phrase_match_sql(list(PHRASE), [0, 1]),
         "phrase_hole_match": osql.phrase_match_sql([t1, t2], list(hole_offs)),
         "phrase_topk": osql.phrase_topk_sql(list(PHRASE), [0, 1], K),
         "phrase_sloppy_match": osql.sloppy_match_sql(PHRASE[0], PHRASE[1], 1, 2),
+        # rows+schema only: f32 sloppyFreq ordering is not SQL-expressible
+        # (see sloppy_topk_rows_sql docstring) — hash mismatch expected
+        "phrase_sloppy_topk": osql.sloppy_topk_rows_sql(
+            PHRASE[0], PHRASE[1], 1, 2, K
+        ),
         "multi_phrase_match": osql.multi_phrase_match_sql(MP_SLOTS, MP_OFFS),
         "multi_phrase_topk": osql.multi_phrase_topk_sql(MP_SLOTS, MP_OFFS, K),
         "boost_or_topk": osql.boosted_or_topk_sql(BOOSTS, K),
@@ -780,9 +742,6 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "wildcard_match": osql.multiterm_match_sql("t LIKE 'sc%n'"),
         "prefix_wide_match": osql.multiterm_match_sql("t LIKE 's%'"),
         "field_exists_match": osql.field_exists_sql(TITLE_WORDS),
-        "field_title_topk": osql.field_title_topk_sql(
-            FIELD_TITLE_TERM, K, TITLE_WORDS
-        ),
         "field_analyzer_title_topk": osql.field_title_topk_sql(
             "the", K, TITLE_WORDS, title_stop=False
         ),
@@ -799,20 +758,16 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "lang_id": text.lang_id_sql(DUCK),
         "fingerprint": text.fingerprint_sql(DUCK),
         "dedup_exact": dedup.exact_groups_sql(DUCK),
-        "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(DUCK, threshold=0.8),
         "dedup_jaccard_capped": dedup.jaccard_pairs_sql(
             DUCK, threshold=0.8, max_shingle_df=5
         ),
-        "dedup_minhash_bands": dedup.minhash_bands_sql(DUCK),
         "dedup_minhash_pairs": dedup.minhash_pairs_sql(DUCK),
         "dedup_simhash": dedup.simhash_sql(DUCK),
         "media_features": media.media_features_oracle_sql(),
         "events_tumbling": windows.tumbling_counts_sql(DUCK),
         "events_sessionize": windows.sessionize_sql(DUCK),
         "emb_cosine_topk": ann.cosine_topk_sql(DUCK, qvec0, k=10),
-        "emb_ivf_assign": ann.ivf_assign_sql(DUCK, cents),
         "emb_near_dup_pairs": ann.near_dup_pairs_sql(DUCK, cents, threshold=0.4),
         "emb_ivf_assign_arr": ann.ivf_assign_sql(DUCK, cents),
-        "emb_ivf_topk": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5),
         "emb_ivf_topk2": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5, nprobe=2),
     }

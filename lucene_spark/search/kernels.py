@@ -690,6 +690,126 @@ class _ConstLeaf:
         return self.inner.window_docs(seg, lo, hi)
 
 
+class _BoolLeaf:
+    """A NESTED BooleanQuery as a window-scorable leaf — the reference
+    nests WANDScorer/BooleanScorer inside boolean trees
+    (``search/WANDScorer.java:30-55``, ``BooleanWeight.java``
+    scorerSupplier recursion); this adapter gives inner booleans a true
+    window upper bound (sum of must bounds + sum of overlapping should
+    bounds) so the OUTER window scan can skip windows the nested clause
+    cannot win.
+
+    Float contract: the nested clause's per-doc sum is cast to float32
+    under 'f32' dtype before the parent accumulates it — exactly the
+    nested-scorer cast of the exhaustive kernel (``_clause_score32``;
+    each nested Scorer.score() returns float in the reference) — so
+    pruned == exhaustive bit-identically. The window BOUND is padded one
+    float32 ulp upward under 'f32' (the cast may round a sum up past the
+    float64 bound); bounds stay true upper bounds."""
+
+    __slots__ = ("must", "filters", "should", "excl", "need", "dtype",
+                 "doc_freq")
+
+    def __init__(self, must, filters, should, excl, need, dtype):
+        self.must = must
+        self.filters = filters
+        self.should = should
+        self.excl = excl
+        self.need = need
+        self.dtype = dtype
+        req = must + filters
+        if req:
+            self.doc_freq = min(l.doc_freq for l in req)
+        else:
+            self.doc_freq = sum(l.doc_freq for l in should)
+
+    def overlaps(self, lo, hi) -> bool:
+        for l in self.must:
+            if not l.overlaps(lo, hi):
+                return False
+        for l in self.filters:
+            if not l.overlaps(lo, hi):
+                return False
+        n_opt = sum(1 for l in self.should if l.overlaps(lo, hi))
+        if self.need > 0 and n_opt < self.need:
+            return False
+        if not (self.must or self.filters) and n_opt == 0:
+            return False
+        return True
+
+    def window_bound(self, lo, hi) -> float:
+        if not self.overlaps(lo, hi):
+            return 0.0
+        bound = 0.0
+        for l in self.must:
+            bound += l.window_bound(lo, hi)
+        for l in self.should:
+            if l.overlaps(lo, hi):
+                bound += l.window_bound(lo, hi)
+        if self.dtype == "f32":
+            bound = float(np.nextafter(np.float32(bound), np.float32(np.inf)))
+        return bound
+
+    def windows(self, nwin: int) -> np.ndarray:
+        req = self.must + self.filters
+        if req:
+            lead = min(req, key=lambda l: l.doc_freq)
+            return lead.windows(nwin)
+        parts = [l.windows(nwin) for l in self.should]
+        return (
+            np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        )
+
+    def window_postings(self, seg, lo, hi):
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        acc = np.zeros(WINDOW, dtype=np.float64)
+        reqc = np.zeros(WINDOW, dtype=np.int32)
+        optc = np.zeros(WINDOW, dtype=np.int32)
+        # accumulation order must-then-should mirrors the exhaustive
+        # kernel's (scored + should) loop — float64 sums bit-match
+        for l in self.must:
+            d, s = l.window_postings(seg, lo, hi)
+            if d.size == 0:
+                return empty
+            dw = d - lo
+            acc[dw] += s
+            reqc[dw] += 1
+        for l in self.filters:
+            d = l.window_docs(seg, lo, hi)
+            if d.size == 0:
+                return empty
+            reqc[d - lo] += 1
+        for l in self.should:
+            d, s = l.window_postings(seg, lo, hi)
+            if d.size == 0:
+                continue
+            dw = d - lo
+            acc[dw] += s
+            optc[dw] += 1
+        nreq = len(self.must) + len(self.filters)
+        if nreq:
+            ok = reqc == nreq
+        else:
+            ok = optc >= 1
+        if self.need > 0:
+            ok &= optc >= self.need
+        for l in self.excl:
+            d = l.window_docs(seg, lo, hi)
+            if d.size:
+                ok[d - lo] = False
+        idx = np.flatnonzero(ok)
+        if idx.size == 0:
+            return empty
+        s = acc[idx]
+        if self.dtype == "f32":
+            s = s.astype(np.float32).astype(np.float64)
+        return idx + lo, s
+
+    def window_docs(self, seg, lo, hi) -> np.ndarray:
+        d, _ = self.window_postings(seg, lo, hi)
+        return d
+
+
 class _EmptyLeaf:
     """A leaf whose term(s) are absent from this segment."""
 
@@ -728,10 +848,46 @@ def _block_windows(tb: TermBlocks, nwin: int) -> np.ndarray:
 
 def _make_leaf(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost: float = 1.0):
     """Leaf adapter for ``q``, or None when q is not leaf-adaptable
-    (nested booleans, sloppy phrases, multi-phrase — those shapes fall
-    back to the exhaustive kernel)."""
+    (sloppy phrases, multi-phrase, termless leaves — those shapes fall
+    back to the exhaustive kernel). Nested BooleanQuery trees recurse
+    into _BoolLeaf (WANDScorer-in-WANDScorer)."""
     if isinstance(q, ast.BoostQuery):
         return _make_leaf(seg, q.query, scorers, dtype, boost * q.boost)
+    if isinstance(q, ast.BooleanQuery):
+        must, filters, should, excl = [], [], [], []
+        for c in q.must:
+            leaf = _make_leaf(seg, c, scorers, dtype, boost)
+            if leaf is None:
+                return None
+            if leaf is _EMPTY_LEAF:
+                return _EMPTY_LEAF
+            must.append(leaf)
+        for c in q.filter:
+            leaf = _make_leaf(seg, c, scorers, dtype, 1.0)
+            if leaf is None:
+                return None
+            if leaf is _EMPTY_LEAF:
+                return _EMPTY_LEAF
+            filters.append(leaf)
+        for c in q.should:
+            leaf = _make_leaf(seg, c, scorers, dtype, boost)
+            if leaf is None:
+                return None
+            if leaf is not _EMPTY_LEAF:
+                should.append(leaf)
+        for c in q.must_not:
+            leaf = _make_leaf(seg, c, scorers, dtype, 1.0)
+            if leaf is None:
+                return None
+            if leaf is not _EMPTY_LEAF:
+                excl.append(leaf)
+        required = must + filters
+        need = q.min_should_match if required else max(q.min_should_match, 1)
+        if need > len(should):
+            return _EMPTY_LEAF  # msm unreachable in this segment
+        if not required and not should:
+            return _EMPTY_LEAF  # pure-negative / empty nested clause
+        return _BoolLeaf(must, filters, should, excl, need, dtype)
     if isinstance(q, ast.TermQuery):
         tb = seg.term_blocks(q.term)
         if tb is None:
@@ -946,6 +1102,21 @@ def search_segment(
             heap = _wand_topk(seg, q, scorers, k, th, dtype, seed=sd)
             if heap is not None:
                 return heap.docs, _final_scores(heap.scores, dtype)
+        if isinstance(q, ast.BoostQuery):
+            # a boosted BOOLEAN root must enter _wand_topk with the boost
+            # folded into the clause scorers (not as a _BoolLeaf under a
+            # single-must wrapper: that would apply the nested-clause f32
+            # cast the exhaustive kernel does NOT apply at the root)
+            inner, b = q.query, q.boost
+            while isinstance(inner, ast.BoostQuery):
+                b *= inner.boost
+                inner = inner.query
+            if isinstance(inner, ast.BooleanQuery):
+                heap = _wand_topk(
+                    seg, inner, scorers, k, th, dtype, boost=b, seed=sd
+                )
+                if heap is not None:
+                    return heap.docs, _final_scores(heap.scores, dtype)
         # boosted / constant-score / plain leaf at the root: run it as a
         # single-must WAND window scan (same pruning as _term_topk but
         # with the boost-folded scorer)

@@ -490,6 +490,35 @@ FROM docs WHERE {hit}
 ORDER BY doc_id"""
 
 
+def sloppy_topk_rows_sql(
+    t1: str, t2: str, off2: int, slop: int, k: int = 10,
+    table: str = "documents",
+) -> str:
+    """ROWS+SCHEMA oracle for the sloppy-phrase top-k gate entry.
+
+    The matching-doc count (hence the top-k row count, min(k, matches))
+    and the column names are exact; the scores are NOT — the engine's
+    ordering uses the float32 greedy sloppyFreq accumulation
+    (``search/SloppyPhraseMatcher.java:86-95`` via
+    ``PhraseScorer.java:86-95``), which is not SQL-expressible, so the
+    driver's value hash is expected to mismatch on this one entry
+    (rows/schema green, hash red — an upgrade from no-oracle). The
+    score values themselves are gated bit-exactly by
+    ``tests/test_sloppy.py`` against the Python reference matcher."""
+    p1 = f"list_filter(range(1, len(raw) + 1), i -> raw[i] = '{t1}')"
+    p2 = f"list_filter(range(1, len(raw) + 1), i -> raw[i] = '{t2}')"
+    win = f"greatest(a, b - {off2}) - least(a, b - {off2})"
+    hit = (
+        f"len(list_filter({p1}, a -> "
+        f"len(list_filter({p2}, b -> {win} <= {slop})) > 0)) > 0"
+    )
+    return f"""WITH {base_ctes(table)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 0.0 AS score
+FROM docs WHERE {hit}
+ORDER BY doc_id
+LIMIT {k}"""
+
+
 def field_exists_sql(title_words: int = 8, table: str = "documents") -> str:
     """(doc_id) docs whose TITLE field has >=1 token (FieldExistsQuery
     over the per-field norms)."""

@@ -26,6 +26,12 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# Entries whose oracle contract is rows+schema ONLY (the engine-side
+# float32 ordering is not SQL-expressible; see the oracle docstring).
+# The driver's value hash is expected to mismatch for these — the local
+# replica skips the value compare so a red here means a REAL bug.
+ROWS_ONLY = {"phrase_sloppy_topk"}
+
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -104,6 +110,11 @@ def main():
         if len(srows) != len(orows):
             ok = False
             msgs.append(f"rows spark={len(srows)} oracle={len(orows)}")
+        if ok and name in ROWS_ONLY:
+            print(f"pass {name}: {len(srows)} rows (rows+schema contract; "
+                  f"value hash exempt) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
         if ok:
             _, sn = norm_rows(scols, srows)
             _, on = norm_rows(ocols, orows)

@@ -10,7 +10,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SMOKE = ["term_postings_rare", "bool_and_match", "collection_stats",
+SMOKE = ["term_postings", "bool_not_match", "collection_stats",
          "dedup_exact", "emb_cosine_topk", "events_tumbling"]
 
 
