@@ -355,6 +355,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id long, score double",
         )
 
+    def nested_bool_topk(spark, sf_dir):
+        # NESTED boolean tree a OR (b AND c), driven through the STRING
+        # syntax (classic-parser parentheses) — pruned by the _BoolLeaf
+        # WAND adapter, never the exhaustive fallback
+        return _topk_docs(
+            _searcher(spark, sf_dir).search(
+                f"{TERM} OR ({AND_TERMS[0]} AND {AND_TERMS[1]})",
+                k=K,
+                pruned=True,
+                dtype="f64",
+            )
+        )
+
     def bool_and_topk(spark, sf_dir):
         ast = _ast()
         qq = ast.BooleanQuery(must=tuple(ast.TermQuery(t) for t in AND3_TERMS))
@@ -637,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_near_dup_pairs=emb_near_dup_pairs,
         emb_ivf_assign_arr=emb_ivf_assign_arr,
         emb_ivf_topk2=emb_ivf_topk2,
+        nested_bool_topk=nested_bool_topk,
         term_postings=term_postings,
         term_topk=term_topk,
         serve_term_topk=serve_term_topk,
@@ -711,6 +725,9 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "squeeze_term_topk": osql.term_topk_sql(
             TERM, K,
             table="(SELECT * FROM documents WHERE (doc_id % 5) <> 0) live",
+        ),
+        "nested_bool_topk": osql.nested_or_and_topk_sql(
+            TERM, AND_TERMS[0], AND_TERMS[1], K
         ),
         "bool_and_topk": osql.bool_topk_sql(AND3_TERMS, [], K),
         "bool_or_topk": osql.bool_topk_sql([], OR_TERMS, K),

@@ -406,55 +406,6 @@ def _term_topk(seg, term, scorers, k, threshold, dtype, seed=-np.inf):
     return heap
 
 
-def _or_topk(seg, leaves, scorers, k, threshold, dtype, seed=-np.inf):
-    """leaves: list of (tb, scorer) — window MAXSCORE disjunction."""
-    heap = _TopK(k, threshold, seed)
-    leaves = [(tb, sc, tb.block_max_scores(sc)) for tb, sc in leaves if tb is not None]
-    if not leaves:
-        return heap
-    nwin = (seg.max_doc + WINDOW - 1) // WINDOW
-    # only windows some leaf's blocks cover — never the whole doc space
-    wins = np.unique(
-        np.concatenate([_block_windows(tb, nwin) for tb, _, _ in leaves])
-    )
-    for w in wins:
-        lo, hi = int(w) * WINDOW, int(w) * WINDOW + WINDOW - 1
-        bound = 0.0
-        active = []
-        for tb, sc, bm in leaves:
-            b0, b1 = tb.overlapping(lo, hi)
-            if b0 < b1:
-                bound += float(bm[b0:b1].max())
-                active.append((tb, sc, b0, b1))
-        if not active:
-            continue
-        theta = heap.theta
-        if bound <= theta:
-            # rank-safe skip; count matches approximately for the threshold:
-            # Lucene stops counting exactly too (totalHits becomes a lower
-            # bound once pruning starts) — we only need "enough" hits seen.
-            continue
-        acc = np.zeros(WINDOW, dtype=np.float64)
-        seen = np.zeros(WINDOW, dtype=bool)
-        for tb, sc, b0, b1 in active:
-            for b in range(b0, b1):
-                d, t = tb.decode(b)
-                i0 = int(np.searchsorted(d, lo))
-                i1 = int(np.searchsorted(d, hi, side="right"))
-                if i0 >= i1:
-                    continue
-                dw = d[i0:i1] - lo
-                s = sc.score(t[i0:i1], tb.norms[d[i0:i1]]).astype(np.float64)
-                acc[dw] += s
-                seen[dw] = True
-        idx = np.flatnonzero(seen)
-        if idx.size:
-            d = idx + lo
-            m = seg.live_mask(d)
-            heap.update(d[m], acc[idx][m])
-    return heap
-
-
 def _and_topk(seg, terms, scorers, k, threshold, dtype, seed=-np.inf):
     """Block-max conjunction over term clauses, led by the rarest term."""
     heap = _TopK(k, threshold, seed)
@@ -469,41 +420,60 @@ def _and_topk(seg, terms, scorers, k, threshold, dtype, seed=-np.inf):
     rest = tbs[1:]
     lead_bm = lead_tb.block_max_scores(lead_sc)
     rest_bm = [(tb, sc, tb.block_max_scores(sc)) for tb, sc in rest]
-    for b in range(lead_tb.nblocks):
-        lo, hi = int(lead_tb.first_doc[b]), int(lead_tb.last_doc[b])
-        bound = float(lead_bm[b])
-        spans = []
-        ok = True
+    # level-1 skip consumption (Lucene104PostingsFormat.java:347-353):
+    # one bound check per 32-block LEAD GROUP; only groups that can
+    # still compete (range-overlapping every term, group bound > theta)
+    # iterate their member blocks
+    _, _, _, g_bmax, g_starts, g_ends = lead_tb.level1(lead_sc)
+    for g in range(g_starts.size):
+        glo = int(lead_tb.first_doc[g_starts[g]])
+        ghi = int(lead_tb.last_doc[g_ends[g] - 1])
+        gbound = float(g_bmax[g])
+        g_ok = True
         for tb, sc, bm in rest_bm:
-            b0, b1 = tb.overlapping(lo, hi)
+            b0, b1 = tb.overlapping(glo, ghi)
             if b0 >= b1:
-                ok = False
+                g_ok = False
                 break
-            bound += float(bm[b0:b1].max())
-            spans.append((tb, sc, b0, b1))
-        if not ok or bound <= heap.theta:
+            gbound += float(bm[b0:b1].max())
+        if not g_ok or gbound <= heap.theta:
             continue
-        d, t = lead_tb.decode(b)
-        cand = d[seg.live_mask(d)]
-        for tb, sc, b0, b1 in spans:
-            other = np.concatenate([tb.decode(i)[0] for i in range(b0, b1)])
-            cand = cand[np.isin(cand, other, assume_unique=True)]
+        for b in range(int(g_starts[g]), int(g_ends[g])):
+            lo, hi = int(lead_tb.first_doc[b]), int(lead_tb.last_doc[b])
+            bound = float(lead_bm[b])
+            spans = []
+            ok = True
+            for tb, sc, bm in rest_bm:
+                b0, b1 = tb.overlapping(lo, hi)
+                if b0 >= b1:
+                    ok = False
+                    break
+                bound += float(bm[b0:b1].max())
+                spans.append((tb, sc, b0, b1))
+            if not ok or bound <= heap.theta:
+                continue
+            d, t = lead_tb.decode(b)
+            cand = d[seg.live_mask(d)]
+            # follower advance by PROBE: decode only the rest-term
+            # blocks that contain a surviving candidate, not the whole
+            # overlapping range (leapfrog ConjunctionDISI.java:190-227)
+            for tb, sc, b0, b1 in spans:
+                p, _ = _probe_blocks(tb, cand)
+                cand = cand[p]
+                if cand.size == 0:
+                    break
             if cand.size == 0:
-                break
-        if cand.size == 0:
-            continue
-        acc = np.zeros(cand.size, dtype=np.float64)
-        # lead term tfs
-        sel = np.searchsorted(d, cand)
-        s = lead_sc.score(t[sel], lead_tb.norms[cand])
-        acc += s.astype(np.float64)
-        for tb, sc, b0, b1 in spans:
-            od = np.concatenate([tb.decode(i)[0] for i in range(b0, b1)])
-            ot = np.concatenate([tb.decode(i)[1] for i in range(b0, b1)])
-            sel = np.searchsorted(od, cand)
-            s = sc.score(ot[sel], tb.norms[cand])
+                continue
+            acc = np.zeros(cand.size, dtype=np.float64)
+            # lead term tfs
+            sel = np.searchsorted(d, cand)
+            s = lead_sc.score(t[sel], lead_tb.norms[cand])
             acc += s.astype(np.float64)
-        heap.update(cand, acc)
+            for tb, sc, b0, b1 in spans:
+                p, tf = _probe_blocks(tb, cand)
+                s = sc.score(tf, tb.norms[cand])
+                acc += s.astype(np.float64)
+            heap.update(cand, acc)
     return heap
 
 
@@ -561,6 +531,33 @@ def _phrase_topk(seg, q: ast.PhraseQuery, scorers, k, threshold, dtype, seed=-np
 # upper bounds, so pruned == exhaustive (rank-safe).
 
 
+def _probe_blocks(tb: TermBlocks, docs: np.ndarray):
+    """(present mask, tf) of sorted candidate ``docs`` against one
+    term's postings — decodes ONLY blocks whose doc range contains a
+    candidate (the follower advance() of leapfrog intersection / the
+    non-essential lookup of ``search/MaxScoreBulkScorer.java``)."""
+    pres = np.zeros(docs.size, dtype=bool)
+    tfs = np.zeros(docs.size, dtype=np.int64)
+    bidx = np.searchsorted(tb.last_doc, docs, side="left")
+    for b in np.unique(bidx):
+        if b >= tb.nblocks:
+            continue
+        sel = np.flatnonzero(bidx == b)
+        cand = docs[sel]
+        # skip the decode when every candidate falls in the gap before
+        # this block's first doc (level-0 skip consumption)
+        if int(cand[-1]) < int(tb.first_doc[b]):
+            continue
+        d, t = tb.decode(int(b))
+        jj = np.searchsorted(d, cand)
+        ok = (jj < d.size) & (d[np.minimum(jj, d.size - 1)] == cand)
+        sel, jj = sel[ok], jj[ok]
+        if sel.size:
+            pres[sel] = True
+            tfs[sel] = t[jj]
+    return pres, tfs
+
+
 class _TermLeaf:
     """One term's postings as a window-scorable leaf (boost folded into
     the scorer weight at build time)."""
@@ -603,6 +600,17 @@ class _TermLeaf:
     def window_docs(self, seg, lo, hi) -> np.ndarray:
         d, _ = self.window_postings(seg, lo, hi)
         return d
+
+    def probe(self, seg, docs):
+        """(present mask, scores aligned to ``docs``; 0 where absent)."""
+        pres, tfs = _probe_blocks(self.tb, docs)
+        sc = np.zeros(docs.size, dtype=np.float64)
+        if pres.any():
+            idx = np.flatnonzero(pres)
+            sc[idx] = self.scorer.score(
+                tfs[idx], self.tb.norms[docs[idx]]
+            ).astype(np.float64)
+        return pres, sc
 
 
 class _PhraseLeaf:
@@ -661,6 +669,25 @@ class _PhraseLeaf:
         d, _ = self.window_postings(seg, lo, hi)
         return d
 
+    def probe(self, seg, docs):
+        cand = docs
+        for tb in self.tbs:
+            if cand.size == 0:
+                break
+            p, _ = _probe_blocks(tb, cand)
+            cand = cand[p]
+        pres = np.zeros(docs.size, dtype=bool)
+        sc = np.zeros(docs.size, dtype=np.float64)
+        if cand.size:
+            dd, ff = _verify_phrase(seg, self.q, self.tbs, cand)
+            if dd.size:
+                idx = np.searchsorted(docs, dd)
+                pres[idx] = True
+                sc[idx] = self.psc.score(
+                    ff, self.tbs[0].norms[dd]
+                ).astype(np.float64)
+        return pres, sc
+
 
 class _ConstLeaf:
     """ConstantScoreQuery leaf: membership from the inner leaf, score a
@@ -688,6 +715,10 @@ class _ConstLeaf:
 
     def window_docs(self, seg, lo, hi) -> np.ndarray:
         return self.inner.window_docs(seg, lo, hi)
+
+    def probe(self, seg, docs):
+        pres, _ = self.inner.probe(seg, docs)
+        return pres, np.where(pres, self.const, 0.0)
 
 
 class _BoolLeaf:
@@ -809,6 +840,37 @@ class _BoolLeaf:
         d, _ = self.window_postings(seg, lo, hi)
         return d
 
+    def probe(self, seg, docs):
+        """Evaluate the nested clause at the candidate docs only (the
+        same clause-order float64 accumulation as window_postings)."""
+        acc = np.zeros(docs.size, dtype=np.float64)
+        reqok = np.ones(docs.size, dtype=bool)
+        for l in self.must:
+            p, s = l.probe(seg, docs)
+            acc += np.where(p, s, 0.0)
+            reqok &= p
+        for l in self.filters:
+            p, _ = l.probe(seg, docs)
+            reqok &= p
+        optc = np.zeros(docs.size, dtype=np.int32)
+        for l in self.should:
+            p, s = l.probe(seg, docs)
+            acc += np.where(p, s, 0.0)
+            optc += p
+        if self.must or self.filters:
+            ok = reqok
+        else:
+            ok = optc >= 1
+        if self.need > 0:
+            ok &= optc >= self.need
+        for l in self.excl:
+            p, _ = l.probe(seg, docs)
+            ok &= ~p
+        sc = np.where(ok, acc, 0.0)
+        if self.dtype == "f32":
+            sc = sc.astype(np.float32).astype(np.float64)
+        return ok, sc
+
 
 class _EmptyLeaf:
     """A leaf whose term(s) are absent from this segment."""
@@ -829,6 +891,9 @@ class _EmptyLeaf:
 
     def window_docs(self, seg, lo, hi):
         return np.empty(0, np.int64)
+
+    def probe(self, seg, docs):
+        return np.zeros(docs.size, dtype=bool), np.zeros(docs.size, np.float64)
 
 
 _EMPTY_LEAF = _EmptyLeaf()
@@ -975,77 +1040,95 @@ def _wand_topk(seg, q: ast.BooleanQuery, scorers, k, threshold, dtype, boost=1.0
         opt = [l for l in should if l.overlaps(lo, hi)]
         if len(opt) < need:
             continue
-        bound = 0.0
+        theta = heap.theta
+        opt_bounds = [leaf.window_bound(lo, hi) for leaf in opt]
+        bound = float(sum(opt_bounds))
         for leaf in must:
             bound += leaf.window_bound(lo, hi)
-        for leaf in opt:
-            bound += leaf.window_bound(lo, hi)
-        if bound <= heap.theta:
+        if bound <= theta:
             continue
-        acc = np.zeros(WINDOW, dtype=np.float64)
-        reqc = np.zeros(WINDOW, dtype=np.int32)
-        optc = np.zeros(WINDOW, dtype=np.int32)
-        dead = False
-        # accumulate in clause order (must then should) — the same
-        # float64 accumulation order as the exhaustive kernel, so
-        # pruned == exhaustive bit-exactly
-        for leaf in must:
-            d, s = leaf.window_postings(seg, lo, hi)
-            if d.size == 0:
-                dead = True
-                break
-            dw = d - lo
-            acc[dw] += s
-            reqc[dw] += 1
-        if dead:
-            continue
-        for leaf in filters:
-            d = leaf.window_docs(seg, lo, hi)
-            if d.size == 0:
-                dead = True
-                break
-            reqc[d - lo] += 1
-        if dead:
-            continue
-        for leaf in opt:
-            d, s = leaf.window_postings(seg, lo, hi)
-            if d.size == 0:
-                continue
-            dw = d - lo
-            acc[dw] += s
-            optc[dw] += 1
+        # float64 accumulation stays in clause order (must then should,
+        # query order) so pruned == exhaustive bit-exactly; probed
+        # clauses contribute +0.0 where absent (exact identity)
         if required:
-            ok = reqc == nreq
+            # conjunction-driven window: decode ONLY the rarest
+            # required leaf; every other clause (required or optional)
+            # is PROBED at the surviving candidates — the follower
+            # advance of BlockMaxConjunctionBulkScorer.java:30-39 /
+            # ConjunctionDISI leapfrog, never a full decode
+            lead = min(required, key=lambda l: l.doc_freq)
+            cdocs = lead.window_docs(seg, lo, hi)
+            for leaf in required:
+                if leaf is lead or cdocs.size == 0:
+                    continue
+                p, _ = leaf.probe(seg, cdocs)
+                cdocs = cdocs[p]
+            if cdocs.size == 0:
+                continue
+            # scoring pass in QUERY clause order (must then should) —
+            # probes hit the decode cache, so this costs no extra IO
+            cacc = np.zeros(cdocs.size, dtype=np.float64)
+            for leaf in must:
+                p, s = leaf.probe(seg, cdocs)
+                cacc = cacc + np.where(p, s, 0.0)
+            optc = np.zeros(cdocs.size, dtype=np.int32)
+            for leaf in opt:
+                p, s = leaf.probe(seg, cdocs)
+                cacc = cacc + np.where(p, s, 0.0)
+                optc += p
+            ok = np.ones(cdocs.size, dtype=bool)
+            if need > 0:
+                ok &= optc >= need
         else:
-            ok = optc >= 1
-        if need > 0:
-            ok &= optc >= need
+            # pure disjunction: MAXSCORE essential/non-essential split
+            # (``search/MaxScoreBulkScorer.java:28-51``): the largest
+            # ascending-bound prefix whose bounds sum <= theta cannot
+            # alone produce a competitive doc — those leaves are only
+            # PROBED at candidates found by the essential leaves
+            order = np.argsort(np.asarray(opt_bounds), kind="stable")
+            non_ess: set = set()
+            cum = 0.0
+            for i in order:
+                if cum + opt_bounds[i] <= theta:
+                    cum += opt_bounds[i]
+                    non_ess.add(int(i))
+                else:
+                    break
+            ess_posts: dict = {}
+            for i, leaf in enumerate(opt):
+                if i not in non_ess:
+                    ess_posts[i] = leaf.window_postings(seg, lo, hi)
+            parts = [d for d, _ in ess_posts.values() if d.size]
+            if not parts:
+                continue
+            cdocs = np.unique(np.concatenate(parts))
+            cacc = np.zeros(cdocs.size, dtype=np.float64)
+            optc = np.zeros(cdocs.size, dtype=np.int32)
+            for i, leaf in enumerate(opt):
+                if i in ess_posts:
+                    d, s = ess_posts[i]
+                    if d.size == 0:
+                        continue
+                    idx = np.searchsorted(cdocs, d)
+                    cacc[idx] += s
+                    optc[idx] += 1
+                else:
+                    p, s = leaf.probe(seg, cdocs)
+                    cacc = cacc + np.where(p, s, 0.0)
+                    optc += p
+            ok = optc >= max(need, 1)
         for leaf in excl:
-            d = leaf.window_docs(seg, lo, hi)
-            if d.size:
-                ok[d - lo] = False
-        idx = np.flatnonzero(ok)
-        if idx.size == 0:
+            p, _ = leaf.probe(seg, cdocs)
+            ok &= ~p
+        cdocs, cacc = cdocs[ok], cacc[ok]
+        if cdocs.size == 0:
             continue
-        docs = idx + lo
-        m = seg.live_mask(docs)
-        heap.update(docs[m], acc[idx][m])
+        m = seg.live_mask(cdocs)
+        heap.update(cdocs[m], cacc[m])
     return heap
 
 
 # ------------------------------------------------------------------- driver
-
-
-def _pure_or_terms(q: ast.BooleanQuery):
-    if q.must or q.must_not or q.filter or q.min_should_match > 1:
-        return None
-    leaves = []
-    for c in q.should:
-        if isinstance(c, ast.TermQuery):
-            leaves.append(c)
-        else:
-            return None
-    return leaves
 
 
 def _pure_and_terms(q: ast.BooleanQuery):
@@ -1085,16 +1168,10 @@ def search_segment(
             heap = _phrase_topk(seg, q, scorers, k, th, dtype, sd)
             return heap.docs, _final_scores(heap.scores, dtype)
         if isinstance(q, ast.BooleanQuery):
-            or_leaves = _pure_or_terms(q)
-            if or_leaves is not None:
-                leaves = []
-                for c in or_leaves:
-                    tb = seg.term_blocks(c.term)
-                    leaves.append((tb, scorers[("t", c.term)]))
-                heap = _or_topk(seg, leaves, scorers, k, th, dtype, sd)
-                # nested f32 cast: each should-clause is a term scorer whose
-                # f32 output we already accumulate in f64 — matches WANDScorer
-                return heap.docs, _final_scores(heap.scores, dtype)
+            # pure term-ORs also route through the WAND window kernel:
+            # its MAXSCORE essential/non-essential split probes
+            # low-bound terms instead of decoding them
+            # (MaxScoreBulkScorer.java:28-51)
             and_terms = _pure_and_terms(q)
             if and_terms is not None:
                 heap = _and_topk(seg, and_terms, scorers, k, th, dtype, sd)

@@ -490,6 +490,34 @@ FROM docs WHERE {hit}
 ORDER BY doc_id"""
 
 
+def nested_or_and_topk_sql(
+    a: str, b: str, c: str, k: int = 10, table: str = "documents"
+) -> str:
+    """Top-k for the NESTED tree ``a OR (b AND c)`` — a conjunctive
+    clause inside a scored disjunction (``BooleanQuery.java`` nested
+    clauses; scored by the engine's _BoolLeaf WAND adapter). Float64
+    accumulation order mirrored: outer clause order (a, nested), inner
+    clause order (b, c), nested sum parenthesized before the outer add."""
+    terms = [a, b, c]
+    sa = _score(_idf(0), _tf(a))
+    sb = _score(_idf(1), _tf(b))
+    sc = _score(_idf(2), _tf(c))
+    nested = f"((0.0 + {sb}) + ({sc}))"
+    score = (
+        f"0.0 + (CASE WHEN {_tf(a)} > 0 THEN {sa} ELSE 0.0 END)"
+        f" + (CASE WHEN {_tf(b)} > 0 AND {_tf(c)} > 0"
+        f" THEN {nested} ELSE 0.0 END)"
+    )
+    match = f"{_tf(a)} > 0 OR ({_tf(b)} > 0 AND {_tf(c)} > 0)"
+    return f"""WITH {base_ctes(table)},
+{_df_cte(terms)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {score} AS score
+FROM docs, stats, dfs
+WHERE {match}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def sloppy_topk_rows_sql(
     t1: str, t2: str, off2: int, slop: int, k: int = 10,
     table: str = "documents",

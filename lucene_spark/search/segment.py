@@ -88,8 +88,13 @@ class TermBlocks:
         """Per-block score upper bound from the competitive impacts
         (MaxScoreCache.java:74-89 analog) — rank-safe by construction.
         ONE vectorized scorer call over all blocks' impacts."""
+        # key by id() BUT verify the stored scorer is the same object —
+        # CPython reuses freed addresses, so a dead scorer's id can
+        # collide with a new scorer's (stale bounds would silently break
+        # rank safety); the strong ref in the entry pins the id
         key = ("bmax", id(scorer))
-        hit = self._cache.get(key)
+        ent = self._cache.get(key)
+        hit = ent[1] if ent is not None and ent[0] is scorer else None
         if hit is None:
             counts = np.fromiter(
                 (len(x) for x in self.impact_tfs), dtype=np.int64, count=self.nblocks
@@ -106,7 +111,7 @@ class TermBlocks:
                 scores = np.asarray(scorer.score(tfs, nbs), dtype=np.float64)
                 starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
                 hit = np.maximum.reduceat(scores, starts)
-            self._cache[key] = hit
+            self._cache[key] = (scorer, hit)
         return hit
 
     # level-1 skip geometry: one entry per LEVEL1_GROUP blocks
@@ -120,7 +125,8 @@ class TermBlocks:
         group; g_bmax is the max member block-max — a true upper bound
         for every doc in the group."""
         key = ("l1", id(scorer))
-        hit = self._cache.get(key)
+        ent = self._cache.get(key)
+        hit = ent[1] if ent is not None and ent[0] is scorer else None
         if hit is None:
             bm = self.block_max_scores(scorer)
             g = self.LEVEL1_GROUP
@@ -133,7 +139,7 @@ class TermBlocks:
             )
             g_bmax = np.maximum.reduceat(bm, starts)
             hit = (g_first, g_last, g_ndocs, g_bmax, starts, ends)
-            self._cache[key] = hit
+            self._cache[key] = (scorer, hit)
         return hit
 
     def overlapping(self, lo: int, hi: int) -> tuple[int, int]:
