@@ -614,29 +614,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb_view(spark, sf_dir)
         return spark.sql(ann.cosine_topk_sql(SPARK, _vec(sf_dir, 0), k=10))
 
+    def _emb_df(spark, sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
     def emb_ivf_topk2(spark, sf_dir):
-        _emb_view(spark, sf_dir)
-        return spark.sql(
-            ann.ivf_topk_sql(
-                SPARK, _vec(sf_dir, 1), _centroids(sf_dir), k=5, nprobe=2
-            )
+        # ARRAY-NATIVE IVF top-k with nprobe=2 (broadcast centroid join;
+        # the literal-SQL form is oracle-only — plan is O(1) in C)
+        return ann.ivf_topk_df(
+            spark, _emb_df(spark, sf_dir), _vec(sf_dir, 1),
+            _centroids(sf_dir), k=5, nprobe=2,
+        )
+
+    def emb_ivf_topk_c64(spark, sf_dir):
+        # same operator at a production-ish C=64: the join-form plan
+        # does not grow with C (the DuckDB oracle still compiles its
+        # literal mirror)
+        return ann.ivf_topk_df(
+            spark, _emb_df(spark, sf_dir), _vec(sf_dir, 1),
+            _centroids(sf_dir, c=64), k=5, nprobe=2,
         )
 
     def emb_near_dup_pairs(spark, sf_dir):
-        # IVF-blocked embedding near-dup join (bucket equijoin + cosine
-        # threshold) — the scale shape for embedding dedup
-        _emb_view(spark, sf_dir)
-        return spark.sql(
-            ann.near_dup_pairs_sql(SPARK, _centroids(sf_dir), threshold=0.4)
+        # ARRAY-NATIVE IVF-blocked embedding near-dup join (broadcast
+        # assignment + bucket equijoin + cosine threshold) — the scale
+        # shape for embedding dedup
+        return ann.near_dup_pairs_df(
+            spark, _emb_df(spark, sf_dir), _centroids(sf_dir), threshold=0.4
         )
 
     def emb_ivf_assign_arr(spark, sf_dir):
-        # array-native DataFrame assignment (zip_with + sequential fold
-        # + struct-argmin) — no per-centroid SQL literal columns
+        # array-native assignment via the broadcast centroid JOIN
+        # (zip_with fold + partial-aggregated struct-argmin)
         from lucene_spark.ops import kmeans
 
-        df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        return kmeans.ivf_assign_df(df, _centroids(sf_dir))
+        return kmeans.ivf_assign_join_df(
+            spark, _emb_df(spark, sf_dir), _centroids(sf_dir)
+        )
 
     # NOTE: the driver's correctness gate records at most 50 entries in
     # REGISTRATION ORDER — entries the r2 gate never reached (the emb_*
@@ -650,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_near_dup_pairs=emb_near_dup_pairs,
         emb_ivf_assign_arr=emb_ivf_assign_arr,
         emb_ivf_topk2=emb_ivf_topk2,
+        emb_ivf_topk_c64=emb_ivf_topk_c64,
         nested_bool_topk=nested_bool_topk,
         term_postings=term_postings,
         term_topk=term_topk,
@@ -787,4 +801,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "emb_near_dup_pairs": ann.near_dup_pairs_sql(DUCK, cents, threshold=0.4),
         "emb_ivf_assign_arr": ann.ivf_assign_sql(DUCK, cents),
         "emb_ivf_topk2": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5, nprobe=2),
+        "emb_ivf_topk_c64": ann.ivf_topk_sql(
+            DUCK, qvec1, _centroids(ORACLE_SF_DIR, c=64), k=5, nprobe=2
+        ),
     }

@@ -76,39 +76,52 @@ LIMIT {k}
 """
 
 
-def _assign_expr(d: str, centroids: list, dim: int) -> tuple:
-    """(cte_cols, case_expr): per-centroid squared-L2 distance columns +
-    the argmin CASE (first minimum wins => smallest centroid id)."""
-    cols = []
-    for c, cv in enumerate(centroids):
-        cl = _lit_vec(d, cv)
-        diff = f"({dl.cast_double(d, dl.elem(d, 'embedding', 'i'))} - {dl.elem(d, cl, 'i')})"
-        dist = dl.ffold_sum(
-            d, dl.transform(d, dl.seq_incl(d, "1", str(dim)), "i", f"{diff} * {diff}")
-        )
-        cols.append(f"{dist} AS d_{c}")
-    names = [f"d_{c}" for c in range(len(centroids))]
-    m = f"least({', '.join(names)})"
-    cases = " ".join(
-        f"WHEN d_{c} = m THEN {c}" for c in range(len(centroids))
+def _cents_cte(d: str, centroids: list) -> str:
+    """Centroids as a VALUES relation ``cents(cid, cvec)`` — DATA, not
+    per-centroid expression columns. The old column-per-centroid form
+    made the optimizer re-inline every distance C times (DuckDB took
+    minutes at C=64); this join form is O(C) rows and scales."""
+    rows = ", ".join(
+        f"({j}, {_lit_vec(d, cv)})" for j, cv in enumerate(centroids)
     )
-    return ",\n       ".join(cols), f"(CASE {cases} END)", m
+    if d == dl.SPARK:
+        return f"cents AS (SELECT * FROM VALUES {rows} AS t(cid, cvec))"
+    return f"cents(cid, cvec) AS (VALUES {rows})"
+
+
+def _dist_expr(d: str, dim: int, emb: str = "embedding", cv: str = "cvec") -> str:
+    """Squared-L2 between an embedding column and a centroid-vector
+    column — the same sequential float64 fold as the engine's
+    zip_with/aggregate path (bitwise)."""
+    diff = f"({dl.cast_double(d, dl.elem(d, emb, 'i'))} - {dl.elem(d, cv, 'i')})"
+    return dl.ffold_sum(
+        d, dl.transform(d, dl.seq_incl(d, "1", str(dim)), "i", f"{diff} * {diff}")
+    )
+
+
+def _best_cte(d: str, dim: int, table: str, extra_cols: str = "") -> str:
+    """dists + best CTEs: per (vector, centroid) distance rows and the
+    argmin by (dist, cid) window rank — equal-dist ties resolve to the
+    smallest centroid id (the numpy argmin / struct-min rule)."""
+    return f"""dists AS (
+  SELECT e.vec_id{extra_cols}, c.cid, {_dist_expr(d, dim)} AS dist
+  FROM {table} e CROSS JOIN cents c
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+  FROM dists
+)"""
 
 
 def ivf_assign_sql(
     d: str, centroids: list, dim: int = 64, table: str = "embeddings"
 ) -> str:
     """(vec_id, centroid_id): nearest-centroid partition assignment."""
-    cols, case, m = _assign_expr(d, centroids, dim)
     return f"""
-WITH dists AS (
-  SELECT vec_id,
-       {cols}
-  FROM {table}
-),
-mm AS (SELECT *, {m} AS m FROM dists)
-SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST({case} AS INT) AS centroid_id
-FROM mm ORDER BY vec_id
+WITH {_cents_cte(d, centroids)},
+{_best_cte(d, dim, table)}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS INT) AS centroid_id
+FROM best WHERE rn = 1 ORDER BY vec_id
 """
 
 
@@ -143,28 +156,108 @@ def ivf_topk_sql(
     to the probed partitions (recall grows with nprobe; at nprobe=C it
     IS brute force)."""
     probes = py_probe(qvec, centroids, nprobe)
-    cols, case, m = _assign_expr(d, centroids, dim)
     q = _lit_vec(d, qvec)
     qn = math.sqrt(py_sq_norm(qvec))
     dot = _dot(d, "embedding", q, dim)
     nrm = _sq_norm(d, "embedding", dim)
     plist = ", ".join(str(p) for p in probes)
     return f"""
-WITH dists AS (
-  SELECT vec_id, embedding,
-       {cols}
-  FROM {table}
-),
-mm AS (SELECT *, {m} AS m FROM dists),
-assigned AS (
-  SELECT vec_id, embedding FROM mm WHERE {case} IN ({plist})
-)
+WITH {_cents_cte(d, centroids)},
+{_best_cte(d, dim, table, extra_cols=", e.embedding")}
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        {dot} / (sqrt({nrm}) * CAST('{qn!r}' AS DOUBLE)) AS cos
-FROM assigned
+FROM best
+WHERE rn = 1 AND cid IN ({plist})
 ORDER BY cos DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+def _df_dot(a_col, b_col):
+    """Sequential float64 dot of two array columns — the zip_with fold
+    mirror of the SQL ``_dot`` (same accumulation order, bitwise)."""
+    import pyspark.sql.functions as F
+
+    prods = F.zip_with(
+        a_col.cast("array<double>"), b_col.cast("array<double>"),
+        lambda x, y: x * y,
+    )
+    return F.aggregate(prods, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def _df_sq_norm(a_col):
+    import pyspark.sql.functions as F
+
+    sq = F.zip_with(
+        a_col.cast("array<double>"), a_col.cast("array<double>"),
+        lambda x, y: x * y,
+    )
+    return F.aggregate(sq, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def ivf_topk_df(spark, df, qvec: list, centroids: list, k: int = 5, nprobe: int = 1):
+    """ARRAY-NATIVE IVF top-k (the scale shape of ``ivf_topk_sql``):
+    assignment by broadcast centroid join (plan O(1) in C — the literal
+    SQL form is kept only as the DuckDB oracle), probe filter on the
+    query's nprobe nearest cells, cosine as a zip_with float64 fold.
+    Bitwise-identical contract to the SQL form."""
+    import pyspark.sql.functions as F
+
+    from lucene_spark.ops import kmeans
+
+    probes = py_probe(qvec, centroids, nprobe)
+    assigned = kmeans._join_assigned(spark, df, centroids, keep_embedding=True)
+    sel = assigned.where(F.col("best.centroid_id").isin([int(p) for p in probes]))
+    qlit = F.array(*[F.lit(float(x)).cast("double") for x in qvec])
+    qn = math.sqrt(py_sq_norm(qvec))
+    cos = _df_dot(F.col("embedding"), qlit) / (
+        F.sqrt(_df_sq_norm(F.col("embedding"))) * F.lit(qn).cast("double")
+    )
+    return (
+        sel.select(F.col("vec_id").cast("long").alias("vec_id"), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def near_dup_pairs_df(spark, df, centroids: list, threshold: float = 0.4):
+    """ARRAY-NATIVE IVF-blocked near-dup pairs (the scale shape of
+    ``near_dup_pairs_sql``): broadcast-join assignment, then a bucket
+    equijoin on centroid_id confines the quadratic to per-bucket
+    squares; cosine is the zip_with float64 fold. One shuffle for the
+    assignment reduce + one for the bucket join — plan size O(1) in C."""
+    import pyspark.sql.functions as F
+
+    from lucene_spark.ops import kmeans
+
+    assigned = (
+        kmeans._join_assigned(spark, df, centroids, keep_embedding=True)
+        .select(
+            F.col("vec_id"),
+            F.col("embedding"),
+            F.col("best.centroid_id").alias("cid"),
+        )
+    )
+    x = assigned.alias("x")
+    y = assigned.alias("y")
+    cos = _df_dot(F.col("x.embedding"), F.col("y.embedding")) / (
+        F.sqrt(_df_sq_norm(F.col("x.embedding")))
+        * F.sqrt(_df_sq_norm(F.col("y.embedding")))
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").cast("long").alias("a"),
+            F.col("y.vec_id").cast("long").alias("b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(float(threshold)).cast("double"))
+        .orderBy("a", "b")
+    )
 
 
 def near_dup_pairs_sql(
@@ -185,20 +278,15 @@ def near_dup_pairs_sql(
     vs the unblocked join is bounded by cluster quality exactly like
     IVF search recall at nprobe=1; the driver gate runs this same
     blocked definition in DuckDB, so the comparison is exact."""
-    cols, case, m = _assign_expr(d, centroids, dim)
     dot = _dot(d, "x.embedding", "y.embedding", dim)
     nx = _sq_norm(d, "x.embedding", dim)
     ny = _sq_norm(d, "y.embedding", dim)
     cos = f"({dot}) / (sqrt({nx}) * sqrt({ny}))"
     thr = f"CAST('{float(threshold)!r}' AS DOUBLE)"
     return f"""
-WITH dists AS (
-  SELECT vec_id, embedding,
-       {cols}
-  FROM {table}
-),
-mm AS (SELECT *, {m} AS m FROM dists),
-assigned AS (SELECT vec_id, embedding, CAST({case} AS INT) AS cid FROM mm)
+WITH {_cents_cte(d, centroids)},
+{_best_cte(d, dim, table, extra_cols=", e.embedding")},
+assigned AS (SELECT vec_id, embedding, CAST(cid AS INT) AS cid FROM best WHERE rn = 1)
 SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b,
        {cos} AS cos
 FROM assigned x JOIN assigned y

@@ -80,6 +80,55 @@ def ivf_assign_df(df, centroids, dim: int = 64):
     ).orderBy("vec_id")
 
 
+def centroids_df(spark, centroids):
+    """Centroids as a DataFrame (centroid_id, cvec) — DATA, not plan
+    literals. At production C (1k-64k cells) this is the only shape
+    whose plan compiles: the literal-column form grows O(C*dim)."""
+    rows = [(j, [float(x) for x in cv]) for j, cv in enumerate(centroids)]
+    return spark.createDataFrame(rows, "centroid_id int, cvec array<double>")
+
+
+def _join_assigned(spark, df, centroids, keep_embedding: bool):
+    """embedding rows x BROADCAST centroids -> per-vector argmin via
+    partial-aggregated struct-min: map-side combine reduces the N*C
+    scored rows to N (dist, centroid_id) structs before the shuffle, so
+    the plan is O(1) in C and the shuffle is O(N)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import broadcast
+
+    cdf = broadcast(centroids_df(spark, centroids))
+    sq = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("cvec"),
+        lambda x, y: (x - y) * (x - y),
+    )
+    dist = F.aggregate(sq, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    cols = [
+        F.col("vec_id").cast("long").alias("vec_id"),
+        # struct-min tie-break: equal dist -> smallest centroid_id (the
+        # SQL CASE first-minimum / numpy argmin rule)
+        F.struct(dist.alias("dist"), F.col("centroid_id").alias("centroid_id")).alias("s"),
+    ]
+    aggs = [F.min("s").alias("best")]
+    if keep_embedding:
+        cols.append(F.col("embedding"))
+        aggs.append(F.first("embedding").alias("embedding"))
+    scored = df.crossJoin(cdf).select(*cols)
+    return scored.groupBy("vec_id").agg(*aggs)
+
+
+def ivf_assign_join_df(spark, df, centroids):
+    """(vec_id, centroid_id) via the broadcast-join assignment — the
+    C>=1k scale shape (centroids as data; see _join_assigned)."""
+    import pyspark.sql.functions as F
+
+    return (
+        _join_assigned(spark, df, centroids, keep_embedding=False)
+        .select("vec_id", F.col("best.centroid_id").alias("centroid_id"))
+        .orderBy("vec_id")
+    )
+
+
 def train_df(spark, df, c: int, iters: int = 5, dim: int = 64) -> list:
     """Distributed Lloyd's: returns C centroids (lists of float64).
 
@@ -92,8 +141,9 @@ def train_df(spark, df, c: int, iters: int = 5, dim: int = 64) -> list:
     first = df.orderBy("vec_id").limit(c).select("embedding").collect()
     cents = [[float(x) for x in r["embedding"]] for r in first]
     for _ in range(iters):
-        dist, cid = _assign_cols(df, cents, dim)
-        assigned = df.select("embedding", cid)
+        assigned = _join_assigned(spark, df, cents, keep_embedding=True).select(
+            "embedding", F.col("best.centroid_id").alias("centroid_id")
+        )
         upd = (
             assigned.select(
                 "centroid_id",

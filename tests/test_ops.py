@@ -222,3 +222,46 @@ def test_ivf_recall_improves_with_nprobe(spark):
         recalls.append(sum(r) / len(r))
     assert recalls[0] <= recalls[1] <= recalls[2]
     assert recalls[2] == 1.0
+
+
+def test_ivf_join_form_scales_in_c(spark):
+    """The broadcast-join IVF shape: (a) assignments bitwise-match the
+    numpy argmin at C=64, (b) the PLAN does not grow with C (centroids
+    are data, not plan literals — the old literal-column form exploded
+    O(C*dim) and would not compile at production C)."""
+    import numpy as np
+
+    from lucene_spark.ops import ann, kmeans
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    f32 = vecs.astype(np.float32).astype(np.float64)  # engine reads float32
+    plans = {}
+    for c in (8, 64):
+        cents = kmeans.train_np(f32, c, iters=2)
+        got = kmeans.ivf_assign_join_df(spark, df, cents).collect()
+        want = kmeans.assign_np(f32, cents)
+        assert [int(r["centroid_id"]) for r in got] == [int(x) for x in want]
+        plans[c] = kmeans.ivf_assign_join_df(spark, df, cents)._jdf.queryExecution().optimizedPlan().toString()
+    # join-form plan is O(1) in C: allow only trivial size drift
+    assert len(plans[64]) < len(plans[8]) * 2, (len(plans[8]), len(plans[64]))
+
+
+def test_ivf_topk_df_matches_sql(views):
+    """ivf_topk_df (array-native join form) == ivf_topk_sql (both
+    dialects) on the tiny corpus — same rows, same float64 cos."""
+    spark, con = views
+    from lucene_spark.ops import ann
+
+    q = [0.95, 0.05, 0.45, 0.2]
+    cents = [list(v) for _, v in VECS[:3]]
+    df = spark.table("embeddings")
+    got = ann.ivf_topk_df(spark, df, q, cents, k=3, nprobe=2).collect()
+    want = con.execute(ann.ivf_topk_sql(DUCK, q, cents, k=3, dim=4, nprobe=2)).fetchall()
+    assert [(int(r["vec_id"]), r["cos"]) for r in got] == [
+        (int(a), b) for a, b in want
+    ]
