@@ -255,6 +255,33 @@ def _phrase_doc_freqs(seg: SegmentView, q: ast.PhraseQuery):
     return _verify_phrase(seg, q, tbs, docs)
 
 
+def _sloppy_prefilter(tbs, q, docs):
+    """Candidate mask: a true sloppy match puts ALL adjusted phrase
+    positions inside one window of span <= slop
+    (``SloppyPhraseMatcher.java`` matchLength), so every term PAIR must
+    have adjusted positions within slop of each other — checked here
+    vectorized over all candidate docs with the packed
+    ``doc<<32|adjusted_pos`` keys (one band searchsorted per extra
+    term). Necessary condition: true matches always survive; the exact
+    greedy matcher runs only on survivors."""
+    keys = []
+    for tb, rel in zip(tbs, q.positions):
+        lens, flat = _positions_flat(tb, docs)
+        didx = np.repeat(np.arange(docs.size, dtype=np.int64), lens)
+        keys.append((didx << 32) | (flat - rel + _POS_OFF))
+    alive = np.ones(docs.size, dtype=bool)
+    k0 = keys[0]
+    slop = int(q.slop)
+    for kj in keys[1:]:
+        lo = np.searchsorted(kj, k0 - slop)
+        hi = np.searchsorted(kj, k0 + slop + 1)
+        hit = lo < hi  # this k0 occurrence has a j-partner within slop
+        ok = np.zeros(docs.size, dtype=bool)
+        ok[np.unique(k0[hit] >> 32)] = True
+        alive &= ok
+    return alive
+
+
 def _verify_sloppy(seg, q, tbs, docs):
     from lucene_spark.search.sloppy import (
         repeat_groups,
@@ -262,6 +289,10 @@ def _verify_sloppy(seg, q, tbs, docs):
         sloppy_freq_repeats,
     )
 
+    if docs.size > 1:
+        docs = docs[_sloppy_prefilter(tbs, q, docs)]
+        if docs.size == 0:
+            return docs, np.empty(0, np.float64)
     groups = repeat_groups(q.terms)
     pos_lists = [_positions_for_docs(tb, docs) for tb in tbs]
     freqs = np.zeros(docs.size, dtype=np.float64)

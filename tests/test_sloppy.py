@@ -157,3 +157,27 @@ def test_sloppy_rank_identity(pair, query):
     n_sloppy = searcher.count(query)
     n_exact = searcher.count(query.rsplit("~", 1)[0])
     assert n_sloppy >= n_exact
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        '"w0000 w0001"~2',
+        '"w0007 w0042"~4',
+        '"w0100 of w0200"~3',
+        '"w0000 w0000"~3',
+        '"w0000 w0001 w0000"~2',
+    ],
+)
+def test_prefilter_full_match_set(pair, query):
+    """The vectorized sloppy pre-filter (kernels._sloppy_prefilter) is a
+    necessary-condition screen; k >= corpus size makes top_k the FULL
+    match set, so any true match the filter dropped would show up here
+    as a missing row (rank-only checks could hide low-scoring drops)."""
+    searcher, oracle = pair
+    expected = oracle.top_k(parse(query, ENGLISH), k=400)
+    got = searcher.search(query, k=400).collect()
+    assert len(got) == len(expected), query
+    for row, (ed, es, eu) in zip(got, expected):
+        assert row["doc_id"] == ed and row["url"] == eu
+        assert np.float32(row["score"]) == np.float32(es), query
