@@ -63,6 +63,17 @@ def _shard_search(args):
     )
 
 
+def _shard_reopen(seg_ids: list) -> int:
+    """Re-point the resident worker at the latest commit with a
+    (possibly updated) segment assignment, WITHOUT respawning the
+    process — warm term-block caches survive for segments whose
+    postings + liveDocs are unchanged (LocalSearcher._open retains
+    views keyed on (segment_id, del_count))."""
+    _WORKER._segment_ids = set(seg_ids)
+    _WORKER._open(read_latest_commit(_WORKER.index_dir))
+    return os.getpid()
+
+
 def _shard_count(args):
     q, tstats = args
     return _WORKER.count(q, tstats=tstats)
@@ -96,18 +107,11 @@ class ShardedSearcher:
         n = min(self._shards or (os.cpu_count() or 4), len(segs)) or 1
         self.commit = commit
         self._pools = []
-        champ = (
-            max(segs, key=lambda s: (int(s["num_docs"]), s["segment_id"]))[
-                "segment_id"
-            ]
-            if segs
-            else None
-        )
-        self._champ_pool = 0
-        for i in range(n):
-            ids = [s["segment_id"] for s in segs[i::n]]
-            if champ in ids:
-                self._champ_pool = i
+        self._assign = [
+            [s["segment_id"] for s in segs[i::n]] for i in range(n)
+        ]
+        self._set_champ()
+        for ids in self._assign:
             pool = ProcessPoolExecutor(
                 max_workers=1,
                 initializer=_shard_init,
@@ -116,14 +120,64 @@ class ShardedSearcher:
             pool.submit(os.getpid).result()  # force worker start + init
             self._pools.append(pool)
 
+    def _set_champ(self) -> None:
+        segs = self.commit["segments"]
+        champ = (
+            max(segs, key=lambda s: (int(s["num_docs"]), s["segment_id"]))[
+                "segment_id"
+            ]
+            if segs
+            else None
+        )
+        self._champ_pool = 0
+        for i, ids in enumerate(self._assign):
+            if champ in ids:
+                self._champ_pool = i
+
     def refresh(self) -> bool:
-        """Re-open on a new commit generation. Segment-to-shard
-        assignment depends on the segment list (merges rewrite it), so
-        refresh rebuilds the worker pool rather than patching it."""
+        """Re-open on a new commit generation IN PLACE: worker
+        processes are kept alive and re-pointed (``_shard_reopen``)
+        rather than respawned. Surviving segments stay on their pool
+        (warm caches intact — the NRT-append-every-10s case costs one
+        metadata reopen, no process churn); vanished segments (merges)
+        drop off; new segments go to the least-loaded pool by resident
+        doc count. Pool COUNT is fixed at open — a long-running server
+        re-opens (close + __init__) when it wants to rescale."""
         if not self._stats_ls.refresh():
             return False
-        self._open(self._stats_ls.commit)
+        commit = self._stats_ls.commit
+        if not self._pools:
+            self._open(commit)
+            return True
+        by_id = {s["segment_id"]: s for s in commit["segments"]}
+        assign = [[sid for sid in ids if sid in by_id] for ids in self._assign]
+        placed = {sid for ids in assign for sid in ids}
+        loads = [
+            sum(int(by_id[sid]["num_docs"]) for sid in ids) for ids in assign
+        ]
+        fresh = sorted(
+            (s for s in commit["segments"] if s["segment_id"] not in placed),
+            key=lambda s: (-int(s["num_docs"]), s["segment_id"]),
+        )
+        for s in fresh:
+            i = min(range(len(loads)), key=lambda j: (loads[j], j))
+            assign[i].append(s["segment_id"])
+            loads[i] += int(s["num_docs"])
+        self.commit = commit
+        self._assign = assign
+        self._set_champ()
+        futs = [
+            p.submit(_shard_reopen, ids)
+            for p, ids in zip(self._pools, assign)
+        ]
+        for f in futs:
+            f.result()
         return True
+
+    def worker_pids(self) -> list:
+        """Resident worker process ids, pool order (observability +
+        the refresh-reuse test hook)."""
+        return [p.submit(os.getpid).result() for p in self._pools]
 
     def search(
         self,
@@ -233,8 +287,24 @@ class LocalSearcher:
             for s in self.all_segments
             if self._segment_ids is None or s["segment_id"] in self._segment_ids
         ]
-        self._views = {}
-        self._missing = set()
+        # warm-cache retention across refresh: a segment's postings are
+        # immutable once written and its liveDocs state is summarized by
+        # the commit's del_count, so views keyed on an unchanged
+        # (segment_id, del_count) stay valid — only segments with new
+        # deletes (or merged-away ids) drop their cached term blocks
+        prev_keys = getattr(self, "_seg_keys", {})
+        keys = {
+            s["segment_id"]: int(s.get("del_count", 0))
+            for s in self.segments
+        }
+        keep = {sid for sid, dc in keys.items() if prev_keys.get(sid) == dc}
+        self._seg_keys = keys
+        self._views = {
+            sid: v for sid, v in self._views.items() if sid in keep
+        }
+        self._missing = {
+            (sid, t) for (sid, t) in self._missing if sid in keep
+        }
         self._stats = self._load_stats() if self._preload else None
 
     def refresh(self) -> bool:

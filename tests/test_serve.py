@@ -89,3 +89,110 @@ def test_sharded_refresh_picks_up_new_generation(served, tmp_path_factory):
         assert before == after  # concatenation merge preserves answers
     finally:
         ss.close()
+
+
+def test_sharded_refresh_reuses_workers_on_append(spark, tmp_path_factory):
+    """NRT-append refresh must NOT respawn worker processes (warm
+    caches survive); answers after refresh match a fresh LocalSearcher
+    on the new commit."""
+    from lucene_spark.search.serve import ShardedSearcher
+    from lucene_spark.streaming.nrt import append_batch
+
+    corpus = make_pages(140)
+    d = str(tmp_path_factory.mktemp("srv_nrt"))
+    cfg = IndexConfig(num_segments=2, analyzer=ENGLISH)
+    build_index(
+        spark, spark.createDataFrame(
+            [(r["url"], r["text"]) for r in corpus[:100]], ["url", "text"]
+        ), d, cfg,
+    )
+    ss = ShardedSearcher(d, shards=2)
+    try:
+        pids = ss.worker_pids()
+        ss.search(QUERIES[0], k=10)  # warm the pools
+        append_batch(
+            spark, spark.createDataFrame(
+                [(r["url"], r["text"]) for r in corpus[100:]],
+                ["url", "text"],
+            ), d, IndexConfig(num_segments=1, analyzer=ENGLISH),
+        )
+        assert ss.refresh() is True
+        assert ss.worker_pids() == pids  # same processes, re-pointed
+        fresh = LocalSearcher(d, workers=1)
+        for q in QUERIES[:5]:
+            assert ss.search(q, k=10) == fresh.search(q, k=10), q
+            assert ss.count(q) == fresh.count(q), q
+    finally:
+        ss.close()
+
+
+def test_sharded_refresh_reuses_workers_on_merge(spark, tmp_path_factory):
+    """A rewriting merge drops every old segment id; pools stay alive
+    and the merged segment lands on the least-loaded pool."""
+    from lucene_spark.index.merge import force_merge
+    from lucene_spark.search.serve import ShardedSearcher
+
+    corpus = make_pages(120)
+    d = str(tmp_path_factory.mktemp("srv_mrg"))
+    build_index(
+        spark, spark.createDataFrame(
+            [(r["url"], r["text"]) for r in corpus], ["url", "text"]
+        ), d, IndexConfig(num_segments=3, analyzer=ENGLISH),
+    )
+    ss = ShardedSearcher(d, shards=2)
+    try:
+        pids = ss.worker_pids()
+        before = ss.search(QUERIES[0], k=10)
+        force_merge(spark, d)
+        assert ss.refresh() is True
+        assert ss.worker_pids() == pids
+        assert ss.search(QUERIES[0], k=10) == before
+        assert sorted(
+            sid for ids in ss._assign for sid in ids
+        ) == sorted(s["segment_id"] for s in ss.commit["segments"])
+    finally:
+        ss.close()
+
+
+def test_local_refresh_retains_unchanged_views(spark, tmp_path_factory):
+    """LocalSearcher keeps warm term-block views across refresh for
+    segments whose (segment_id, del_count) is unchanged, and drops the
+    view of a segment that took new deletes."""
+    from lucene_spark.streaming.nrt import append_batch
+
+    corpus = make_pages(130)
+    d = str(tmp_path_factory.mktemp("srv_ret"))
+    build_index(
+        spark, spark.createDataFrame(
+            [(r["url"], r["text"]) for r in corpus[:100]], ["url", "text"]
+        ), d, IndexConfig(num_segments=2, analyzer=ENGLISH),
+    )
+    l = LocalSearcher(d)
+    l.search(QUERIES[0], k=10)
+    warm = set(l._views)
+    assert warm  # views were populated
+    append_batch(
+        spark, spark.createDataFrame(
+            [(r["url"], r["text"]) for r in corpus[100:]], ["url", "text"]
+        ), d, IndexConfig(num_segments=1, analyzer=ENGLISH),
+    )
+    assert l.refresh() is True
+    assert warm <= set(l._views)  # append: old views retained
+    fresh = LocalSearcher(d)
+    for q in QUERIES[:5]:
+        assert l.search(q, k=10) == fresh.search(q, k=10), q
+    # a delete invalidates ONLY the touched segment's cached view
+    victim = l.search(QUERIES[0], k=1)[0][0]
+    hit_seg = next(
+        s["segment_id"]
+        for s in l.segments
+        if s["doc_base"] <= victim < s["doc_base"] + s["num_docs"]
+    )
+    delete_docs(spark, d, doc_ids=[victim])
+    warm = set(l._views)
+    assert l.refresh() is True
+    assert hit_seg not in l._views
+    assert warm - {hit_seg} <= set(l._views)
+    fresh = LocalSearcher(d)
+    for q in QUERIES[:5]:
+        assert l.search(q, k=10) == fresh.search(q, k=10), q
