@@ -535,8 +535,8 @@ class LocalSearcher:
             else ast_mod.rewrite(query)
         )
         terms = ast_mod.query_terms(q)
-        if not terms:
-            return 0  # term-less query: same contract as Searcher.count
+        if not terms and not ast_mod.has_termless_match(q):
+            return 0  # nothing can match: same contract as Searcher.count
         scorers = build_scorers(
             q,
             self._global_stats(

@@ -137,3 +137,27 @@ def test_field_analyzers_persisted_and_searchable(spark_index):
     assert [(d, sc) for d, sc, _u in srv] == [
         (r["doc_id"], r["score"]) for r in want
     ]
+
+
+def test_local_searcher_termless_count_matches_spark(spark, tmp_path_factory):
+    """Cross-plane parity for term-less queries: LocalSearcher.count
+    must route MatchAllDocs/FieldExists through the segment kernels
+    (has_termless_match), not short-circuit to 0."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.searcher import Searcher
+    from lucene_spark.search.serve import LocalSearcher
+
+    corpus = make_pages(60)
+    d = str(tmp_path_factory.mktemp("tl_idx"))
+    build_index(
+        spark, spark.createDataFrame(
+            [(r["url"], r["text"]) for r in corpus], ["url", "text"]
+        ), d, IndexConfig(num_segments=2, analyzer=ENGLISH),
+    )
+    s = Searcher(spark, d)
+    l = LocalSearcher(d)
+    for q in (ast.MatchAllDocsQuery(), ast.FieldExistsQuery("")):
+        assert l.count(q) == s.count(q) == 60, type(q).__name__
+    # a field that was never indexed matches nothing on either plane
+    missing = ast.FieldExistsQuery("nope")
+    assert l.count(missing) == s.count(missing) == 0
