@@ -220,6 +220,38 @@ class Analyzer:
         (StandardAnalyzer.java:98-101)."""
         return java_lower(term) if self.lowercase else term
 
+    def tokenize_offsets(
+        self, text: str
+    ) -> "tuple[list[str], list[int], list[int], list[int]]":
+        """(terms, positions, char_starts, char_ends) — tokenize_one
+        plus the source character span of every emitted token (the
+        OffsetAttribute of the reference's token stream). Used by the
+        re-analysis highlighter (``uhighlight/UnifiedHighlighter.java``
+        ANALYSIS offset source): positions are identical to the indexed
+        stream, so query position arithmetic (phrase verification) maps
+        straight onto character spans."""
+        terms: list[str] = []
+        positions: list[int] = []
+        starts: list[int] = []
+        ends: list[int] = []
+        pos = 0
+        for m in _TOKEN_RE.finditer(text):
+            tok = m.group()
+            if _ONLY_UNDERSCORE.fullmatch(tok):
+                continue
+            if len(tok) > self.max_token_length:
+                pos += 1
+                continue
+            if self.lowercase:
+                tok = java_lower(tok)
+            if tok not in self.stopwords:
+                terms.append(tok)
+                positions.append(pos)
+                starts.append(m.start())
+                ends.append(m.end())
+            pos += 1
+        return terms, positions, starts, ends
+
     def _doc_tokens(self, text: str) -> list:
         """One document's raw lowercased word tokens (fast path: C-level
         ``findall`` on the pre-lowered ASCII text — equivalent because

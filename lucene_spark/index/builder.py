@@ -63,6 +63,13 @@ class IndexConfig:
     num_segments: int = 8
     analyzer: Analyzer = field(default_factory=lambda: ENGLISH)
     store_positions: bool = True
+    # StoredFieldsFormat analog (``codecs/lucene90/
+    # Lucene90StoredFieldsFormat.java`` role, columnar parquet layout):
+    # source columns persisted per doc in stored/segment_id=<sid>/ for
+    # retrieval + highlighting. Unlike the reference's row-stride blobs
+    # the columnar layout gives free column pruning; doc_id row-group
+    # stats make top-k fetches k-sized reads, never scans.
+    stored_cols: tuple = ()
     generation: int = 1
     # Optional SQL expression for the segment-assignment column. Default
     # (None) = hash(key) scatter (uniform load). A range expression (e.g.
@@ -211,6 +218,7 @@ def _write_segment_files(
     norms_rows: list,
     doc_base: int,
     urls: list,
+    stored: "dict | None" = None,
 ) -> dict:
     """Write one segment's parquet files (tmp dir + atomic rename).
 
@@ -293,11 +301,33 @@ def _write_segment_files(
     os.makedirs(os.path.join(tmp_root, "docmap"), exist_ok=True)
     pq.write_table(docmap_tbl, os.path.join(tmp_root, "docmap", "data.parquet"))
 
+    kinds = ["postings", "term_stats", "norms", "docmap"]
+    if stored:
+        stored_tbl = pa.table(
+            {
+                "doc_id": pa.array(
+                    (doc_base + np.arange(len(urls))).tolist(), pa.int64()
+                ),
+                "url": pa.array(urls, pa.string()),
+                **{
+                    col: pa.array(vals, pa.string())
+                    for col, vals in stored.items()
+                },
+            }
+        )
+        os.makedirs(os.path.join(tmp_root, "stored"), exist_ok=True)
+        pq.write_table(
+            stored_tbl,
+            os.path.join(tmp_root, "stored", "data.parquet"),
+            row_group_size=1024,  # doc_id min/max stats keep fetches k-sized
+        )
+        kinds.append("stored")
+
     postings_bytes = sum(
         len(r["docs_bin"]) + len(r["tfs_bin"]) + len(r["pos_bin"])
         for r in block_rows
     )
-    for kind in ("postings", "term_stats", "norms", "docmap"):
+    for kind in kinds:
         commit_dir(kind)
     try:
         os.rmdir(tmp_root)
@@ -363,8 +393,17 @@ def build_segment_pdf(
         block_rows.sort(key=lambda r: (r["term"], r["block_id"]))
         term_stats.sort(key=lambda r: r["term"])
     sum_tf = norms_rows[0]["sum_total_tf"]  # default (first) field
+    stored = (
+        {
+            col: pdf[col].fillna("").astype(str).tolist()
+            for col in config.stored_cols
+        }
+        if config.stored_cols
+        else None
+    )
     extra = _write_segment_files(
-        index_dir, sid, block_rows, term_stats, norms_rows, doc_base, urls
+        index_dir, sid, block_rows, term_stats, norms_rows, doc_base, urls,
+        stored=stored,
     )
     m = {
         "segment_id": sid,
@@ -432,7 +471,12 @@ def build_index(
     config = config or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     p = config.num_segments
-    src_cols = list(dict.fromkeys(src for _, src in field_specs_of(config)))
+    src_cols = list(
+        dict.fromkeys(
+            [src for _, src in field_specs_of(config)]
+            + list(config.stored_cols)
+        )
+    )
     keyed = df.select(
         F.col(config.key_col).cast("string").alias(config.key_col),
         *[F.col(c) for c in src_cols],
@@ -499,6 +543,7 @@ def build_index(
             for fname, _ in (config.field_analyzers or ())
         },
         "store_positions": config.store_positions,
+        "stored_cols": list(config.stored_cols),
     }
     if write_commit:
         os.makedirs(os.path.join(index_dir, "commits"), exist_ok=True)

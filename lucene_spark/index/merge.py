@@ -561,7 +561,12 @@ def merge_segments(
         # atomic publish (same pattern as the builder)
         import shutil
 
-        for kind in ("postings", "term_stats", "norms", "docmap"):
+        kinds = ["postings", "term_stats", "norms", "docmap"]
+        if _merge_stored(
+            spark, index_dir, group, tmp_root, new_base, span, num_salts
+        ):
+            kinds.append("stored")
+        for kind in kinds:
             final = os.path.join(index_dir, kind, f"segment_id={new_sid}")
             if os.path.exists(final):
                 shutil.rmtree(final)
@@ -703,6 +708,64 @@ def force_merge(
     )
 
 
+def _merge_stored(
+    spark, index_dir: str, group: list, tmp_root: str,
+    new_base: int, span: int, num_salts: int,
+) -> bool:
+    """Carry stored fields (SegmentMerger's StoredFieldsConsumer role)
+    through a merge. The new doc ids are taken from the freshly written
+    merged docmap via a url equijoin — url is the unique doc key — so
+    ONE code path serves both the id-preserving concat merge and the
+    renumbering squeeze merge, and dead docs drop out of the inner join
+    for free. Distributed end-to-end: a url-shuffle join plus the same
+    doc_id-range shard writes as the docmap (row-group min/max stats
+    keep post-merge fetches k-sized)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    dirs = [
+        os.path.join(index_dir, "stored", f"segment_id={s['segment_id']}")
+        for s in group
+    ]
+    have = [d for d in dirs if os.path.isdir(d)]
+    if not have:
+        return False
+    st_dir = os.path.join(tmp_root, "stored")
+    os.makedirs(st_dir, exist_ok=True)
+    new_dm = spark.read.parquet(os.path.join(tmp_root, "docmap")).select(
+        "doc_id", "url"
+    )
+    old = spark.read.parquet(*have).drop("doc_id")
+    joined = old.join(new_dm, "url").withColumn(
+        "shard",
+        ((F.col("doc_id") - F.lit(new_base)) / F.lit(span)).cast("int"),
+    )
+
+    def write_shard(key, pdf):
+        import pandas as pd
+
+        shard = int(key[0])
+        pdf = (
+            pdf.drop(columns=["shard"])
+            .sort_values("doc_id", kind="mergesort")
+        )
+        cols = ["doc_id", "url"] + [
+            c for c in pdf.columns if c not in ("doc_id", "url")
+        ]
+        pq.write_table(
+            pa.Table.from_pandas(pdf[cols], preserve_index=False),
+            os.path.join(st_dir, f"data_{shard:04d}.parquet"),
+            row_group_size=1024,
+        )
+        return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+    joined.repartition(num_salts, "shard").groupBy("shard").applyInPandas(
+        write_shard, schema="shard int, n long"
+    ).collect()
+    return True
+
+
 def vacuum(index_dir: str) -> list:
     """Remove files of segments no longer referenced by the LATEST
     commit (the IndexFileDeleter analog with a keep-last-commit
@@ -714,7 +777,8 @@ def vacuum(index_dir: str) -> list:
     commit = read_latest_commit(index_dir)
     live = {s["segment_id"] for s in commit["segments"]}
     removed = []
-    for kind in ("postings", "term_stats", "norms", "docmap", "deletes"):
+    for kind in ("postings", "term_stats", "norms", "docmap", "deletes",
+                 "stored"):
         root = os.path.join(index_dir, kind)
         if not os.path.isdir(root):
             continue
@@ -1075,7 +1139,12 @@ def _merge_squeeze(
 
         import shutil
 
-        for kind in ("postings", "term_stats", "norms", "docmap"):
+        kinds = ["postings", "term_stats", "norms", "docmap"]
+        if _merge_stored(
+            spark, index_dir, group, tmp_root, new_base, span, num_salts
+        ):
+            kinds.append("stored")
+        for kind in kinds:
             final = os.path.join(index_dir, kind, f"segment_id={new_sid}")
             if os.path.exists(final):
                 shutil.rmtree(final)

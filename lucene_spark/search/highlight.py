@@ -1,0 +1,165 @@
+"""Highlighting: best-passage snippets for query matches.
+
+Model: the reference's UnifiedHighlighter in its RE-ANALYSIS offset
+mode (``lucene/highlighter/src/java/org/apache/lucene/search/uhighlight/
+UnifiedHighlighter.java`` — OffsetSource.ANALYSIS): offsets are NOT
+stored in the index; the stored text of each top-k hit is re-run
+through the SAME analyzer, giving (term, position, char span) triples
+whose positions are identical to the indexed stream, so query position
+arithmetic (exact-phrase verification) maps straight onto character
+spans. This is the standard strategy when the index stores neither
+offsets nor term vectors — the right trade at web scale, where k is
+tiny and docs are short relative to index size.
+
+Match extraction walks the query AST: term-like leaves highlight each
+occurrence of their (analyzed) terms; exact phrases (slop=0) highlight
+only POSITION-VERIFIED occurrences of the full phrase; sloppy/multi
+phrases and multi-term expansions degrade to their member terms (the
+UnifiedHighlighter's default MemoryIndex weight-matching is
+re-derived, not ported — degradations are documented here, not
+hidden). MUST_NOT clauses never highlight.
+
+Passage selection re-derives ``uhighlight/PassageScorer.java`` in a
+simplified deterministic form: candidate passages are consecutive
+token windows of ``passage_tokens`` emitted tokens; each is scored by
+(unique matched terms, matched occurrences, earliest start) and the
+top ``max_passages`` are emitted in document order joined by
+``ellipsis``. Scale shape: highlighting is O(k) driver/executor work
+over the top-k rows only — the corpus is never touched.
+"""
+
+from __future__ import annotations
+
+from lucene_spark.search import ast
+
+
+def _collect_match_specs(q, field: str):
+    """(terms, phrases): terms = set of bare analyzed terms of ``field``
+    to highlight; phrases = list of (terms tuple, positions tuple) for
+    slop=0 position-verified highlighting."""
+    terms: set = set()
+    phrases: list = []
+
+    def walk(node):
+        if isinstance(node, ast.TermQuery):
+            if ast.field_of(node.term) == field:
+                terms.add(ast.bare_term(node.term))
+        elif isinstance(node, ast.PhraseQuery):
+            if any(ast.field_of(t) != field for t in node.terms):
+                return
+            bare = tuple(ast.bare_term(t) for t in node.terms)
+            if node.slop == 0:
+                phrases.append((bare, tuple(node.positions)))
+            else:
+                terms.update(bare)  # documented degradation
+        elif isinstance(node, ast.MultiPhraseQuery):
+            for alts in node.slots:
+                terms.update(
+                    ast.bare_term(t)
+                    for t in alts
+                    if ast.field_of(t) == field
+                )
+        elif isinstance(node, ast.BooleanQuery):
+            for c in node.must + node.should + node.filter:
+                walk(c)  # must_not intentionally skipped
+        elif isinstance(node, (ast.BoostQuery, ast.ConstantScoreQuery)):
+            walk(node.query)
+        # PrefixQuery/WildcardQuery/etc: expansion happens index-side;
+        # the highlighter sees only what the caller rewrote (documented)
+
+    walk(ast.rewrite(q))
+    return terms, phrases
+
+
+def _match_token_indices(toks, positions, terms: set, phrases: list):
+    """Indices into the emitted token stream that should be wrapped.
+    Phrase occurrences are verified with the same position arithmetic
+    as the search kernels (``PhraseQuery`` positions incl. stopword
+    holes)."""
+    hit: set = set()
+    if terms:
+        for i, t in enumerate(toks):
+            if t in terms:
+                hit.add(i)
+    for bare, rels in phrases:
+        if not bare:
+            continue
+        by_pos = {}
+        for i, p in enumerate(positions):
+            by_pos.setdefault(p, []).append(i)
+        lead_rel = rels[0]
+        for i, t in enumerate(toks):
+            if t != bare[0]:
+                continue
+            base = positions[i] - lead_rel
+            members = [i]
+            ok = True
+            for term_j, rel_j in zip(bare[1:], rels[1:]):
+                found = None
+                for j in by_pos.get(base + rel_j, ()):
+                    if toks[j] == term_j:
+                        found = j
+                        break
+                if found is None:
+                    ok = False
+                    break
+                members.append(found)
+            if ok:
+                hit.update(members)
+    return hit
+
+
+def highlight_text(
+    text: str,
+    q,
+    analyzer,
+    field: str = "",
+    max_passages: int = 2,
+    passage_tokens: int = 24,
+    pre: str = "<b>",
+    post: str = "</b>",
+    ellipsis: str = " ... ",
+) -> "str | None":
+    """Best-passage snippet for one stored document, or None when no
+    query term occurs in ``text`` (the UnifiedHighlighter contract:
+    callers fall back to a document prefix)."""
+    terms, phrases = _collect_match_specs(q, field)
+    if not terms and not phrases:
+        return None
+    toks, positions, starts, ends = analyzer.tokenize_offsets(text)
+    if not toks:
+        return None
+    hit = _match_token_indices(toks, positions, terms, phrases)
+    if not hit:
+        return None
+    # fixed token windows -> (unique terms, occurrences, -start) score
+    n = len(toks)
+    windows = []
+    for w0 in range(0, n, passage_tokens):
+        w1 = min(w0 + passage_tokens, n)
+        members = [i for i in range(w0, w1) if i in hit]
+        if not members:
+            continue
+        uniq = len({toks[i] for i in members})
+        windows.append(((-uniq, -len(members), w0), (w0, w1, members)))
+    windows.sort(key=lambda x: x[0])
+    chosen = sorted(
+        (w for _, w in windows[:max_passages]), key=lambda w: w[0]
+    )
+    parts = []
+    for w0, w1, members in chosen:
+        p0, p1 = starts[w0], ends[w1 - 1]
+        frag = []
+        cur = p0
+        for i in members:
+            frag.append(text[cur : starts[i]])
+            frag.append(pre)
+            frag.append(text[starts[i] : ends[i]])
+            frag.append(post)
+            cur = ends[i]
+        frag.append(text[cur:p1])
+        parts.append("".join(frag))
+    snippet = ellipsis.join(parts)
+    lead = "" if chosen and chosen[0][0] == 0 else "..."
+    tail = "" if chosen and chosen[-1][1] == n else "..."
+    return f"{lead}{snippet}{tail}"

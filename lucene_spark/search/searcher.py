@@ -972,3 +972,102 @@ class Searcher:
         score = F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))
         out = agg.select("doc_id", score.alias("score"))
         return self._with_url(out, ["doc_id", "url", "score"])
+
+    # ---- stored fields + highlighting -----------------------------------
+
+    def stored(self):
+        """The stored-fields table (``StoredFields`` reader analog) as a
+        live-segment-pruned DataFrame, or None when the index was built
+        without ``IndexConfig.stored_cols``."""
+        import pyspark.sql.functions as F
+
+        path = os.path.join(self.index_dir, "stored")
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path).where(
+            F.col("segment_id").isin(list(self.live_segments))
+        )
+
+    def get_documents(self, doc_ids):
+        """``IndexSearcher.storedFields().document(docID)`` analog for a
+        batch of ids: DataFrame of the stored columns for ``doc_ids``.
+        The ``doc_id IN (...)`` predicate pushes to parquet row-group
+        stats (stored files are doc_id-sorted with 1024-row groups), so
+        a top-k fetch reads k-sized byte ranges, never a scan."""
+        import pyspark.sql.functions as F
+
+        st = self.stored()
+        if st is None:
+            raise ValueError(
+                "index has no stored fields (IndexConfig.stored_cols)"
+            )
+        ids = [int(d) for d in doc_ids]
+        return st.where(F.col("doc_id").isin(ids)).drop("segment_id")
+
+    def highlight(
+        self,
+        query,
+        k: int = 10,
+        field: str = "",
+        max_passages: int = 2,
+        passage_tokens: int = 24,
+        pre: str = "<b>",
+        post: str = "</b>",
+        dtype: str = "f32",
+    ):
+        """Top-k search + best-passage snippets over the stored source
+        column of ``field`` (re-analysis offset source — see
+        ``lucene_spark/search/highlight.py``; the
+        ``uhighlight/UnifiedHighlighter.java`` deployment shape).
+        DataFrame (doc_id, url, score, snippet), rank order preserved;
+        snippet is NULL when no query term occurs in the stored text
+        (callers show a document prefix). O(k) work: one top-k search,
+        one k-sized stored fetch, k snippet extractions in one Arrow
+        batch."""
+        import pyspark.sql.functions as F
+
+        from lucene_spark.search.highlight import highlight_text
+
+        q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
+        specs = dict(
+            (f, s) for f, s in (self.commit.get("field_specs") or [["", self.commit.get("text_col", "text")]])
+        )
+        if field not in specs:
+            raise KeyError(f"unknown field {field!r}; indexed: {sorted(specs)}")
+        src_col = specs[field]
+        analyzer = self.field_analyzers.get(field, self.analyzer)
+        top = self.search(query, k=k, pruned=True, dtype=dtype).collect()
+        if not top:
+            return self.spark.createDataFrame(
+                [], "doc_id long, url string, score double, snippet string"
+            )
+        ids = [int(r["doc_id"]) for r in top]
+        stored = self.get_documents(ids).select("doc_id", src_col)
+        kq, kf, kcol = q, field, src_col
+        kmax, ktok, kpre, kpost = max_passages, passage_tokens, pre, post
+
+        def hl(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                snips = [
+                    highlight_text(
+                        t, kq, analyzer, field=kf, max_passages=kmax,
+                        passage_tokens=ktok, pre=kpre, post=kpost,
+                    )
+                    for t in pdf[kcol].astype(str)
+                ]
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "snippet": snips}
+                )
+
+        snip_df = stored.mapInPandas(hl, "doc_id long, snippet string")
+        hits = self.spark.createDataFrame(
+            [(int(r["doc_id"]), r["url"], float(r["score"])) for r in top],
+            "doc_id long, url string, score double",
+        )
+        return (
+            hits
+            .join(F.broadcast(snip_df), "doc_id", "left")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )

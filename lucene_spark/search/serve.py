@@ -552,6 +552,85 @@ class LocalSearcher:
             n += int(docs.size)
         return n
 
+    def documents(self, doc_ids) -> "list[dict]":
+        """Stored-fields retrieval (``StoredFields.document`` analog):
+        one dict per found id, doc_id ascending. k pyarrow reads with
+        doc_id row-group pruning per owning segment — never a scan."""
+        import pyarrow.parquet as pq
+
+        ids = sorted(int(d) for d in doc_ids)
+        out: list = []
+        for s in self.segments:
+            lo, hi = int(s["doc_base"]), int(s["doc_base"] + s["num_docs"])
+            mine = [d for d in ids if lo <= d < hi]
+            if not mine:
+                continue
+            p = os.path.join(
+                self.index_dir, "stored", f"segment_id={s['segment_id']}"
+            )
+            if not os.path.isdir(p):
+                raise ValueError(
+                    "index has no stored fields (IndexConfig.stored_cols)"
+                )
+            t = pq.read_table(p, filters=[("doc_id", "in", mine)])
+            out.extend(t.to_pylist())
+        out.sort(key=lambda r: r["doc_id"])
+        return out
+
+    def highlight(
+        self,
+        query,
+        k: int = 10,
+        field: str = "",
+        max_passages: int = 2,
+        passage_tokens: int = 24,
+        pre: str = "<b>",
+        post: str = "</b>",
+        dtype: str = "f32",
+    ) -> list:
+        """[(doc_id, score, url, snippet)] — the serving-plane mirror of
+        ``Searcher.highlight`` (same re-analysis highlighter, same
+        passage selection; snippet None when no stored-text match)."""
+        from lucene_spark.search.highlight import highlight_text
+
+        q = (
+            parse(query, self.analyzer, self.field_analyzers)
+            if isinstance(query, str)
+            else ast_mod.rewrite(query)
+        )
+        specs = dict(
+            (f, s)
+            for f, s in (
+                self.commit.get("field_specs")
+                or [["", self.commit.get("text_col", "text")]]
+            )
+        )
+        if field not in specs:
+            raise KeyError(f"unknown field {field!r}; indexed: {sorted(specs)}")
+        src_col = specs[field]
+        analyzer = self.field_analyzers.get(field, self.analyzer)
+        top = self.search(query, k=k, dtype=dtype)
+        if not top:
+            return []
+        docs = {
+            r["doc_id"]: r for r in self.documents([d for d, _, _ in top])
+        }
+        return [
+            (
+                d,
+                sc,
+                url,
+                highlight_text(
+                    str(docs[d][src_col]), q, analyzer, field=field,
+                    max_passages=max_passages,
+                    passage_tokens=passage_tokens, pre=pre, post=post,
+                )
+                if d in docs
+                else None,
+            )
+            for d, sc, url in top
+        ]
+
     def _urls_of(self, docs: np.ndarray) -> dict:
         """doc_id -> url via per-segment doc_id-filtered docmap reads
         (row groups are doc_id-sorted; k lookups, not a table scan)."""
