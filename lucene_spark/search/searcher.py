@@ -246,9 +246,18 @@ class Searcher:
         pruned: bool = True,
         dtype: str = "f32",
         total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
-        share_theta: bool = True,
+        share_theta: bool = False,
     ):
-        """Top-k DataFrame (doc_id, score, url), rank == Lucene contract."""
+        """Top-k DataFrame (doc_id, score, url), rank == Lucene contract.
+
+        ``share_theta`` (opt-in here): seed every segment kernel's theta
+        from a driver-side champion-segment pre-pass. For a SINGLE query
+        the pre-pass is serial time on the latency path and measured a
+        ~1.5x per-query slowdown on the 960k/64-segment corpus (A/B in
+        BENCH.md round 3) — the distributed decode savings don't cover
+        one cold term read. ``search_many`` keeps it ON: the champion
+        reader amortizes across the batch and results are bit-identical
+        either way (tests/test_theta_sharing.py)."""
         import pyspark.sql.functions as F
 
         q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)

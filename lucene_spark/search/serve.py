@@ -225,6 +225,60 @@ class ShardedSearcher:
         futs = [p.submit(_shard_count, args) for p in self._pools]
         return sum(f.result() for f in futs)
 
+    def highlight(self, query, k: int = 10, **kw) -> list:
+        """[(doc_id, score, url, snippet)] — scatter-gather top-k, then
+        snippets extracted in the parent over k stored-field reads (the
+        stored table is shared storage; snippet work is O(k), no reason
+        to ship it to shard workers)."""
+        from lucene_spark.search.highlight import highlight_text
+
+        top = self.search(query, k=k)
+        if not top:
+            return []
+        ls = self._stats_ls
+        q = (
+            ls.parse(query)
+            if isinstance(query, str)
+            else ast_mod.rewrite(query)
+        )
+        field = kw.pop("field", "")
+        specs = dict(
+            (f, s)
+            for f, s in (
+                ls.commit.get("field_specs")
+                or [["", ls.commit.get("text_col", "text")]]
+            )
+        )
+        src_col = specs[field]
+        analyzer = ls.field_analyzers.get(field, ls.analyzer)
+        saved = ls._segment_ids
+        try:
+            ls._segment_ids = None  # parent reads stored across ALL segments
+            ls.segments = ls.all_segments
+            docs = {
+                r["doc_id"]: r for r in ls.documents([d for d, _, _ in top])
+            }
+        finally:
+            ls._segment_ids = saved
+            ls.segments = [
+                s
+                for s in ls.all_segments
+                if saved is None or s["segment_id"] in saved
+            ]
+        return [
+            (
+                d,
+                sc,
+                url,
+                highlight_text(
+                    str(docs[d][src_col]), q, analyzer, field=field, **kw
+                )
+                if d in docs
+                else None,
+            )
+            for d, sc, url in top
+        ]
+
     def _query_stats(self, query) -> dict:
         q = (
             self._stats_ls.parse(query)

@@ -150,3 +150,16 @@ def test_stored_fields_survive_merge(spark, tmp_path_factory):
     ).collect()
     for r in got:
         assert r["text"] == texts[r["url"]]
+
+
+def test_sharded_highlight_matches_local(stored_idx):
+    from lucene_spark.search.serve import ShardedSearcher
+
+    spark, d, _ = stored_idx
+    l = LocalSearcher(d, workers=1)
+    ss = ShardedSearcher(d, shards=2)
+    try:
+        for query in ("w0042", '"w0007 w0042"'):
+            assert ss.highlight(query, k=8) == l.highlight(query, k=8), query
+    finally:
+        ss.close()
