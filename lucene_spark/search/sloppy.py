@@ -1,16 +1,25 @@
-"""Sloppy phrase matching — a faithful port of the NO-REPEATS path of
-``search/SloppyPhraseMatcher.java`` (the common case; phrases that
-repeat a term with slop > 0 are rejected at query-build time — a
-documented divergence; slop == 0 handles repeats via the exact
-matcher).
+"""Sloppy phrase matching — a faithful port of
+``search/SloppyPhraseMatcher.java`` (both the no-repeats fast path and
+the repeat-group machinery for phrases that repeat a term; multi-term
+repeats — MultiPhraseQuery slots sharing terms — remain out of scope
+and are rejected at query-build time).
 
-Semantics (PhraseScorer.java:86-95 + SloppyPhraseMatcher.java:188-216):
+Semantics (PhraseScorer.java:84-95 + SloppyPhraseMatcher.java:193-225):
 - each term's positions are shifted by its query offset
   (``pp.position = termPos - offset``);
 - a priority queue ordered by (position, offset, ord) repeatedly pops
   the minimum; the popped term advances until it passes the new
   minimum, shrinking ``matchLength = end - pos`` greedily; a match is
   emitted when ``matchLength <= slop``;
+- with repeated terms, two slots of the same term must sit on
+  different document positions: per-doc init advances the rank-r group
+  member r times (advanceRepeatGroups, SloppyPhraseMatcher.java:453),
+  and every advance resolves collisions by advancing the LESSER of the
+  colliding pair then physically re-queuing the moved entries
+  (advanceRpts, SloppyPhraseMatcher.java:305-342) — reproduced
+  exactly, including the reference PriorityQueue's array heap so that
+  entries whose position mutates while queued reorder at the same
+  moments they do there (util/PriorityQueue.java add/pop/up/downHeap);
 - sloppyFreq = sum over matches of ``1f / (1f + matchLength)``,
   ACCUMULATED IN FLOAT32 (``float freq``) — reproduced exactly.
 """
@@ -87,78 +96,223 @@ def repeat_groups(terms) -> "list[list[int]] | None":
     return groups or None
 
 
-def sloppy_freq_repeats(pos_lists, offsets, slop: int, groups) -> float:
-    """Sloppy frequency for phrases with REPEATED terms.
+class _RefPQ:
+    """The reference ``util/PriorityQueue.java`` as an array heap of pp
+    ordinals, comparing LIVE (position, offset, ord) at sift time.
+    advanceRpts mutates positions of entries while they sit in the
+    queue; the reference re-queues them with an explicit pop/re-add
+    pass, and whether an un-re-queued stale entry reorders depends on
+    the heap's physical layout — mirroring add/pop/upHeap/downHeap
+    verbatim keeps that layout (hence pop order) identical."""
 
-    Semantics follow ``SloppyPhraseMatcher``'s repeat machinery
-    (collide/lesser/advanceRpts): two occurrences of the same term must
-    match DIFFERENT document positions (injective matching); whenever
-    two repeat-group members land on the same raw position, the lesser
-    one (smaller shifted position, then larger offset) advances.
-    Matches accumulate 1f/(1f+matchLength) in float32 like the
-    no-repeats path. The greedy advance order is a documented
-    re-derivation, not a bit-level port: doc MATCH sets are exact
-    (tested against brute-force injective selection); freq values on
-    repeated-term phrases may differ from the reference in corner
-    cases with overlapping match windows.
+    __slots__ = ("heap", "size", "pos", "offs")
+
+    def __init__(self, max_size: int, pos, offs):
+        self.heap = [0] * (max_size + 1)  # 1-based, heap[0] unused
+        self.size = 0
+        self.pos = pos
+        self.offs = offs
+
+    def _less(self, a: int, b: int) -> bool:
+        # SloppyPhraseMatcher.java:97-109 comparator
+        pos, offs = self.pos, self.offs
+        if pos[a] == pos[b]:
+            if offs[a] == offs[b]:
+                return a < b
+            return offs[a] < offs[b]
+        return pos[a] < pos[b]
+
+    def add(self, element: int) -> None:
+        index = self.size + 1
+        self.heap[index] = element
+        self.size = index
+        self._up_heap(index)
+
+    def top(self) -> int:
+        return self.heap[1]
+
+    def pop(self) -> int:
+        heap = self.heap
+        result = heap[1]
+        heap[1] = heap[self.size]
+        self.size -= 1
+        self._down_heap(1)
+        return result
+
+    def _up_heap(self, orig: int) -> None:
+        heap = self.heap
+        i = orig
+        node = heap[i]
+        j = i >> 1
+        while j > 0 and self._less(node, heap[j]):
+            heap[i] = heap[j]
+            i = j
+            j >>= 1
+        heap[i] = node
+
+    def _down_heap(self, i: int) -> None:
+        heap, size = self.heap, self.size
+        node = heap[i]
+        j = i << 1
+        k = j + 1
+        if k <= size and self._less(heap[k], heap[j]):
+            j = k
+        while j <= size and self._less(heap[j], node):
+            heap[i] = heap[j]
+            i = j
+            j = i << 1
+            k = j + 1
+            if k <= size and self._less(heap[k], heap[j]):
+                j = k
+        heap[i] = node
+
+
+def sloppy_freq_repeats(pos_lists, offsets, slop: int, groups) -> float:
+    """Sloppy frequency for phrases with REPEATED terms — a faithful
+    port of ``SloppyPhraseMatcher``'s repeat machinery (the
+    single-term-per-slot case; ``hasMultiTermRpts`` is out of scope):
+
+    - per-doc init: all pps to their first position, then each repeat
+      group (sorted by query offset) advances its rank-r member r
+      times (advanceRepeatGroups), then the queue fills in ord order
+      and ``end`` becomes the max shifted position (initComplex);
+    - nextMatch pops the min pp and advances it greedily, shrinking
+      matchLength, exactly as the no-repeats path
+      (SloppyPhraseMatcher.java:193-225);
+    - after every advance, collisions (two group members on the same
+      raw document position) are resolved by advancing the LESSER pp
+      (smaller shifted position, tie: smaller offset) until none
+      collide; moved entries that sit in the queue are re-queued by
+      popping until each marked rptInd has been seen and re-adding in
+      reverse pop order (advanceRpts, SloppyPhraseMatcher.java:305-342
+      — including its quirk of clearing a marked bit on ANY popped pp
+      with that rptInd, regardless of group);
+    - freq accumulates 1f/(1f+matchLength) in float32 per
+      PhraseScorer.java:84-95.
     """
     n = len(pos_lists)
     counts = [len(p) for p in pos_lists]
+    offs = [int(o) for o in offsets]
+    # sortRptGroups: each group sorted by query offset; rptInd = rank
+    rgs = [sorted(g, key=lambda i: offs[i]) for g in groups]
     group_of = [-1] * n
-    for gi, g in enumerate(groups):
-        for i in g:
+    rpt_ind = [0] * n
+    for gi, g in enumerate(rgs):
+        for r, i in enumerate(g):
             group_of[i] = gi
-    # collision-free initial placement: group member with the r-th
-    # smallest offset starts at its r-th position (the fixpoint the
-    # reference's advance-the-lesser loop converges to)
-    j = [0] * n
-    for g in groups:
-        for r, i in enumerate(sorted(g, key=lambda i: int(offsets[i]))):
-            j[i] = r
-    if any(j[i] >= counts[i] for i in range(n)):
-        return 0.0
-    raw = [int(pos_lists[i][j[i]]) for i in range(n)]
-    pos = [raw[i] - int(offsets[i]) for i in range(n)]
+            rpt_ind[i] = r
 
-    def advance_one(i: int) -> bool:
-        j[i] += 1
-        if j[i] >= counts[i]:
+    idx = [0] * n
+    pos = [0] * n  # shifted: raw - offset
+    state = {"end": -(1 << 31)}
+
+    def next_position(i: int) -> bool:
+        idx[i] += 1
+        if idx[i] >= counts[i]:
             return False
-        raw[i] = int(pos_lists[i][j[i]])
-        pos[i] = raw[i] - int(offsets[i])
+        pos[i] = int(pos_lists[i][idx[i]]) - offs[i]
         return True
 
-    def advance(i: int) -> bool:
-        """Advance pp i, then resolve repeat collisions (advanceRpts)."""
-        if not advance_one(i):
+    def advance_pp(i: int) -> bool:
+        if not next_position(i):
             return False
-        gi = group_of[i]
-        if gi < 0:
+        if pos[i] > state["end"]:
+            state["end"] = pos[i]
+        return True
+
+    # initComplex: placeFirstPositions + advanceRepeatGroups + fillQueue
+    for i in range(n):
+        if counts[i] == 0:
+            return 0.0
+        idx[i] = 0
+        pos[i] = int(pos_lists[i][0]) - offs[i]
+    for rg in rgs:
+        for jj in range(1, len(rg)):
+            for _ in range(jj):
+                if not next_position(rg[jj]):
+                    return 0.0  # PPs exhausted
+    pq = _RefPQ(n, pos, offs)
+    for i in range(n):  # fillQueue: ord order, raises end
+        if pos[i] > state["end"]:
+            state["end"] = pos[i]
+        pq.add(i)
+
+    def tp_pos(i: int) -> int:
+        return pos[i] + offs[i]
+
+    def collide(i: int) -> int:
+        t = tp_pos(i)
+        for j in rgs[group_of[i]]:
+            if j != i and tp_pos(j) == t:
+                return rpt_ind[j]
+        return -1
+
+    def lesser(a: int, b: int) -> int:
+        if pos[a] < pos[b] or (pos[a] == pos[b] and offs[a] < offs[b]):
+            return a
+        return b
+
+    def advance_rpts(i: int) -> bool:
+        if group_of[i] < 0:
             return True
-        g = groups[gi]
-        changed = True
-        while changed:
-            changed = False
-            for a in g:
-                for b in g:
-                    if a < b and raw[a] == raw[b]:
-                        k = (
-                            a
-                            if (pos[a], -int(offsets[a])) <= (pos[b], -int(offsets[b]))
-                            else b
-                        )
-                        if not advance_one(k):
-                            return False
-                        changed = True
+        rg = rgs[group_of[i]]
+        marked: set = set()
+        num_bits = len(rg)  # FixedBitSet(rg.length), grown on demand
+        k0 = rpt_ind[i]
+        pp = i
+        while True:
+            k = collide(pp)
+            if k < 0:
+                break
+            pp = lesser(pp, rg[k])
+            if not advance_pp(pp):
+                return False  # exhausted
+            if k != k0:
+                num_bits = max(num_bits, k + 1)
+                marked.add(k)
+        # re-queue: pop until every marked rptInd was seen, re-add in
+        # reverse pop order (reference clears the bit for ANY popped pp
+        # whose rptInd matches — group not checked there)
+        if marked:
+            stack = []
+            while marked and pq.size > 0:
+                j = pq.pop()
+                stack.append(j)
+                if group_of[j] >= 0 and rpt_ind[j] < num_bits:
+                    marked.discard(rpt_ind[j])
+            for j in reversed(stack):
+                pq.add(j)
         return True
 
+    mstate = {"positioned": True, "ml": 1 << 31}
+
+    def next_match() -> bool:
+        if not mstate["positioned"]:
+            return False
+        pp = pq.pop()
+        mstate["ml"] = state["end"] - pos[pp]
+        nxt = pos[pq.top()]
+        while advance_pp(pp):
+            if not advance_rpts(pp):
+                break  # pps exhausted
+            if pos[pp] > nxt:
+                pq.add(pp)
+                if mstate["ml"] <= slop:
+                    return True
+                pp = pq.pop()
+                nxt = pos[pq.top()]
+                mstate["ml"] = state["end"] - pos[pp]
+            else:
+                ml2 = state["end"] - pos[pp]
+                if ml2 < mstate["ml"]:
+                    mstate["ml"] = ml2
+        mstate["positioned"] = False
+        return mstate["ml"] <= slop
+
+    if not next_match():
+        return 0.0
     one = np.float32(1.0)
-    freq = np.float32(0.0)
-    while True:
-        i_min = min(range(n), key=lambda i: (pos[i], int(offsets[i])))
-        ml = max(pos) - pos[i_min]
-        if ml <= slop:
-            freq = np.float32(freq + one / (one + np.float32(ml)))
-        if not advance(i_min):
-            break
+    freq = one / (one + np.float32(mstate["ml"]))
+    while next_match():
+        freq = np.float32(freq + one / (one + np.float32(mstate["ml"])))
     return float(freq)

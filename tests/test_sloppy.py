@@ -113,6 +113,52 @@ def test_repeat_match_set_equals_brute_force():
             assert got == want, (list(pa), list(pb), slop)
 
 
+def test_repeat_match_set_triple_and_two_groups():
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        pa = np.unique(rng.integers(0, 14, size=rng.integers(1, 6)))
+        pb = np.unique(rng.integers(0, 14, size=rng.integers(1, 6)))
+        # "a a a": one group of three slots
+        pls3, offs3, g3 = [pa, pa, pa], (0, 1, 2), [[0, 1, 2]]
+        # "a b a b": two interleaved groups
+        pls4, offs4 = [pa, pb, pa, pb], (0, 1, 2, 3)
+        g4 = [[0, 2], [1, 3]]
+        for slop in (0, 1, 3):
+            got3 = fr(pls3, offs3, slop, g3) > 0
+            assert got3 == _brute_injective_match(pls3, offs3, g3, slop), (
+                list(pa),
+                slop,
+            )
+            got4 = fr(pls4, offs4, slop, g4) > 0
+            assert got4 == _brute_injective_match(pls4, offs4, g4, slop), (
+                list(pa),
+                list(pb),
+                slop,
+            )
+
+
+def test_repeat_freq_hand_traced():
+    """Faithful-port freq magnitudes, hand-traced through the reference
+    nextMatch/advanceRpts control flow (SloppyPhraseMatcher.java):
+
+    doc "a a b a", query "a b a"~3 (a@{0,1,3}, b@{2}): per-doc init
+    places slot0@0/slot2@1(rank-1 advance); first nextMatch pops slot2
+    (shifted -1), advances past the top and emits matchLength=2; the
+    second pops slot0, shrinks to matchLength=0, then slot0's advance
+    to raw 3 collides with slot2 whose advance exhausts -> emit
+    matchLength=0. freq = 1/3 + 1 (float32). The pre-port greedy
+    re-derivation produced 1/3 + 1/2 + 1 here."""
+    one = np.float32(1.0)
+    want = float(np.float32(one / np.float32(3.0) + one))
+    assert fr([[0, 1, 3], [2], [0, 1, 3]], (0, 1, 2), 3, [[0, 2]]) == want
+    # doc "a b a": exactly one match, exhaustion during collision
+    assert fr([[0, 2], [1], [0, 2]], (0, 1, 2), 2, [[0, 2]]) == 1.0
+    # doc "a x x a b", query "a b a"~4: single match at matchLength 3
+    got = fr([[0, 3], [4], [0, 3]], (0, 1, 2), 4, [[0, 2]])
+    assert got == float(one / (one + np.float32(3.0)))
+    assert fr([[0, 3], [4], [0, 3]], (0, 1, 2), 2, [[0, 2]]) == 0.0
+
+
 def test_repeat_phrase_engine_matches_oracle(pair):
     searcher, oracle = pair
     for query in ('"w0000 w0000"~3', '"w0000 w0001 w0000"~2'):
