@@ -368,6 +368,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def mt_tree_topk(spark, sf_dir):
+        # MultiTermQuery leaf INSIDE a scoring tree, through the string
+        # syntax: "merge OR dup*" = a BM25 SHOULD term + a constant-score
+        # prefix leaf (CONSTANT_SCORE_REWRITE contributes exactly 1.0).
+        # Exercises parser multi-term syntax, the predicate-OR postings
+        # scan, and the kernel's dictionary-membership union.
+        return _topk_docs(
+            _searcher(spark, sf_dir).search(
+                f"{TERM} OR {TERM_RARE}*", k=K, pruned=True, dtype="f64"
+            )
+        )
+
     def bool_and_topk(spark, sf_dir):
         ast = _ast()
         qq = ast.BooleanQuery(must=tuple(ast.TermQuery(t) for t in AND3_TERMS))
@@ -482,9 +494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("term")
         )
 
-    def prefix_match(spark, sf_dir):
-        return _out_docs(_searcher(spark, sf_dir).multi_term_docs("prefix", "sc"))
-
+    # (plain narrow-prefix docs entry consolidated out: prefix coverage
+    # lives in prefix_wide_match (distributed rewrite) + mt_tree_topk
+    # (prefix leaf inside a scoring tree))
     def regexp_match(spark, sf_dir):
         return _out_docs(_searcher(spark, sf_dir).multi_term_docs("regexp", "ow$"))
 
@@ -665,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_ivf_topk2=emb_ivf_topk2,
         emb_ivf_topk_c64=emb_ivf_topk_c64,
         nested_bool_topk=nested_bool_topk,
+        mt_tree_topk=mt_tree_topk,
         term_postings=term_postings,
         term_topk=term_topk,
         serve_term_topk=serve_term_topk,
@@ -683,7 +696,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         const_score_match=const_score_match,
         total_hits=total_hits,
         collection_stats=collection_stats,
-        prefix_match=prefix_match,
         regexp_match=regexp_match,
         range_match=range_match,
         set_match=set_match,
@@ -763,7 +775,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         ),
         "total_hits": and_count,
         "collection_stats": osql.collection_stats_sql(),
-        "prefix_match": osql.multiterm_match_sql("t LIKE 'sc%'"),
+        "mt_tree_topk": osql.mt_or_topk_sql(TERM, TERM_RARE, K),
         "regexp_match": osql.multiterm_match_sql("regexp_matches(t, 'ow$')"),
         "range_match": osql.multiterm_match_sql("t >= 'ba' AND t < 'da'"),
         "set_match": osql.multiterm_match_sql(

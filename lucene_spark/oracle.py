@@ -143,6 +143,20 @@ class OracleIndex:
             return docs, np.full(
                 docs.size, np.float32(boost * q.boost), np.float32
             )
+        if isinstance(q, ast.MultiTermQuery):
+            # CONSTANT_SCORE_REWRITE over the full term dictionary
+            from lucene_spark.search.multiterm import term_key_matcher
+
+            pred = term_key_matcher(q.mode, q.args, q.field)
+            parts = [
+                e[0] for t, e in self.postings.items() if pred(t)
+            ]
+            docs = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, np.int64)
+            )
+            return docs, np.full(docs.size, np.float32(boost), np.float32)
         if isinstance(q, ast.TermQuery):
             e = self.postings.get(q.term)
             if e is None:

@@ -143,6 +143,27 @@ class MatchAllDocsQuery(Query):
     pass
 
 
+@dataclass(frozen=True)
+class MultiTermQuery(Query):
+    """PrefixQuery / WildcardQuery / RegexpQuery / FuzzyQuery /
+    TermRangeQuery / TermInSetQuery as ONE constant-score leaf — the
+    reference's ``MultiTermQuery`` family under its
+    ``CONSTANT_SCORE_REWRITE`` (``search/MultiTermQuery.java``,
+    ``PrefixQuery.java``, ``WildcardQuery.java``, ``FuzzyQuery.java``,
+    ``TermRangeQuery.java``, ``TermInSetQuery.java``): a doc matches if
+    ANY dictionary term matching (mode, args) occurs in it; the leaf
+    scores a constant ``boost`` (1.0 unboosted). Term semantics live in
+    ``search/multiterm.py`` (one source of truth across planes).
+
+    modes/args: prefix(p) | wildcard(pattern) | regexp(r) |
+    fuzzy(term, max_edits) | range(lo, hi[, include_lo, include_hi]) |
+    in_set(terms_tuple)."""
+
+    mode: str
+    args: tuple
+    field: str = ""
+
+
 def rewrite(q: Query) -> Query:
     """Boolean simplifications to fixpoint (BooleanQuery.java:269-330,
     IndexSearcher.rewrite loop at IndexSearcher.java:860)."""
@@ -156,6 +177,10 @@ def rewrite(q: Query) -> Query:
 def _rewrite_once(q: Query) -> Query:
     if isinstance(q, NGramPhraseQuery):
         return q.rewrite_phrase()
+    if isinstance(q, MultiTermQuery):
+        if q.mode == "in_set" and not q.args[0]:
+            return MatchNoDocsQuery()  # TermInSetQuery over {} matches nothing
+        return q
     if isinstance(q, BoostQuery):
         c = rewrite(q.query)
         if isinstance(c, MatchNoDocsQuery):
@@ -244,3 +269,20 @@ def query_terms(q: Query) -> set:
             out |= query_terms(c)
         return out
     return set()
+
+
+def multi_term_leaves(q: Query) -> tuple:
+    """All ``MultiTermQuery`` leaves of a tree, in walk order — these
+    need a term PREDICATE on the postings scan instead of a term list
+    (the rewrite-against-the-dictionary step of MultiTermQuery.java,
+    evaluated where the data is)."""
+    if isinstance(q, MultiTermQuery):
+        return (q,)
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return multi_term_leaves(q.query)
+    if isinstance(q, BooleanQuery):
+        out: list = []
+        for c in q.must + q.should + q.must_not + q.filter:
+            out.extend(multi_term_leaves(c))
+        return tuple(out)
+    return ()

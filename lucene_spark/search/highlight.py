@@ -14,10 +14,13 @@ tiny and docs are short relative to index size.
 Match extraction walks the query AST: term-like leaves highlight each
 occurrence of their (analyzed) terms; exact phrases (slop=0) highlight
 only POSITION-VERIFIED occurrences of the full phrase; sloppy/multi
-phrases and multi-term expansions degrade to their member terms (the
-UnifiedHighlighter's default MemoryIndex weight-matching is
-re-derived, not ported — degradations are documented here, not
-hidden). MUST_NOT clauses never highlight.
+phrases degrade to their member terms (the UnifiedHighlighter's
+default MemoryIndex weight-matching is re-derived, not ported —
+degradations are documented here, not hidden); MultiTermQuery leaves
+(prefix/wildcard/regexp/fuzzy/range/in_set) match tokens by predicate
+— the UnifiedHighlighter automata model
+(``uhighlight/MultiTermHighlighting.java``), no index-side rewrite
+needed. MUST_NOT clauses never highlight.
 
 Passage selection re-derives ``uhighlight/PassageScorer.java`` in a
 simplified deterministic form: candidate passages are consecutive
@@ -34,11 +37,16 @@ from lucene_spark.search import ast
 
 
 def _collect_match_specs(q, field: str):
-    """(terms, phrases): terms = set of bare analyzed terms of ``field``
-    to highlight; phrases = list of (terms tuple, positions tuple) for
-    slop=0 position-verified highlighting."""
+    """(terms, phrases, matchers): terms = set of bare analyzed terms of
+    ``field`` to highlight; phrases = list of (terms tuple, positions
+    tuple) for slop=0 position-verified highlighting; matchers = bare
+    token predicates from MultiTermQuery leaves (the UnifiedHighlighter
+    automata-over-the-token-stream model,
+    ``uhighlight/MultiTermHighlighting.java`` extractAutomata — every
+    re-analyzed token matching the leaf's pattern highlights)."""
     terms: set = set()
     phrases: list = []
+    matchers: list = []
 
     def walk(node):
         if isinstance(node, ast.TermQuery):
@@ -59,27 +67,41 @@ def _collect_match_specs(q, field: str):
                     for t in alts
                     if ast.field_of(t) == field
                 )
+        elif isinstance(node, ast.MultiTermQuery):
+            if node.field == field:
+                from lucene_spark.search.multiterm import bare_matcher
+
+                matchers.append(bare_matcher(node.mode, node.args))
         elif isinstance(node, ast.BooleanQuery):
             for c in node.must + node.should + node.filter:
                 walk(c)  # must_not intentionally skipped
         elif isinstance(node, (ast.BoostQuery, ast.ConstantScoreQuery)):
             walk(node.query)
-        # PrefixQuery/WildcardQuery/etc: expansion happens index-side;
-        # the highlighter sees only what the caller rewrote (documented)
 
     walk(ast.rewrite(q))
-    return terms, phrases
+    return terms, phrases, matchers
 
 
-def _match_token_indices(toks, positions, terms: set, phrases: list):
+def _match_token_indices(toks, positions, terms: set, phrases: list,
+                         matchers: list = ()):
     """Indices into the emitted token stream that should be wrapped.
     Phrase occurrences are verified with the same position arithmetic
     as the search kernels (``PhraseQuery`` positions incl. stopword
-    holes)."""
+    holes). ``matchers``: MultiTermQuery token predicates, evaluated
+    once per DISTINCT token (memoized — a long doc repeats few unique
+    terms)."""
     hit: set = set()
     if terms:
         for i, t in enumerate(toks):
             if t in terms:
+                hit.add(i)
+    if matchers:
+        memo: dict = {}
+        for i, t in enumerate(toks):
+            m = memo.get(t)
+            if m is None:
+                m = memo[t] = any(f(t) for f in matchers)
+            if m:
                 hit.add(i)
     for bare, rels in phrases:
         if not bare:
@@ -123,13 +145,13 @@ def highlight_text(
     """Best-passage snippet for one stored document, or None when no
     query term occurs in ``text`` (the UnifiedHighlighter contract:
     callers fall back to a document prefix)."""
-    terms, phrases = _collect_match_specs(q, field)
-    if not terms and not phrases:
+    terms, phrases, matchers = _collect_match_specs(q, field)
+    if not terms and not phrases and not matchers:
         return None
     toks, positions, starts, ends = analyzer.tokenize_offsets(text)
     if not toks:
         return None
-    hit = _match_token_indices(toks, positions, terms, phrases)
+    hit = _match_token_indices(toks, positions, terms, phrases, matchers)
     if not hit:
         return None
     # fixed token windows -> (unique terms, occurrences, -start) score

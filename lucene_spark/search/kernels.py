@@ -133,6 +133,26 @@ def score_exhaustive(
         d = np.flatnonzero(np.asarray(nrm) > 0).astype(np.int64)
         d = d[seg.live_mask(d)]
         return d, np.full(d.size, float(np.float32(boost)), np.float64)
+    if isinstance(q, ast.MultiTermQuery):
+        # CONSTANT_SCORE_REWRITE (MultiTermQuery.java): union the docs
+        # of every dictionary term matching the leaf's predicate. The
+        # segment view holds the scan's superset of terms; the Python
+        # matcher (one source of truth, search/multiterm.py) decides
+        # membership here exactly as on the serving plane.
+        from lucene_spark.search.multiterm import term_key_matcher
+
+        pred = term_key_matcher(q.mode, q.args, q.field)
+        parts = [
+            tb.decode_all()[0] for t, tb in seg.terms.items() if pred(t)
+        ]
+        docs = (
+            np.unique(np.concatenate(parts))
+            if parts
+            else np.empty(0, np.int64)
+        )
+        docs = docs[seg.live_mask(docs)].astype(np.int64)
+        c = float(np.float32(boost)) if dtype == "f32" else float(boost)
+        return docs, np.full(docs.size, c, np.float64)
     if isinstance(q, ast.BoostQuery):
         return score_exhaustive(seg, q.query, scorers, dtype, boost * q.boost)
     if isinstance(q, ast.ConstantScoreQuery):

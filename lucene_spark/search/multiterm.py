@@ -1,0 +1,161 @@
+"""MultiTermQuery term matching, shared by every plane.
+
+The reference models PrefixQuery / WildcardQuery / RegexpQuery /
+FuzzyQuery / TermRangeQuery / TermInSetQuery as ``MultiTermQuery``
+subclasses (``search/MultiTermQuery.java``) whose rewrite enumerates
+the matching terms from the term dictionary. This engine keeps ONE
+source of truth for "does term t match (mode, args)" — the Python
+predicates here — consumed by:
+
+- the segment kernels (``kernels.score_exhaustive``): decide which
+  scanned terms belong to a ``ast.MultiTermQuery`` leaf;
+- the Spark scan predicate (``Searcher._term_predicate``): a SUPERSET
+  filter pushed into the postings scan (sargable modes — prefix /
+  range / in_set — reach parquet row-group stats, the .tip/FST-pruning
+  analog; wildcard/regexp/fuzzy evaluate JVM-side on the term column);
+- the serving plane (``LocalSearcher``): expand against the per-segment
+  term dictionary (term_stats parquet) with ``arrow_filters`` pruning
+  the read for sargable modes;
+- the highlighter (``highlight.py``): match re-analyzed tokens, the
+  UnifiedHighlighter's automata-over-token-stream model
+  (``uhighlight/MultiTermHighlighting.java``).
+
+Dialect notes (documented constraints, not hidden divergences):
+- ``regexp`` uses the host regex engine on each plane (Java on the
+  Spark scan, Python in kernels/serving) — patterns must stay in the
+  common subset (the reference uses its own RegExp automaton syntax;
+  this engine targets the practical intersection). Matching is
+  UNANCHORED like Spark ``rlike`` — anchor with ^$ for whole-term.
+- ``fuzzy`` is plain Levenshtein (no transpositions), mirroring Spark's
+  ``levenshtein()`` and DuckDB's; the reference's FuzzyQuery default
+  enables transpositions (Damerau) — callers needing that must expand
+  explicitly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucene_spark.search.ast import FIELD_SEP, bare_term, field_of, fielded
+
+MODES = ("prefix", "wildcard", "regexp", "fuzzy", "range", "in_set")
+
+
+def wildcard_regex(pattern: str) -> str:
+    """WildcardQuery pattern -> anchored regex source
+    (search/WildcardQuery.java:30-63: * = any sequence, ? = any single
+    char, everything else literal). The escaping is portable across
+    Java and Python regex engines (plain backslash-escape of
+    non-word literals)."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch.isalnum() or ch == "_":
+            out.append(ch)
+        else:
+            out.append("\\" + ch)
+    return f"^{''.join(out)}$"
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain edit distance (insert/delete/substitute), the semantics of
+    Spark ``F.levenshtein`` / DuckDB ``levenshtein`` — NOT Damerau."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def bare_matcher(mode: str, args: tuple):
+    """Predicate over BARE terms (field already stripped)."""
+    if mode == "prefix":
+        p = args[0]
+        return lambda t: t.startswith(p)
+    if mode == "wildcard":
+        rx = re.compile(wildcard_regex(args[0]))
+        return lambda t: rx.match(t) is not None
+    if mode == "regexp":
+        rx = re.compile(args[0])
+        return lambda t: rx.search(t) is not None
+    if mode == "fuzzy":
+        base, max_edits = args[0], int(args[1])
+        me = max_edits
+
+        def _fz(t, base=base, me=me):
+            # cheap length screen before the DP
+            if abs(len(t) - len(base)) > me:
+                return False
+            return levenshtein(t, base) <= me
+
+        return _fz
+    if mode == "range":
+        lo, hi = args[0], args[1]
+        inc_lo = bool(args[2]) if len(args) > 2 else True
+        inc_hi = bool(args[3]) if len(args) > 3 else False
+
+        def _rg(t, lo=lo, hi=hi, inc_lo=inc_lo, inc_hi=inc_hi):
+            if lo is not None and (t < lo or (t == lo and not inc_lo)):
+                return False
+            if hi is not None and (t > hi or (t == hi and not inc_hi)):
+                return False
+            return True
+
+        return _rg
+    if mode == "in_set":
+        s = frozenset(args[0])
+        return lambda t: t in s
+    raise ValueError(f"unknown multi-term mode {mode!r}")
+
+
+def term_key_matcher(mode: str, args: tuple, field: str = ""):
+    """Predicate over FIELDED term keys (``ast.fielded`` serialization):
+    scope to the leaf's field, strip it, then apply the bare matcher —
+    the Python mirror of ``Searcher._term_predicate``."""
+    bm = bare_matcher(mode, args)
+    if field:
+        prefix = field + FIELD_SEP
+        plen = len(prefix)
+        return lambda t: t.startswith(prefix) and bm(t[plen:])
+    return lambda t: FIELD_SEP not in t and bm(t)
+
+
+def arrow_filters(mode: str, args: tuple, field: str = ""):
+    """pyarrow filters pruning a term-dictionary read for SARGABLE
+    modes (None = read all and post-filter). The returned filter is a
+    SUPERSET of the matcher (row-group pruning only — the Python
+    predicate still decides)."""
+    if mode == "prefix":
+        lo = fielded(field, args[0])
+        if not lo:
+            return None
+        hi = lo[:-1] + chr(ord(lo[-1]) + 1) if ord(lo[-1]) < 0x10FFFF else None
+        f = [("term", ">=", lo)]
+        if hi is not None:
+            f.append(("term", "<", hi))
+        return f
+    if mode == "range":
+        lo, hi = args[0], args[1]
+        inc_hi = bool(args[3]) if len(args) > 3 else False
+        f = []
+        if lo is not None:
+            f.append(("term", ">=", fielded(field, lo)))
+        if hi is not None:
+            f.append(("term", "<=" if inc_hi else "<", fielded(field, hi)))
+        return f or None
+    if mode == "in_set":
+        return [("term", "in", [fielded(field, t) for t in args[0]])]
+    return None

@@ -275,6 +275,29 @@ FROM docs WHERE {where}
 ORDER BY doc_id"""
 
 
+def mt_or_topk_sql(
+    term: str, prefix: str, k: int = 10, table: str = "documents"
+) -> str:
+    """Top-k for ``term OR prefix*`` — a scored BM25 TermQuery SHOULD
+    clause plus a CONSTANT-SCORE MultiTermQuery leaf
+    (MultiTermQuery.CONSTANT_SCORE_REWRITE: contributes exactly 1.0 for
+    docs containing any token with the prefix). Clause order in the sum
+    mirrors the engine's left-to-right accumulation."""
+    s = _score(_idf(0), _tf(term))
+    pref = f"len(list_filter(toks, t -> t LIKE '{prefix}%')) > 0"
+    score = (
+        f"0.0 + (CASE WHEN {_tf(term)} > 0 THEN {s} ELSE 0.0 END)"
+        f" + (CASE WHEN {pref} THEN 1.0 ELSE 0.0 END)"
+    )
+    return f"""WITH {base_ctes(table)},
+{_df_cte([term])}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {score} AS score
+FROM docs, stats, dfs
+WHERE {_tf(term)} > 0 OR {pref}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def multiterm_match_sql(token_pred: str, table: str = "documents") -> str:
     """(doc_id) docs containing any token satisfying ``token_pred``
     (a predicate over token variable ``t``) — the constant-score

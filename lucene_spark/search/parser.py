@@ -15,7 +15,9 @@ from lucene_spark.analysis.analyzer import Analyzer
 from lucene_spark.search.ast import (
     BooleanQuery,
     BoostQuery,
+    FieldExistsQuery,
     MatchNoDocsQuery,
+    MultiTermQuery,
     PhraseQuery,
     Query,
     TermQuery,
@@ -150,6 +152,16 @@ def _parse_unit(toks, i, analyzer):
     m = _FIELD_PREFIX.match(t)
     if m:
         qfield, t = m.group(1), m.group(2)
+    # multi-term syntax (classic QueryParser.jj Term production):
+    # /regex/, wildcard patterns (* ?), fuzzy term~N, [a TO b] ranges —
+    # intercepted BEFORE analysis (the reference analyzeMultitermTerm
+    # path: normalize only, never tokenize)
+    mt = _multi_term(t, toks, i, qfield, _an(analyzer, qfield))
+    if mt is not None:
+        q, i = mt
+        if boost is not None:
+            q = BoostQuery(q, boost)
+        return q, i
     # single clause: analyze with the FIELD's analyzer; may expand to
     # several tokens -> phrase-like? Lucene's classic QueryParser turns
     # a multi-token analysis of one whitespace clause into a phrase.
@@ -166,6 +178,64 @@ def _parse_unit(toks, i, analyzer):
     if boost is not None:
         q = BoostQuery(q, boost)
     return q, i + 1
+
+
+_FUZZY = re.compile(r"^(.+?)~(\d*)$")
+
+
+def _multi_term(t: str, toks, i: int, field: str, an) -> "tuple | None":
+    """Recognize one multi-term clause at token ``t`` and return
+    (Query, next_token_index), or None when ``t`` is an ordinary term.
+
+    Classic QueryParser shapes (queryparser/classic/QueryParser.jj):
+    ``/regex/`` -> RegexpQuery (body passed through verbatim, like the
+    reference — regex syntax is never analyzed); ``pat*``/``pa?t`` ->
+    Prefix/WildcardQuery; bare ``*`` -> FieldExistsQuery (the parser's
+    ``field:*`` rewrite; ``*`` on the default field = every doc with
+    indexed text); ``term~``/``term~N`` -> FuzzyQuery (maxEdits N,
+    default 2, capped like LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE);
+    ``[a TO b]``/``{a TO b}`` (mixable brackets, ``*`` endpoints open)
+    -> TermRangeQuery. Pattern text is analyzer-NORMALIZED (lowercased),
+    never tokenized. Escapes are not supported; a regex body cannot
+    contain whitespace or parens (tokenizer splits there first)."""
+    if len(t) >= 2 and t.startswith("/") and t.endswith("/"):
+        return MultiTermQuery("regexp", (t[1:-1],), field), i + 1
+    if t.startswith(("[", "{")):
+        # three-token shape: "[lo" "TO" "hi]" (+ optional ^boost on hi)
+        if i + 2 >= len(toks) or toks[i + 1] != "TO":
+            raise ValueError(f"bad range syntax at {t!r}")
+        tail = toks[i + 2]
+        boost = None
+        if "^" in tail:
+            tail, _, btxt = tail.rpartition("^")
+            boost = float(btxt)
+        if not tail.endswith(("]", "}")):
+            raise ValueError(f"bad range syntax at {toks[i + 2]!r}")
+        inc_lo, inc_hi = t[0] == "[", tail[-1] == "]"
+        lo_txt, hi_txt = t[1:], tail[:-1]
+        lo = None if lo_txt == "*" else an.normalize(lo_txt)
+        hi = None if hi_txt == "*" else an.normalize(hi_txt)
+        q: Query = MultiTermQuery("range", (lo, hi, inc_lo, inc_hi), field)
+        if boost is not None:
+            q = BoostQuery(q, boost)
+        return q, i + 3
+    if t == "*":
+        return FieldExistsQuery(field), i + 1
+    if "*" in t or "?" in t:
+        pat = an.normalize(t)
+        if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+            return MultiTermQuery("prefix", (pat[:-1],), field), i + 1
+        return MultiTermQuery("wildcard", (pat,), field), i + 1
+    m = _FUZZY.match(t)
+    if m:
+        base = an.normalize(m.group(1))
+        max_edits = int(m.group(2)) if m.group(2) else 2
+        if max_edits > 2:
+            raise ValueError(f"fuzzy maxEdits > 2 unsupported: {t!r}")
+        if max_edits == 0:
+            return TermQuery(fielded(field, base)), i + 1
+        return MultiTermQuery("fuzzy", (base, max_edits), field), i + 1
+    return None
 
 
 def _an(analyzer, field: str = "") -> Analyzer:

@@ -231,6 +231,8 @@ class Searcher:
         view = ls._view(seg_meta, all_terms)
         seeds: dict = {}
         for qid, q in parsed.items():
+            if ast_mod.multi_term_leaves(q):
+                continue  # exhaustive fallback ignores seeds anyway
             docs, scores = kernels.search_segment(
                 view, q, scorers, k, pruned=True, dtype=dtype,
                 total_hits_threshold=threshold,
@@ -238,6 +240,26 @@ class Searcher:
             if docs.size >= k:
                 seeds[qid] = kernels.seed_below(float(scores[k - 1]), dtype)
         return seeds
+
+    def _scan_pred(self, queries, terms: set):
+        """Postings-scan term filter for a set of parsed queries: None
+        when the plain ``term IN (...)`` list suffices, else a Column
+        OR-ing the term list with every MultiTermQuery leaf's predicate
+        (the leaf's dictionary rewrite, evaluated in the scan — sargable
+        modes still reach parquet row-group stats)."""
+        import pyspark.sql.functions as F
+
+        leaves: list = []
+        for q in queries:
+            leaves.extend(ast_mod.multi_term_leaves(q))
+        if not leaves:
+            return None
+        pred = (
+            F.col("term").isin(list(terms)) if terms else F.lit(False)
+        )
+        for l in leaves:
+            pred = pred | self._term_predicate(l.mode, *l.args, field=l.field)
+        return pred
 
     def search(
         self,
@@ -295,6 +317,7 @@ class Searcher:
 
         per_seg = self._per_segment(
             terms, kernel, "doc_id long, score double",
+            term_pred=self._scan_pred([q], terms),
             ensure_segments=ast_mod.has_termless_match(q),
         )
         topk = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -374,6 +397,7 @@ class Searcher:
 
         per_seg = self._per_segment(
             all_terms, kernel, "query_id string, doc_id long, score double",
+            term_pred=self._scan_pred(parsed.values(), all_terms),
             ensure_segments=any(
                 ast_mod.has_termless_match(q) for q in parsed.values()
             ),
@@ -399,7 +423,8 @@ class Searcher:
         q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
         terms = ast_mod.query_terms(q)
         ensure = ast_mod.has_termless_match(q)
-        if not terms and not ensure:
+        scan_pred = self._scan_pred([q], terms)
+        if not terms and not ensure and scan_pred is None:
             return 0
         tstats = self.global_term_stats(terms)
         stats = self._global_stats(tstats)
@@ -417,6 +442,7 @@ class Searcher:
             return pd.DataFrame({"n": [int(docs.size)]})
 
         per_seg = self._per_segment(terms, kernel, "n long",
+                                    term_pred=scan_pred,
                                     ensure_segments=ensure)
         row = per_seg.agg(F.sum("n").alias("total")).collect()[0]
         return int(row["total"] or 0)
@@ -664,25 +690,32 @@ class Searcher:
             # scope conjunct is a cheap residual filter on top)
             return scope & F.col("term").startswith(fielded(field, args[0]))
         if mode == "wildcard":
-            # WildcardQuery pattern -> anchored regex
-            # (search/WildcardQuery.java:30-63: * = any sequence,
-            # ? = any single char, everything else literal)
-            import re as _re
+            # WildcardQuery pattern -> anchored regex, shared translation
+            # (search/WildcardQuery.java:30-63 via multiterm.wildcard_regex
+            # so the scan matches the kernel/serving predicate exactly)
+            from lucene_spark.search.multiterm import wildcard_regex
 
-            pat = "".join(
-                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
-                for ch in args[0]
-            )
-            return scope & bare.rlike(f"^{pat}$")
+            return scope & bare.rlike(wildcard_regex(args[0]))
         if mode == "regexp":
             return scope & bare.rlike(args[0])
         if mode == "range":
-            lo, hi = args
-            return (
-                scope
-                & (F.col("term") >= fielded(field, lo))
-                & (F.col("term") < fielded(field, hi))
-            )
+            # (lo, hi[, include_lo, include_hi]); 2-arg form keeps the
+            # historical half-open [lo, hi) contract
+            lo, hi = args[0], args[1]
+            inc_lo = bool(args[2]) if len(args) > 2 else True
+            inc_hi = bool(args[3]) if len(args) > 3 else False
+            pred = scope
+            if lo is not None:
+                flo = fielded(field, lo)
+                pred = pred & (
+                    (F.col("term") >= flo) if inc_lo else (F.col("term") > flo)
+                )
+            if hi is not None:
+                fhi = fielded(field, hi)
+                pred = pred & (
+                    (F.col("term") <= fhi) if inc_hi else (F.col("term") < fhi)
+                )
+            return pred
         if mode == "in_set":
             return F.col("term").isin([fielded(field, t) for t in args[0]])
         if mode == "fuzzy":

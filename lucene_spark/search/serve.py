@@ -359,6 +359,14 @@ class LocalSearcher:
         self._missing = {
             (sid, t) for (sid, t) in self._missing if sid in keep
         }
+        # multi-term expansions are per-segment-dictionary facts; a
+        # segment's dictionary is immutable once written, so retain by
+        # surviving segment id (deletes don't change the dictionary)
+        self._mt_cache = {
+            k: v
+            for k, v in getattr(self, "_mt_cache", {}).items()
+            if k[0] in keys
+        }
         self._stats = self._load_stats() if self._preload else None
 
     def refresh(self) -> bool:
@@ -480,6 +488,44 @@ class LocalSearcher:
                     self._missing.add((sid, t))
         return view
 
+    def _expand_multi_term(self, seg: dict, leaves) -> set:
+        """Terms of one segment's dictionary matching any MultiTermQuery
+        leaf (the rewrite step of ``MultiTermQuery.java``, against the
+        per-segment term_stats parquet — the term dictionary file).
+        Sargable modes (prefix/range/in_set) prune the read with
+        pyarrow row-group filters; others read the term column and
+        post-filter. Cached per (segment, leaf) — the dictionary is
+        immutable once the segment is written."""
+        import pyarrow.parquet as pq
+
+        from lucene_spark.search import multiterm
+
+        sid = seg["segment_id"]
+        out: set = set()
+        for leaf in leaves:
+            key = (sid, leaf)
+            hit = self._mt_cache.get(key)
+            if hit is None:
+                filt = multiterm.arrow_filters(
+                    leaf.mode, leaf.args, leaf.field
+                )
+                t = pq.read_table(
+                    os.path.join(
+                        self.index_dir, "term_stats", f"segment_id={sid}"
+                    ),
+                    columns=["term"],
+                    filters=filt,
+                )
+                pred = multiterm.term_key_matcher(
+                    leaf.mode, leaf.args, leaf.field
+                )
+                hit = frozenset(
+                    t for t in t["term"].to_pylist() if pred(t)
+                )
+                self._mt_cache[key] = hit
+            out |= hit
+        return out
+
     # ---- query surface ------------------------------------------------
     def parse(self, query: str):
         return parse(query, self.analyzer, self.field_analyzers)
@@ -515,14 +561,20 @@ class LocalSearcher:
             else ast_mod.rewrite(query)
         )
         terms = ast_mod.query_terms(q)
+        mt_leaves = ast_mod.multi_term_leaves(q)
         stats = self._global_stats(
             tstats if tstats is not None else self.global_term_stats(terms)
         )
         scorers = build_scorers(q, stats, dtype=dtype)
         shared = {"seed": float(seed_theta)}
 
+        def seg_terms(seg):
+            if not mt_leaves:
+                return terms
+            return terms | self._expand_multi_term(seg, mt_leaves)
+
         def one(seg):
-            view = self._view(seg, terms)
+            view = self._view(seg, seg_terms(seg))
             docs, scores = kernels.search_segment(
                 view, q, scorers, k, pruned=pruned, dtype=dtype,
                 total_hits_threshold=total_hits_threshold,
@@ -540,7 +592,7 @@ class LocalSearcher:
             # parallel over the immutable views. Theta is read at task
             # start, so concurrent tasks only benefit from seed_theta.
             for seg in self.segments:
-                self._view(seg, terms)
+                self._view(seg, seg_terms(seg))
             with ThreadPoolExecutor(max_workers=self.workers) as ex:
                 for d, s in ex.map(one, self.segments):
                     all_docs.append(d)
@@ -589,7 +641,8 @@ class LocalSearcher:
             else ast_mod.rewrite(query)
         )
         terms = ast_mod.query_terms(q)
-        if not terms and not ast_mod.has_termless_match(q):
+        mt_leaves = ast_mod.multi_term_leaves(q)
+        if not terms and not mt_leaves and not ast_mod.has_termless_match(q):
             return 0  # nothing can match: same contract as Searcher.count
         scorers = build_scorers(
             q,
@@ -600,7 +653,12 @@ class LocalSearcher:
         )
         n = 0
         for seg in self.segments:
-            view = self._view(seg, terms)
+            tset = (
+                terms | self._expand_multi_term(seg, mt_leaves)
+                if mt_leaves
+                else terms
+            )
+            view = self._view(seg, tset)
             # score_exhaustive already applies the live mask per leaf
             docs, _ = kernels.score_exhaustive(view, q, scorers, "f32")
             n += int(docs.size)

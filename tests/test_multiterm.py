@@ -1,10 +1,8 @@
-"""Distributed MultiTermQuery rewrite (round-2): the term predicate is
-applied directly to the postings scan (no driver term collect), with
-TopTermsRewrite-style expansion caps and WildcardQuery translation —
-``search/MultiTermQuery.java`` / ``TopTermsRewrite.java:38-66`` /
-``WildcardQuery.java:30-63``."""
-
-import os
+"""MultiTermQuery family (PrefixQuery / WildcardQuery / RegexpQuery /
+FuzzyQuery / TermRangeQuery / TermInSetQuery) as first-class query-tree
+leaves under the CONSTANT_SCORE_REWRITE: parser syntax, one-source
+matcher semantics (Python predicate == Spark scan predicate), engine ==
+oracle rank identity across planes, and highlighter token matching."""
 
 import numpy as np
 import pytest
@@ -12,89 +10,215 @@ import pytest
 from lucene_spark.analysis.analyzer import ENGLISH
 from lucene_spark.fixtures import make_pages
 from lucene_spark.index.builder import IndexConfig, build_index
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.search import ast, multiterm
+from lucene_spark.search.parser import parse
 from lucene_spark.search.searcher import Searcher
+from lucene_spark.search.serve import LocalSearcher
 
-N_DOCS = 400
+
+# ------------------------------------------------------------- parser
+
+
+def test_parser_multi_term_shapes():
+    cases = {
+        "w004*": ast.MultiTermQuery("prefix", ("w004",)),
+        "te?m": ast.MultiTermQuery("wildcard", ("te?m",)),
+        "w0*2": ast.MultiTermQuery("wildcard", ("w0*2",)),
+        "merge~1": ast.MultiTermQuery("fuzzy", ("merge", 1)),
+        "merge~": ast.MultiTermQuery("fuzzy", ("merge", 2)),
+        "[aa TO bb]": ast.MultiTermQuery("range", ("aa", "bb", True, True)),
+        "{aa TO bb}": ast.MultiTermQuery("range", ("aa", "bb", False, False)),
+        "[aa TO *]": ast.MultiTermQuery("range", ("aa", None, True, True)),
+        "/w0[0-9]+/": ast.MultiTermQuery("regexp", ("w0[0-9]+",)),
+        "title:w00*": ast.MultiTermQuery("prefix", ("w00",), field="title"),
+        "*": ast.FieldExistsQuery(""),
+        "title:*": ast.FieldExistsQuery("title"),
+    }
+    for s, want in cases.items():
+        assert parse(s, ENGLISH) == want, s
+    # boosts attach; fuzzy maxEdits=0 degrades to TermQuery
+    assert parse("w004*^2", ENGLISH) == ast.BoostQuery(
+        ast.MultiTermQuery("prefix", ("w004",)), 2.0
+    )
+    assert parse("merge~0", ENGLISH) == ast.TermQuery("merge")
+    # patterns are normalized (lowercased), never tokenized
+    assert parse("W004*", ENGLISH) == ast.MultiTermQuery("prefix", ("w004",))
+    with pytest.raises(ValueError):
+        parse("merge~3", ENGLISH)
+    with pytest.raises(ValueError):
+        parse("[aa TO", ENGLISH)
+
+
+# ----------------------------------------------------------- matchers
+
+VOCAB = [
+    "w0040", "w0041", "w0042", "w0049", "w0050", "w004", "w0042x",
+    "merge", "merga", "marge", "mergers", "scan", "a", "",
+]
+
+
+def _matched(mode, args, field=""):
+    from lucene_spark.search.ast import fielded
+
+    pred = multiterm.term_key_matcher(mode, args, field)
+    return {t for t in (fielded(field, v) for v in VOCAB) if pred(t)}
+
+
+def test_matcher_semantics():
+    assert _matched("prefix", ("w004",)) == {
+        "w0040", "w0041", "w0042", "w0049", "w004", "w0042x"
+    }
+    assert _matched("wildcard", ("w00?2",)) == {"w0042"}
+    assert _matched("wildcard", ("w0*2",)) == {"w0042"}
+    assert _matched("regexp", ("^w004[0-9]$",)) == {
+        "w0040", "w0041", "w0042", "w0049"
+    }
+    # unanchored regexp (rlike contract)
+    assert "w0042x" in _matched("regexp", ("0042",))
+    assert _matched("fuzzy", ("merge", 1)) == {"merge", "merga", "marge"}
+    assert _matched("fuzzy", ("merge", 2)) >= {"merge", "merga", "marge", "mergers"}
+    # 2-arg range keeps the historical half-open [lo, hi) contract
+    assert _matched("range", ("w0040", "w0049")) == {"w0040", "w0041", "w0042", "w0042x"}
+    assert _matched("range", ("w0040", "w0049", True, True)) == {
+        "w0040", "w0041", "w0042", "w0042x", "w0049"
+    }
+    assert _matched("range", ("w0040", "w0049", False, False)) == {
+        "w0041", "w0042", "w0042x"
+    }
+    assert _matched("in_set", (("merge", "scan", "zzz"),)) == {"merge", "scan"}
+    # field scoping: fielded keys only, bare keys excluded
+    assert _matched("prefix", ("w004",), field="title") == {
+        "title\x1fw0040", "title\x1fw0041", "title\x1fw0042",
+        "title\x1fw0042x", "title\x1fw0049", "title\x1fw004",
+    }
+    bare_pred = multiterm.term_key_matcher("prefix", ("w004",))
+    assert not bare_pred("title\x1fw0042")
+
+
+def test_levenshtein_matches_reference_values():
+    lev = multiterm.levenshtein
+    assert lev("kitten", "sitting") == 3
+    assert lev("", "abc") == 3 and lev("abc", "") == 3
+    assert lev("ab", "ba") == 2  # PLAIN levenshtein: transposition = 2
+    assert lev("merge", "merge") == 0
+
+
+def test_spark_scan_predicate_equals_python_matcher(spark):
+    """The Spark Column predicate (scan filter) and the Python matcher
+    (kernel/serving/highlight) must select identical term sets — one
+    source of truth across planes."""
+    import pyspark.sql.functions as F
+
+    vocab = sorted(
+        {f"w{i:04d}" for i in range(0, 120, 7)}
+        | {"merge", "merga", "marge", "scan", "title\x1fw0042", "title\x1fmerge"}
+    )
+    df = spark.createDataFrame([(t,) for t in vocab], "term string")
+    s = Searcher.__new__(Searcher)  # _term_predicate needs no state
+    cases = [
+        ("prefix", ("w00",), ""),
+        ("prefix", ("w00",), "title"),
+        ("wildcard", ("w0?4*",), ""),
+        ("regexp", ("^w0(0|1)14$",), ""),
+        ("fuzzy", ("merge", 1), ""),
+        ("range", ("w0007", "w0077"), ""),
+        ("range", ("w0007", "w0077", True, True), ""),
+        ("range", ("w0007", "w0077", False, False), ""),
+        ("in_set", (("merge", "w0014"),), ""),
+    ]
+    for mode, args, field in cases:
+        got_spark = {
+            r["term"]
+            for r in df.where(
+                s._term_predicate(mode, *args, field=field)
+            ).collect()
+        }
+        pred = multiterm.term_key_matcher(mode, args, field)
+        got_py = {t for t in vocab if pred(t)}
+        assert got_spark == got_py, (mode, args, field)
+
+
+# ------------------------------------------------- engine vs oracle
+
+MT_QUERIES = [
+    "w004*",
+    "w00?7",
+    "w0042~1",
+    "[w0040 TO w0049]",
+    "{w0040 TO w0049}",
+    "/^w00[0-9]7$/",
+    "w004* OR w0007",
+    "w0007 AND w004*",
+    "w0007 NOT w004*",
+    "w0042^2.5 OR w004*",
+    "(w004* AND w0007) OR w0011",
+]
 
 
 @pytest.fixture(scope="module")
-def corpus():
-    return make_pages(N_DOCS)
-
-
-@pytest.fixture(scope="module")
-def searcher(spark, tmp_path_factory, corpus):
-    d = str(tmp_path_factory.mktemp("mtq_idx"))
+def mt_pair(tmp_path_factory, spark):
+    corpus = make_pages(250)
+    d = str(tmp_path_factory.mktemp("mt_idx"))
     df = spark.createDataFrame(
         [(r["url"], r["text"]) for r in corpus], ["url", "text"]
     )
     build_index(spark, df, d, IndexConfig(num_segments=3, analyzer=ENGLISH))
-    return Searcher(spark, d)
-
-
-def _brute_docs(corpus, pred):
-    out = set()
-    for r in corpus:
-        toks, _ = ENGLISH.tokenize_one(r["text"])
-        if any(pred(t) for t in toks):
-            out.add(r["url"])
-    return out
-
-
-def test_wildcard_matches_brute_force(searcher, corpus):
-    import re
-
-    got = {r["url"] for r in searcher.multi_term_docs("wildcard", "w00?2").collect()}
-    rx = re.compile(r"^w00.2$")
-    assert got == _brute_docs(corpus, lambda t: rx.match(t) is not None)
-    got2 = {r["url"] for r in searcher.multi_term_docs("wildcard", "w0*7").collect()}
-    rx2 = re.compile(r"^w0.*7$")
-    assert got2 == _brute_docs(corpus, lambda t: rx2.match(t) is not None)
-
-
-def test_wide_prefix_no_driver_collect(searcher, corpus):
-    """Single-letter prefix — runs entirely through the postings-scan
-    predicate; result equals brute force."""
-    got = {r["url"] for r in searcher.multi_term_docs("prefix", "w").collect()}
-    assert got == _brute_docs(corpus, lambda t: t.startswith("w"))
-
-
-def test_prefix_pushdown_in_plan(searcher):
-    """The sargable prefix predicate must reach the parquet scan
-    (PushedFilters shows StringStartsWith on term)."""
-    df = searcher.multi_term_docs("prefix", "w00")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "StringStartsWith(term,w00)" in plan, plan[:2000]
-
-
-def test_expansion_cap_top_df(searcher, corpus):
-    """max_expansions keeps the highest-docFreq terms (TopTermsRewrite
-    priority queue order)."""
-    all_terms = searcher.expand_terms("prefix", "w0")
-    capped = searcher.expand_terms("prefix", "w0", max_expansions=5)
-    assert len(capped) == 5 and set(capped) <= set(all_terms)
-    # the capped set must be the 5 highest-df terms
-    td = {r["term"]: r["doc_freq"] for r in searcher.term_dictionary().collect()}
-    expected = sorted(
-        (t for t in all_terms), key=lambda t: (-td[t], t)
-    )[:5]
-    assert sorted(capped) == sorted(expected)
-
-
-def test_multi_term_topk_scored(searcher):
-    """Scored rewrite: equals searching the expanded boolean directly."""
-    from lucene_spark.search import ast
-
-    terms = searcher.expand_terms("prefix", "w000", max_expansions=1024)
-    q = ast.BooleanQuery(
-        should=tuple(ast.TermQuery(t) for t in terms), min_should_match=1
+    return (
+        Searcher(spark, d),
+        OracleIndex.build(corpus, num_segments=3, analyzer=ENGLISH),
+        d,
     )
-    a = [
-        (r["doc_id"], np.float32(r["score"]))
-        for r in searcher.multi_term_topk("prefix", "w000", k=10).collect()
-    ]
-    b = [
-        (r["doc_id"], np.float32(r["score"]))
-        for r in searcher.search(q, k=10).collect()
-    ]
-    assert a == b and len(a) == 10
+
+
+@pytest.mark.parametrize("query", MT_QUERIES)
+def test_mt_engine_matches_oracle(mt_pair, query):
+    searcher, oracle, _ = mt_pair
+    q = parse(query, ENGLISH)
+    expected = oracle.top_k(q, k=400)  # k >= corpus: FULL match set
+    got = searcher.search(query, k=400).collect()
+    assert len(got) == len(expected), query
+    for row, (ed, es, eu) in zip(got, expected):
+        assert row["doc_id"] == ed and row["url"] == eu, query
+        assert np.float32(row["score"]) == np.float32(es), query
+    assert searcher.count(query) == len(expected)
+
+
+@pytest.mark.parametrize("query", ["w004*", "w0042~1", "w0007 AND w004*"])
+def test_mt_serving_plane_parity(mt_pair, query):
+    searcher, oracle, d = mt_pair
+    ls = LocalSearcher(d, workers=1)
+    expected = oracle.top_k(parse(query, ENGLISH), k=50)
+    got = ls.search(query, k=50)
+    assert [(g[0], np.float32(g[1]), g[2]) for g in got] == [
+        (ed, np.float32(es), eu) for ed, es, eu in expected
+    ], query
+    assert ls.count(query) == len(oracle.top_k(parse(query, ENGLISH), k=400))
+
+
+def test_mt_constant_score_values(mt_pair):
+    searcher, _, _ = mt_pair
+    rows = searcher.search("w004*", k=5).collect()
+    assert rows and all(r["score"] == 1.0 for r in rows)
+    rows2 = searcher.search("w004*^2", k=5).collect()
+    assert rows2 and all(r["score"] == 2.0 for r in rows2)
+
+
+def test_mt_highlight(tmp_path_factory, spark):
+    corpus = make_pages(60)
+    d = str(tmp_path_factory.mktemp("mt_hl"))
+    build_index(
+        spark,
+        spark.createDataFrame(
+            [(r["url"], r["text"]) for r in corpus], ["url", "text"]
+        ),
+        d,
+        IndexConfig(num_segments=2, analyzer=ENGLISH, stored_cols=("text",)),
+    )
+    ls = LocalSearcher(d, workers=1)
+    hits = ls.highlight("w004*", k=5, passage_tokens=50)
+    assert hits
+    for _d, _s, _u, snip in hits:
+        # matched tokens wrap in their ORIGINAL surface form (offsets
+        # into the stored text), so compare case-insensitively
+        assert snip is not None and "<b>w004" in snip.lower()
