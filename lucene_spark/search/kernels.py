@@ -772,6 +772,55 @@ class _ConstLeaf:
         return pres, np.where(pres, self.const, 0.0)
 
 
+class _DocsLeaf:
+    """A precomputed sorted live-doc set as a constant-score leaf — the
+    MultiTermQuery CONSTANT_SCORE_REWRITE inside the pruned boolean
+    kernels (``MultiTermQueryConstantScoreWrapper``: the union of the
+    matching terms' postings behaves like one bit-set scorer whose
+    window bound is the constant)."""
+
+    __slots__ = ("docs", "const", "doc_freq")
+
+    def __init__(self, docs: np.ndarray, boost: float, dtype: str):
+        self.docs = docs  # sorted unique local doc ids, live only
+        self.const = float(np.float32(boost)) if dtype == "f32" else float(boost)
+        self.doc_freq = int(docs.size)
+
+    def _slice(self, lo, hi):
+        i0 = int(np.searchsorted(self.docs, lo))
+        i1 = int(np.searchsorted(self.docs, hi, side="right"))
+        return i0, i1
+
+    def overlaps(self, lo, hi) -> bool:
+        i0, i1 = self._slice(lo, hi)
+        return i0 < i1
+
+    def window_bound(self, lo, hi) -> float:
+        return self.const if self.overlaps(lo, hi) else 0.0
+
+    def windows(self, nwin: int) -> np.ndarray:
+        return np.unique(self.docs // WINDOW)
+
+    def window_postings(self, seg, lo, hi):
+        i0, i1 = self._slice(lo, hi)
+        d = self.docs[i0:i1]
+        return d, np.full(d.size, self.const, np.float64)
+
+    def window_docs(self, seg, lo, hi) -> np.ndarray:
+        i0, i1 = self._slice(lo, hi)
+        return self.docs[i0:i1]
+
+    def probe(self, seg, docs):
+        idx = np.searchsorted(self.docs, docs)
+        idx_c = np.minimum(idx, max(self.docs.size - 1, 0))
+        pres = (
+            (idx < self.docs.size) & (self.docs[idx_c] == docs)
+            if self.docs.size
+            else np.zeros(docs.size, dtype=bool)
+        )
+        return pres, np.where(pres, self.const, 0.0)
+
+
 class _BoolLeaf:
     """A NESTED BooleanQuery as a window-scorable leaf — the reference
     nests WANDScorer/BooleanScorer inside boolean trees
@@ -1025,6 +1074,25 @@ def _make_leaf(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost:
         if inner is _EMPTY_LEAF:
             return _EMPTY_LEAF
         return _ConstLeaf(inner, boost * q.boost, dtype)
+    if isinstance(q, ast.MultiTermQuery):
+        # CONSTANT_SCORE_REWRITE as a window leaf: union the matching
+        # terms' docs once at leaf build (same decode the exhaustive
+        # branch pays), then serve windows/probes off the sorted array
+        from lucene_spark.search.multiterm import term_key_matcher
+
+        pred = term_key_matcher(q.mode, q.args, q.field)
+        parts = [
+            tb.decode_all()[0] for t, tb in seg.terms.items() if pred(t)
+        ]
+        docs = (
+            np.unique(np.concatenate(parts))
+            if parts
+            else np.empty(0, np.int64)
+        )
+        docs = docs[seg.live_mask(docs)].astype(np.int64)
+        if docs.size == 0:
+            return _EMPTY_LEAF
+        return _DocsLeaf(docs, boost, dtype)
     return None
 
 

@@ -272,14 +272,18 @@ class Searcher:
     ):
         """Top-k DataFrame (doc_id, score, url), rank == Lucene contract.
 
-        ``share_theta`` (opt-in here): seed every segment kernel's theta
-        from a driver-side champion-segment pre-pass. For a SINGLE query
-        the pre-pass is serial time on the latency path and measured a
-        ~1.5x per-query slowdown on the 960k/64-segment corpus (A/B in
-        BENCH.md round 3) — the distributed decode savings don't cover
-        one cold term read. ``search_many`` keeps it ON: the champion
-        reader amortizes across the batch and results are bit-identical
-        either way (tests/test_theta_sharing.py)."""
+        ``share_theta`` (opt-in): seed every segment kernel's theta from
+        a driver-side champion-segment pre-pass — the
+        ``MaxScoreAccumulator`` cross-leaf threshold analog. Results are
+        bit-identical either way (tests/test_theta_sharing.py) and the
+        non-champion kernels decode measurably fewer blocks, but the
+        pre-pass is serial driver time on the latency path and the
+        interleaved A/B on the 960k/64-segment corpus (BENCH.md round 3)
+        reads a net LOSS at this scale: ~5% per sequential query, ~20%
+        batched — Spark's per-segment tasks are too coarse for the saved
+        decode work to beat one cold champion read. The serving plane's
+        sequential running-theta (LocalSearcher, no pre-pass) is the
+        shape where sharing pays and stays on by default."""
         import pyspark.sql.functions as F
 
         q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
@@ -335,7 +339,7 @@ class Searcher:
         pruned: bool = True,
         dtype: str = "f32",
         total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
-        share_theta: bool = True,
+        share_theta: bool = False,
     ):
         """Batched query evaluation: ONE stats job + ONE postings scan
         answers the whole query set — the Spark-native shape for query
@@ -345,6 +349,10 @@ class Searcher:
         with per-query rank contract identical to ``search``.
 
         ``queries``: list of query strings/ASTs, or {query_id: query}.
+        ``share_theta`` is opt-in here too: the interleaved A/B
+        (BENCH.md round 3) measured the champion pre-pass ~20% slower
+        for the batch — the per-query pre-passes run serially on the
+        driver while the batch stage would have amortized them anyway.
         """
         import pyspark.sql.functions as F
         from pyspark.sql.window import Window

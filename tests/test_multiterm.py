@@ -204,6 +204,90 @@ def test_mt_constant_score_values(mt_pair):
     assert rows2 and all(r["score"] == 2.0 for r in rows2)
 
 
+# ------------------------------------- pruned kernel (WAND _DocsLeaf)
+
+
+def _T(t):
+    return ast.TermQuery(t)
+
+
+def _MT(mode, *args, field=""):
+    return ast.MultiTermQuery(mode, tuple(args), field)
+
+
+def _mt_trees():
+    B = ast.BooleanQuery
+    return [
+        B(should=(_T("w0000"), _MT("prefix", "w004")), min_should_match=1),
+        B(must=(_T("w0000"),), should=(_MT("prefix", "w004"),)),
+        B(must=(_T("w0000"), _MT("range", "w0040", "w0049", True, True))),
+        B(must=(_T("w0000"),), must_not=(_MT("prefix", "w004"),)),
+        B(
+            should=(
+                ast.BoostQuery(_MT("wildcard", "w00?2"), 2.0),
+                _T("w0007"),
+            ),
+            min_should_match=1,
+        ),
+        B(
+            should=(_T("w0000"), _MT("fuzzy", "w0042", 1), _T("w0011")),
+            min_should_match=2,
+        ),
+    ]
+
+
+@pytest.fixture(scope="module")
+def li_pair():
+    from lucene_spark.search.local import LocalIndex
+
+    corpus = make_pages(400)
+    return (
+        LocalIndex.build(corpus, num_segments=4, analyzer=ENGLISH),
+        OracleIndex.build(corpus, num_segments=4, analyzer=ENGLISH),
+    )
+
+
+def test_mt_wand_path_actually_taken(li_pair):
+    """Trees with MultiTermQuery clauses must take the pruned window
+    kernel (the _DocsLeaf adapter), not the exhaustive fallback."""
+    from lucene_spark.search import kernels
+    from lucene_spark.search.scoring import build_scorers
+
+    engine, _ = li_pair
+    seg = engine.segments[0]
+    for q in _mt_trees():
+        qq = ast.rewrite(q)
+        scorers = build_scorers(
+            qq, engine.global_stats(ast.query_terms(qq)), dtype="f32"
+        )
+        heap = kernels._wand_topk(seg, qq, scorers, 10, 1000, "f32")
+        assert heap is not None, f"fell back to exhaustive: {q}"
+
+
+@pytest.mark.parametrize("dtype", ["f32", "f64"])
+def test_mt_pruned_equals_exhaustive(li_pair, dtype):
+    engine, _ = li_pair
+    for q in _mt_trees():
+        a = engine.search(q, k=10, pruned=True, dtype=dtype)
+        b = engine.search(q, k=10, pruned=False, dtype=dtype)
+        assert a == b, q
+        # pruning forced from the first hit must stay rank-safe
+        c = engine.search(q, k=10, pruned=True, dtype=dtype,
+                          total_hits_threshold=1)
+        assert c == b, q
+
+
+def test_mt_tree_matches_python_oracle(li_pair):
+    engine, oracle = li_pair
+    for q in _mt_trees():
+        expected = oracle.top_k(q, k=10)
+        got = engine.search(q, k=10, pruned=True)
+        assert len(got) == len(expected), q
+        for (gd, gs, gu), (ed, es, eu) in zip(got, expected):
+            assert gd == ed and gu == eu, q
+            assert np.float32(gs) == np.float32(es), q
+
+
 def test_mt_highlight(tmp_path_factory, spark):
     corpus = make_pages(60)
     d = str(tmp_path_factory.mktemp("mt_hl"))
