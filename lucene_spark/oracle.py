@@ -179,7 +179,15 @@ class OracleIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         """MultiPhraseQuery: any member term per slot; slot positions =
         union of member positions; idf = sum over ALL member terms
-        (MultiPhraseQuery.java:218-237)."""
+        (MultiPhraseQuery.java:218-237). slop > 0 runs the no-repeats
+        SloppyPhraseMatcher over the union lists (float32 sloppyFreq);
+        slots sharing a term (hasMultiTermRpts) are rejected."""
+        flat_terms = [t for slot in q.slots for t in slot]
+        if q.slop > 0 and len(set(flat_terms)) != len(flat_terms):
+            raise NotImplementedError(
+                "sloppy MultiPhraseQuery with repeated terms across "
+                "slots (hasMultiTermRpts) is out of scope"
+            )
         slot_entries = []
         for slot in q.slots:
             es = [self.postings[t] for t in slot if t in self.postings]
@@ -192,23 +200,35 @@ class OracleIndex:
             docs = d if docs is None else np.intersect1d(docs, d, assume_unique=True)
             if docs.size == 0:
                 return docs, np.empty(0, np.float32)
-        freqs = np.zeros(docs.size, dtype=np.int64)
+        from lucene_spark.search.sloppy import sloppy_freq
+
+        freqs = np.zeros(
+            docs.size, dtype=np.float64 if q.slop > 0 else np.int64
+        )
         for i, d in enumerate(docs):
-            cand = None
-            for es, rel in zip(slot_entries, q.positions):
+            slot_pos: "list | None" = []
+            for es in slot_entries:
                 pos_parts = []
                 for e in es:
                     j = int(np.searchsorted(e[0], d))
                     if j < e[0].size and e[0][j] == d:
                         pos_parts.append(e[2][j])
                 if not pos_parts:
-                    cand = np.empty(0, np.int64)
+                    slot_pos = None
                     break
-                pos = np.unique(np.concatenate(pos_parts)) - rel
-                cand = pos if cand is None else np.intersect1d(cand, pos)
-                if cand.size == 0:
-                    break
-            freqs[i] = 0 if cand is None else cand.size
+                slot_pos.append(np.unique(np.concatenate(pos_parts)))
+            if slot_pos is None:
+                continue
+            if q.slop > 0:
+                freqs[i] = sloppy_freq(slot_pos, q.positions, q.slop)
+            else:
+                cand = None
+                for pos, rel in zip(slot_pos, q.positions):
+                    p = pos - rel
+                    cand = p if cand is None else np.intersect1d(cand, p)
+                    if cand.size == 0:
+                        break
+                freqs[i] = cand.size
         hit = freqs > 0
         docs, freqs = docs[hit], freqs[hit]
         if docs.size == 0:

@@ -68,6 +68,10 @@ class MultiPhraseQuery(Query):
 
     slots: tuple  # tuple[tuple[str, ...], ...]
     positions: tuple
+    # slop > 0 = sloppy matching over per-slot UNION positions
+    # (UnionPostingsEnum + SloppyPhraseMatcher); slots sharing a term
+    # (hasMultiTermRpts) are rejected — documented out of scope
+    slop: int = 0
 
 
 @dataclass(frozen=True)

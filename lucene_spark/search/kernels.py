@@ -382,10 +382,36 @@ def _verify_phrase(seg, q, tbs, docs):
 _EMPTY_POS = np.empty(0, np.int64)
 
 
+def _slot_union_keys(tbs, docs, rel: int):
+    """Sorted packed ``doc<<32|(pos - rel + _POS_OFF)`` keys of one
+    slot's UNION positions over ``docs`` (the UnionPostingsEnum dedup is
+    the np.unique across members)."""
+    member_keys = []
+    for tb in tbs:
+        lens, flat = _positions_flat(tb, docs, optional=True)
+        didx = np.repeat(np.arange(docs.size, dtype=np.int64), lens)
+        member_keys.append((didx << 32) | (flat - rel + _POS_OFF))
+    if len(member_keys) > 1:
+        return np.unique(np.concatenate(member_keys))
+    return member_keys[0]
+
+
 def _multi_phrase_doc_freqs(seg: SegmentView, q: ast.MultiPhraseQuery):
     """MultiPhraseQuery matching (``search/MultiPhraseQuery.java`` via
     ``UnionPostingsEnum``): each slot accepts any of its member terms;
-    slot positions are the union of member positions."""
+    slot positions are the union of member positions. slop == 0 is the
+    vectorized exact intersection; slop > 0 runs the no-repeats
+    SloppyPhraseMatcher over the union lists (the reference's
+    hasRpts=false path — slots sharing a term, hasMultiTermRpts, are
+    rejected as out of scope), with the same vectorized pairwise-band
+    pre-filter as single-term sloppy phrases."""
+    if q.slop > 0:
+        flat_terms = [t for slot in q.slots for t in slot]
+        if len(set(flat_terms)) != len(flat_terms):
+            raise NotImplementedError(
+                "sloppy MultiPhraseQuery with repeated terms across "
+                "slots (hasMultiTermRpts) is out of scope"
+            )
     slot_tbs: list = []
     for slot in q.slots:
         tbs = [tb for tb in (seg.term_blocks(t) for t in slot) if tb is not None]
@@ -401,29 +427,72 @@ def _multi_phrase_doc_freqs(seg: SegmentView, q: ast.MultiPhraseQuery):
     docs = docs[seg.live_mask(docs)]
     if docs.size == 0:
         return docs, np.empty(0, np.int64)
+    rels = q.positions
+    if q.slop > 0:
+        return _verify_multi_sloppy(slot_tbs, rels, q.slop, docs)
     # per-slot union of member positions as packed doc<<32|pos keys,
     # then one sorted intersection per slot (same vectorization as
-    # _verify_phrase; the per-slot np.unique IS the UnionPostingsEnum
-    # position dedup)
-    rels = q.positions
+    # _verify_phrase)
     keys = None
     for tbs, rel in zip(slot_tbs, rels):
-        member_keys = []
-        for tb in tbs:
-            lens, flat = _positions_flat(tb, docs, optional=True)
-            didx = np.repeat(np.arange(docs.size, dtype=np.int64), lens)
-            member_keys.append((didx << 32) | (flat - rel + _POS_OFF))
-        k = (
-            np.unique(np.concatenate(member_keys))
-            if len(member_keys) > 1
-            else member_keys[0]
-        )
+        k = _slot_union_keys(tbs, docs, rel)
         keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
         if keys.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
     freqs = np.bincount(keys >> 32, minlength=docs.size)
     hit = freqs > 0
     return docs[hit], freqs[hit].astype(np.int64)
+
+
+def _verify_multi_sloppy(slot_tbs, rels, slop: int, docs: np.ndarray):
+    """Sloppy verification over slot-union positions: the pairwise
+    within-slop band pre-filter (necessary condition, vectorized), then
+    the exact greedy matcher per surviving doc — float32 sloppyFreq."""
+    from lucene_spark.search.sloppy import sloppy_freq
+
+    slot_keys = [
+        _slot_union_keys(tbs, docs, rel) for tbs, rel in zip(slot_tbs, rels)
+    ]
+    if docs.size > 1 and len(slot_keys) > 1:
+        alive = np.ones(docs.size, dtype=bool)
+        k0 = slot_keys[0]
+        for kj in slot_keys[1:]:
+            lo = np.searchsorted(kj, k0 - slop)
+            hi = np.searchsorted(kj, k0 + slop + 1)
+            hit = lo < hi
+            ok = np.zeros(docs.size, dtype=bool)
+            ok[np.unique(k0[hit] >> 32)] = True
+            alive &= ok
+        keep = np.flatnonzero(alive)
+        if keep.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        remap = np.full(docs.size, -1, dtype=np.int64)
+        remap[keep] = np.arange(keep.size)
+        new_keys = []
+        for k in slot_keys:
+            d = k >> 32
+            m = alive[d]
+            new_keys.append((remap[d[m]] << 32) | (k[m] & 0xFFFFFFFF))
+        slot_keys = new_keys
+        docs = docs[keep]
+    # split each slot's keys into per-doc RAW position lists (undo the
+    # rel shift so the matcher applies offsets itself)
+    per_slot_lists = []
+    for k, rel in zip(slot_keys, rels):
+        d = k >> 32
+        pos = (k & 0xFFFFFFFF).astype(np.int64) - _POS_OFF + rel
+        bounds = np.searchsorted(d, np.arange(docs.size + 1))
+        per_slot_lists.append(
+            [pos[bounds[i] : bounds[i + 1]] for i in range(docs.size)]
+        )
+    freqs = np.zeros(docs.size, dtype=np.float64)
+    for i in range(docs.size):
+        pls = [sl[i] for sl in per_slot_lists]
+        if any(p.size == 0 for p in pls):
+            continue
+        freqs[i] = sloppy_freq(pls, rels, slop)
+    hit = freqs > 0
+    return docs[hit], freqs[hit]
 
 
 # ------------------------------------------------------------ pruned kernels

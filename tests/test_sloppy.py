@@ -205,6 +205,107 @@ def test_sloppy_rank_identity(pair, query):
     assert n_sloppy >= n_exact
 
 
+# --------------------------- sloppy MultiPhraseQuery (union postings)
+
+
+def _brute_union_sloppy_match(slot_pos_lists, offsets, slop):
+    """Exists one position per SLOT (from its union list) with
+    max(shifted) - min(shifted) <= slop?"""
+    import itertools
+
+    for sel in itertools.product(*[list(p) for p in slot_pos_lists]):
+        shifted = [s - o for s, o in zip(sel, offsets)]
+        if max(shifted) - min(shifted) <= slop:
+            return True
+    return False
+
+
+def test_multi_phrase_sloppy_hand_traced():
+    from lucene_spark.search.sloppy import sloppy_freq
+
+    # doc "a c b", slots ((a|b), c) rels (0,1): slot0 union {0,2},
+    # slot1 {1}; exact (a then c) matches once
+    assert sloppy_freq([np.array([0, 2]), np.array([1])], (0, 1), 0) == 1.0
+
+
+def test_multi_phrase_sloppy_engine_matches_oracle():
+    from lucene_spark.search.local import LocalIndex
+    from lucene_spark.oracle import OracleIndex as OI
+
+    corpus = make_pages(300)
+    engine = LocalIndex.build(corpus, num_segments=3, analyzer=ENGLISH)
+    oracle = OI.build(corpus, num_segments=3, analyzer=ENGLISH)
+    shapes = [
+        ast.MultiPhraseQuery(
+            slots=(("w0007", "w0042"), ("w0000", "w0001")),
+            positions=(0, 1),
+            slop=2,
+        ),
+        ast.MultiPhraseQuery(
+            slots=(("w0000",), ("w0011", "w0005")), positions=(0, 1), slop=4
+        ),
+        ast.MultiPhraseQuery(
+            slots=(("w0002", "w0003"), ("w0004",), ("w0001",)),
+            positions=(0, 1, 2),
+            slop=3,
+        ),
+    ]
+    for q in shapes:
+        expected = oracle.top_k(q, k=300)  # full match set
+        got = engine.search(q, k=300)
+        assert len(got) == len(expected), q
+        for (gd, gs, gu), (ed, es, eu) in zip(got, expected):
+            assert gd == ed and gu == eu, q
+            assert np.float32(gs) == np.float32(es), q
+        # sloppy must match at least as many docs as exact
+        exact = ast.MultiPhraseQuery(
+            slots=q.slots, positions=q.positions, slop=0
+        )
+        assert engine.count(q) >= engine.count(exact), q
+
+
+def test_multi_phrase_sloppy_match_set_vs_brute():
+    """Kernel-level match set == brute-force union selection, via the
+    oracle's per-doc union lists on random synthetic positions."""
+    from lucene_spark.search.sloppy import sloppy_freq
+
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        s0 = np.unique(rng.integers(0, 15, size=rng.integers(1, 6)))
+        s1 = np.unique(rng.integers(0, 15, size=rng.integers(1, 6)))
+        for slop in (0, 1, 3):
+            got = sloppy_freq([s0, s1], (0, 1), slop) > 0
+            want = _brute_union_sloppy_match([s0, s1], (0, 1), slop)
+            assert got == want, (list(s0), list(s1), slop)
+
+
+def test_multi_phrase_sloppy_spark_plane(pair):
+    searcher, oracle = pair
+    q = ast.MultiPhraseQuery(
+        slots=(("w0007", "w0042"), ("w0000", "w0001")),
+        positions=(0, 1),
+        slop=3,
+    )
+    expected = oracle.top_k(q, k=10)
+    got = searcher.search(q, k=10).collect()
+    assert len(got) == len(expected)
+    for row, (ed, es, eu) in zip(got, expected):
+        assert row["doc_id"] == ed and row["url"] == eu
+        assert np.float32(row["score"]) == np.float32(es)
+
+
+def test_multi_phrase_sloppy_rejects_shared_terms():
+    from lucene_spark.search.local import LocalIndex
+
+    corpus = make_pages(50)
+    engine = LocalIndex.build(corpus, num_segments=1, analyzer=ENGLISH)
+    q = ast.MultiPhraseQuery(
+        slots=(("w0000", "w0001"), ("w0001",)), positions=(0, 1), slop=2
+    )
+    with pytest.raises(NotImplementedError):
+        engine.count(q)
+
+
 @pytest.mark.parametrize(
     "query",
     [
