@@ -141,8 +141,13 @@ class ShardedSearcher:
         (warm caches intact — the NRT-append-every-10s case costs one
         metadata reopen, no process churn); vanished segments (merges)
         drop off; new segments go to the least-loaded pool by resident
-        doc count. Pool COUNT is fixed at open — a long-running server
-        re-opens (close + __init__) when it wants to rescale."""
+        doc count. The pool COUNT rescales too: when a force-merge
+        collapses the segment count below the pool count, surplus
+        workers fold their surviving segments onto the kept pools and
+        shut down; when appends raise the segment count back toward the
+        requested shard count, fresh pools spawn and the new segments
+        land on them (least-loaded placement finds the empty pools
+        first). Kept pools never lose warm segments to a rebalance."""
         if not self._stats_ls.refresh():
             return False
         commit = self._stats_ls.commit
@@ -150,7 +155,26 @@ class ShardedSearcher:
             self._open(commit)
             return True
         by_id = {s["segment_id"]: s for s in commit["segments"]}
+        n_target = (
+            min(self._shards or (os.cpu_count() or 4), len(by_id)) or 1
+        )
         assign = [[sid for sid in ids if sid in by_id] for ids in self._assign]
+        if n_target < len(assign):
+            # fold surplus pools' survivors onto the kept pools
+            dropped = [sid for ids in assign[n_target:] for sid in ids]
+            assign = assign[:n_target]
+            loads = [
+                sum(int(by_id[sid]["num_docs"]) for sid in ids)
+                for ids in assign
+            ]
+            for sid in sorted(
+                dropped, key=lambda s: (-int(by_id[s]["num_docs"]), s)
+            ):
+                i = min(range(len(loads)), key=lambda j: (loads[j], j))
+                assign[i].append(sid)
+                loads[i] += int(by_id[sid]["num_docs"])
+        elif n_target > len(assign):
+            assign += [[] for _ in range(n_target - len(assign))]
         placed = {sid for ids in assign for sid in ids}
         loads = [
             sum(int(by_id[sid]["num_docs"]) for sid in ids) for ids in assign
@@ -166,12 +190,25 @@ class ShardedSearcher:
         self.commit = commit
         self._assign = assign
         self._set_champ()
+        # reconcile the pool list with the target count
+        from concurrent.futures import ProcessPoolExecutor
+
+        while len(self._pools) > n_target:
+            self._pools.pop().shutdown()
         futs = [
             p.submit(_shard_reopen, ids)
             for p, ids in zip(self._pools, assign)
         ]
         for f in futs:
             f.result()
+        for ids in assign[len(self._pools):]:
+            pool = ProcessPoolExecutor(
+                max_workers=1,
+                initializer=_shard_init,
+                initargs=(self.index_dir, ids),
+            )
+            pool.submit(os.getpid).result()
+            self._pools.append(pool)
         return True
 
     def worker_pids(self) -> list:

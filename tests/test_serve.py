@@ -126,30 +126,51 @@ def test_sharded_refresh_reuses_workers_on_append(spark, tmp_path_factory):
         ss.close()
 
 
-def test_sharded_refresh_reuses_workers_on_merge(spark, tmp_path_factory):
-    """A rewriting merge drops every old segment id; pools stay alive
-    and the merged segment lands on the least-loaded pool."""
+def test_sharded_refresh_rescales_pools_on_merge_and_append(
+    spark, tmp_path_factory
+):
+    """A force-merge down to ONE segment shrinks the pool count to 1
+    (the kept pool is one of the original processes — no full respawn);
+    a later append that raises the segment count back grows the pools
+    again, with the fresh segment landing on the new pool. Answers
+    match a fresh LocalSearcher at every step."""
     from lucene_spark.index.merge import force_merge
     from lucene_spark.search.serve import ShardedSearcher
+    from lucene_spark.streaming.nrt import append_batch
 
-    corpus = make_pages(120)
+    corpus = make_pages(160)
     d = str(tmp_path_factory.mktemp("srv_mrg"))
     build_index(
         spark, spark.createDataFrame(
-            [(r["url"], r["text"]) for r in corpus], ["url", "text"]
+            [(r["url"], r["text"]) for r in corpus[:120]], ["url", "text"]
         ), d, IndexConfig(num_segments=3, analyzer=ENGLISH),
     )
     ss = ShardedSearcher(d, shards=2)
     try:
         pids = ss.worker_pids()
+        assert len(pids) == 2
         before = ss.search(QUERIES[0], k=10)
         force_merge(spark, d)
         assert ss.refresh() is True
-        assert ss.worker_pids() == pids
+        pids2 = ss.worker_pids()
+        assert len(pids2) == 1 and pids2[0] in pids  # shrank, kept warm
         assert ss.search(QUERIES[0], k=10) == before
         assert sorted(
             sid for ids in ss._assign for sid in ids
         ) == sorted(s["segment_id"] for s in ss.commit["segments"])
+        append_batch(
+            spark, spark.createDataFrame(
+                [(r["url"], r["text"]) for r in corpus[120:]],
+                ["url", "text"],
+            ), d, IndexConfig(num_segments=1, analyzer=ENGLISH),
+        )
+        assert ss.refresh() is True
+        pids3 = ss.worker_pids()
+        assert len(pids3) == 2 and pids3[0] == pids2[0]  # grew back
+        fresh = LocalSearcher(d, workers=1)
+        for q in QUERIES[:5]:
+            assert ss.search(q, k=10) == fresh.search(q, k=10), q
+            assert ss.count(q) == fresh.count(q), q
     finally:
         ss.close()
 
