@@ -275,6 +275,25 @@ def query_terms(q: Query) -> set:
     return set()
 
 
+def map_leaves(q: Query, fn) -> Query:
+    """Rebuild a tree with ``fn`` applied to every LEAF node (wrappers
+    and boolean structure preserved) — the rewrite-walk shape of
+    ``IndexSearcher.rewrite`` / ``MultiTermQuery.RewriteMethod``."""
+    if isinstance(q, BoostQuery):
+        return BoostQuery(map_leaves(q.query, fn), q.boost)
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(map_leaves(q.query, fn), q.boost)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            must=tuple(map_leaves(c, fn) for c in q.must),
+            should=tuple(map_leaves(c, fn) for c in q.should),
+            must_not=tuple(map_leaves(c, fn) for c in q.must_not),
+            filter=tuple(map_leaves(c, fn) for c in q.filter),
+            min_should_match=q.min_should_match,
+        )
+    return fn(q)
+
+
 def multi_term_leaves(q: Query) -> tuple:
     """All ``MultiTermQuery`` leaves of a tree, in walk order — these
     need a term PREDICATE on the postings scan instead of a term list

@@ -752,6 +752,35 @@ class Searcher:
             )
         return sorted(r["term"] for r in td.select("term").collect())
 
+    def scoring_rewrite(self, query, max_expansions: "int | None" = None):
+        """``MultiTermQuery.SCORING_BOOLEAN_REWRITE`` (with
+        ``max_expansions`` = the ``TopTermsRewrite(size)`` cap, keeping
+        the highest-docFreq terms): every MultiTermQuery leaf becomes a
+        BooleanQuery of SHOULD TermQuery clauses over its expanded
+        terms, so matches are BM25-scored like explicit terms instead
+        of constant-scored. Per-term boosts (FuzzyQuery's blended
+        similarity boosts) are out of scope — every expanded clause
+        gets boost 1 like ``ScoringRewrite.SCORING_BOOLEAN_REWRITE``.
+        Expansion collects terms to the driver — cap it on wide
+        patterns (the reference throws TooManyClauses past 1024)."""
+        q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
+
+        def leaf(node):
+            if not isinstance(node, ast_mod.MultiTermQuery):
+                return node
+            terms = self.expand_terms(
+                node.mode, *node.args, field=node.field,
+                max_expansions=max_expansions,
+            )
+            if not terms:
+                return ast_mod.MatchNoDocsQuery()
+            return ast_mod.BooleanQuery(
+                should=tuple(ast_mod.TermQuery(t) for t in terms),
+                min_should_match=1,
+            )
+
+        return ast_mod.rewrite(ast_mod.map_leaves(q, leaf))
+
     def multi_term_docs(self, mode: str, *args, field: str = ""):
         """Docs matching ANY term of the expansion (the constant-score
         rewrite, ``MultiTermQuery.CONSTANT_SCORE_BLENDED_REWRITE``):

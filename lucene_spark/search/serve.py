@@ -79,6 +79,19 @@ def _shard_count(args):
     return _WORKER.count(q, tstats=tstats)
 
 
+def _shard_search_many(args):
+    """Evaluate a WHOLE query batch against the resident worker — one
+    IPC round-trip per pool per batch instead of one per query."""
+    items, k, pruned, dtype, threshold, tstats_by_qid = args
+    return {
+        qid: _WORKER.search(
+            q, k=k, pruned=pruned, dtype=dtype,
+            total_hits_threshold=threshold, tstats=tstats_by_qid[qid],
+        )
+        for qid, q in items
+    }
+
+
 class ShardedSearcher:
     """One-node serving across K worker PROCESSES, each owning a
     disjoint subset of the index's segments — the in-miniature form of
@@ -261,6 +274,38 @@ class ShardedSearcher:
         args = (query, self._query_stats(query))
         futs = [p.submit(_shard_count, args) for p in self._pools]
         return sum(f.result() for f in futs)
+
+    def search_many(
+        self,
+        queries,
+        k: int = 10,
+        pruned: bool = True,
+        dtype: str = "f32",
+        total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
+    ) -> dict:
+        """Batched serving: the whole query set ships to each pool in
+        ONE submit (per-query scatter costs an IPC round-trip each; a
+        batch amortizes it — the serving analog of
+        ``Searcher.search_many``). Returns {query_id: [(doc_id, score,
+        url)]} with the per-query contract identical to ``search``.
+        ``queries``: list of query strings/ASTs, or {query_id: query}."""
+        if not isinstance(queries, dict):
+            queries = {str(i): q for i, q in enumerate(queries)}
+        tstats = {
+            qid: self._query_stats(q) for qid, q in queries.items()
+        }
+        args = (
+            list(queries.items()), k, pruned, dtype,
+            total_hits_threshold, tstats,
+        )
+        futs = [p.submit(_shard_search_many, args) for p in self._pools]
+        per_pool = [f.result() for f in futs]
+        out: dict = {}
+        for qid in queries:
+            rows = [r for d in per_pool for r in d[qid]]
+            rows.sort(key=lambda r: (-r[1], r[0]))
+            out[qid] = rows[:k]
+        return out
 
     def highlight(self, query, k: int = 10, **kw) -> list:
         """[(doc_id, score, url, snippet)] — scatter-gather top-k, then
@@ -562,6 +607,57 @@ class LocalSearcher:
                 self._mt_cache[key] = hit
             out |= hit
         return out
+
+    def expand_terms(
+        self,
+        mode: str,
+        *args,
+        field: str = "",
+        max_expansions: "int | None" = None,
+    ) -> list:
+        """MultiTermQuery expansion against the per-segment term
+        dictionaries (union) — the serving mirror of
+        ``Searcher.expand_terms``. ``max_expansions`` keeps the
+        highest-GLOBAL-docFreq terms (TopTermsRewrite order)."""
+        from lucene_spark.search import ast as _ast
+
+        leaf = _ast.MultiTermQuery(mode, tuple(args), field)
+        out: set = set()
+        for seg in self.segments:
+            out |= self._expand_multi_term(seg, (leaf,))
+        if max_expansions is not None and len(out) > int(max_expansions):
+            stats = self.global_term_stats(out)
+            ranked = sorted(
+                out, key=lambda t: (-stats.get(t, (0, 0))[0], t)
+            )
+            out = set(ranked[: int(max_expansions)])
+        return sorted(out)
+
+    def scoring_rewrite(self, query, max_expansions: "int | None" = None):
+        """SCORING_BOOLEAN_REWRITE on the serving plane — same contract
+        as ``Searcher.scoring_rewrite`` (BM25-scored expansion, boost 1
+        per clause)."""
+        q = (
+            self.parse(query)
+            if isinstance(query, str)
+            else ast_mod.rewrite(query)
+        )
+
+        def leaf(node):
+            if not isinstance(node, ast_mod.MultiTermQuery):
+                return node
+            terms = self.expand_terms(
+                node.mode, *node.args, field=node.field,
+                max_expansions=max_expansions,
+            )
+            if not terms:
+                return ast_mod.MatchNoDocsQuery()
+            return ast_mod.BooleanQuery(
+                should=tuple(ast_mod.TermQuery(t) for t in terms),
+                min_should_match=1,
+            )
+
+        return ast_mod.rewrite(ast_mod.map_leaves(q, leaf))
 
     # ---- query surface ------------------------------------------------
     def parse(self, query: str):

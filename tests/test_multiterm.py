@@ -204,6 +204,36 @@ def test_mt_constant_score_values(mt_pair):
     assert rows2 and all(r["score"] == 2.0 for r in rows2)
 
 
+def test_scoring_rewrite(mt_pair):
+    """SCORING_BOOLEAN_REWRITE: MTQ leaves become BM25-scored SHOULD
+    term clauses; the rewritten tree searches identically to the
+    manually-expanded boolean; TopTermsRewrite cap keeps highest-df."""
+    searcher, oracle, d = mt_pair
+    rq = searcher.scoring_rewrite("w004* OR w0007")
+    assert not ast.multi_term_leaves(rq)
+    expansion = searcher.expand_terms("prefix", "w004")
+    assert expansion  # corpus has w004x terms
+    manual = ast.BooleanQuery(
+        should=tuple(ast.TermQuery(t) for t in expansion)
+        + (ast.TermQuery("w0007"),),
+        min_should_match=1,
+    )
+    got = searcher.search(rq, k=20).collect()
+    want = searcher.search(manual, k=20).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    # rewritten matches are BM25-scored (not the constant 1.0)
+    assert any(r["score"] not in (1.0, 2.0) for r in got)
+    # TopTermsRewrite cap: highest-docFreq terms kept, both planes agree
+    capped = searcher.expand_terms("prefix", "w0", max_expansions=3)
+    assert len(capped) == 3
+    ls = LocalSearcher(d, workers=1)
+    assert ls.expand_terms("prefix", "w0", max_expansions=3) == capped
+    assert ls.expand_terms("prefix", "w004") == expansion
+    assert ls.scoring_rewrite("w004* OR w0007") == rq
+
+
 # ------------------------------------- pruned kernel (WAND _DocsLeaf)
 
 

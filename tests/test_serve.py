@@ -43,6 +43,23 @@ def test_local_searcher_matches_spark_searcher(served):
         assert s.count(q) == l.count(q), q
 
 
+def test_sharded_search_many_matches_per_query(served):
+    """The batched serving API (one IPC round per pool) must return
+    exactly what per-query scatter-gather returns, including a
+    multi-term query in the batch."""
+    from lucene_spark.search.serve import ShardedSearcher
+
+    spark, d = served
+    ss = ShardedSearcher(d, shards=2)
+    try:
+        batch = QUERIES[:4] + ["w004*"]
+        got = ss.search_many(batch, k=10)
+        for i, q in enumerate(batch):
+            assert got[str(i)] == ss.search(q, k=10), q
+    finally:
+        ss.close()
+
+
 def test_local_searcher_warm_cache_consistent(served):
     spark, d = served
     l = LocalSearcher(d)
