@@ -752,6 +752,26 @@ class Searcher:
             )
         return sorted(r["term"] for r in td.select("term").collect())
 
+    def explain(self, query, doc_id: int, dtype: str = "f32") -> dict:
+        """IndexSearcher.explain analog (driver-side over the owning
+        segment's term-filtered blocks — explain is a one-doc
+        diagnostic, not a distributed job). Root value is bit-identical
+        to ``search``'s score for the doc."""
+        from lucene_spark.search.explain import explain as _explain
+        from lucene_spark.search.serve import LocalSearcher
+
+        gen = self.commit["generation"]
+        cached = getattr(self, "_explain_ls", None)
+        if cached is None or cached[0] != gen:
+            self._explain_ls = (
+                gen,
+                LocalSearcher(self.index_dir, preload_stats=False, workers=1),
+            )
+        # parse with THIS searcher's analyzers (the serving-side
+        # reconstruction may differ when a custom analyzer was passed)
+        q = self.parse(query) if isinstance(query, str) else query
+        return _explain(self._explain_ls[1], q, doc_id, dtype=dtype)
+
     def scoring_rewrite(self, query, max_expansions: "int | None" = None):
         """``MultiTermQuery.SCORING_BOOLEAN_REWRITE`` (with
         ``max_expansions`` = the ``TopTermsRewrite(size)`` cap, keeping

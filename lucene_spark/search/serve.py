@@ -659,6 +659,14 @@ class LocalSearcher:
 
         return ast_mod.rewrite(ast_mod.map_leaves(q, leaf))
 
+    def explain(self, query, doc_id: int, dtype: str = "f32") -> dict:
+        """IndexSearcher.explain analog: nested score breakdown whose
+        root value is bit-identical to ``search``'s score for the doc
+        (see search/explain.py)."""
+        from lucene_spark.search.explain import explain as _explain
+
+        return _explain(self, query, doc_id, dtype=dtype)
+
     # ---- query surface ------------------------------------------------
     def parse(self, query: str):
         return parse(query, self.analyzer, self.field_analyzers)
