@@ -552,6 +552,7 @@ class Searcher:
 
         per_seg = self._per_segment(
             terms, kernel, "doc_id long",
+            term_pred=self._scan_pred([q], terms),
             ensure_segments=ast_mod.has_termless_match(q),
         )
         return self._with_url(per_seg, ["doc_id", "url"])
@@ -585,9 +586,62 @@ class Searcher:
 
         per_seg = self._per_segment(
             terms, kernel, "doc_id long, score double",
+            term_pred=self._scan_pred([q], terms),
             ensure_segments=ast_mod.has_termless_match(q),
         )
         return self._with_url(per_seg, ["doc_id", "url", "score"])
+
+    def group_topk(
+        self,
+        query,
+        group_df,
+        group_col: str = "group",
+        n_groups: int = 10,
+        k: int = 3,
+        dtype: str = "f64",
+    ):
+        """Grouping-module analog (``lucene/grouping``
+        FirstPassGroupingCollector + TopGroupsCollector two-pass
+        search): the top ``n_groups`` groups ranked by their BEST doc
+        score (tie: smaller doc id, then group value), then the top
+        ``k`` docs within each selected group (score desc, doc asc).
+        ``group_df``: DataFrame (doc_id, <group_col>) supplying each
+        doc's group value (the reference reads it from doc values; here
+        any doc-keyed column works).
+
+        Spark-native single pass: score the match set, join the group
+        column, two window ranks — no driver collection; returns
+        DataFrame (group, group_rank, rank, doc_id, url, score)."""
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        scored = self.score_docs_df(query, dtype=dtype)
+        joined = scored.join(group_df, "doc_id")
+        wg = Window.partitionBy(group_col).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = joined.withColumn("rank", F.row_number().over(wg))
+        heads = (
+            ranked.where(F.col("rank") == 1)
+            .orderBy(F.desc("score"), F.asc("doc_id"), F.asc(group_col))
+            .limit(int(n_groups))
+            .select(
+                F.col(group_col),
+                F.row_number()
+                .over(
+                    Window.orderBy(
+                        F.desc("score"), F.asc("doc_id"), F.asc(group_col)
+                    )
+                )
+                .alias("group_rank"),
+            )
+        )
+        return (
+            ranked.where(F.col("rank") <= int(k))
+            .join(F.broadcast(heads), group_col)
+            .select(group_col, "group_rank", "rank", "doc_id", "url", "score")
+            .orderBy("group_rank", "rank")
+        )
 
     def term_postings_df(self, term: str):
         """One term's full postings: DataFrame (doc_id, url, tf) — the
