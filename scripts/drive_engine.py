@@ -46,6 +46,8 @@ queries = [
     "w0042 OR w0999 OR w3500",
     '"w0007 w0042"',
     '"w0100 of w0200"',  # stopword-gap phrase
+    "w0042 OR w010*",  # BM25 term + constant-score prefix leaf
+    "w0042~1",  # fuzzy
 ]
 for q in queries:
     rows = searcher.search(q, k=5).collect()
@@ -69,6 +71,13 @@ except Exception as e:
     print(f"PROBE trailing AND -> {type(e).__name__}: {e}")
 print("PROBE k=0:", searcher.search("w0042", k=0).collect())
 print("PROBE k=100000:", len(searcher.search("w0042", k=100000).collect()), "rows")
+top = searcher.search("w0042 OR w0100", k=1).collect()[0]
+ex = searcher.explain("w0042 OR w0100", top["doc_id"])
+ok = abs(ex["value"] - top["score"]) < 1e-6
+print(
+    f"PROBE explain doc={top['doc_id']}: value={ex['value']:.6f} "
+    f"(matches search score: {ok}); {len(ex['details'])} clause details"
+)
 # plan inspection: pushdown + no wide shuffle before the kernel
 import pyspark.sql.functions as F
 
