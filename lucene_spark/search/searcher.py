@@ -643,6 +643,39 @@ class Searcher:
             .orderBy("group_rank", "rank")
         )
 
+    def facet_ranges(self, query, value_df, value_col: str, ranges):
+        """Range facets (``facet/range/LongRangeFacetCounts.java`` /
+        ``DoubleRangeFacetCounts``): per-range match counts over the
+        query's result set. ``ranges``: list of (label, lo, hi[,
+        min_inclusive, max_inclusive]) — ranges MAY overlap (each doc
+        counts in every range containing its value, like the
+        reference), so this is one conditional-sum aggregation over the
+        matched rows, not a bucketing GROUP BY. ``value_df``: DataFrame
+        (doc_id, <value_col>). Returns DataFrame (label, count) in the
+        given range order."""
+        import pyspark.sql.functions as F
+
+        matched = self.match_docs(query).join(value_df, "doc_id")
+        v = F.col(value_col)
+        aggs = []
+        for i, r in enumerate(ranges):
+            label, lo, hi = r[0], r[1], r[2]
+            inc_lo = bool(r[3]) if len(r) > 3 else True
+            inc_hi = bool(r[4]) if len(r) > 4 else False
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & ((v >= lo) if inc_lo else (v > lo))
+            if hi is not None:
+                cond = cond & ((v <= hi) if inc_hi else (v < hi))
+            aggs.append(
+                F.count(F.when(cond, F.lit(1))).alias(f"c{i}")
+            )
+        row = matched.agg(*aggs).collect()[0]
+        return self.spark.createDataFrame(
+            [(r[0], int(row[f"c{i}"])) for i, r in enumerate(ranges)],
+            "label string, count long",
+        )
+
     def term_postings_df(self, term: str):
         """One term's full postings: DataFrame (doc_id, url, tf) — the
         PostingsEnum(FREQS) analog, decoded distributed."""

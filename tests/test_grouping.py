@@ -69,6 +69,30 @@ def test_group_topk_matches_oracle(grouped, query):
     assert got == _expected(oracle, query, N_GROUPS, K), query
 
 
+def test_facet_ranges_overlapping(grouped):
+    """LongRangeFacetCounts semantics: overlapping ranges each count
+    every matched doc whose value falls inside them."""
+    searcher, oracle, groups = grouped
+    spark = groups.sparkSession
+    values = spark.createDataFrame(
+        [(i, i * 3 % 100) for i in range(300)], "doc_id long, v long"
+    )
+    matched = [d for d, _, _ in oracle.top_k(parse("w0000", ENGLISH), k=10**6)]
+    vals = {i: i * 3 % 100 for i in range(300)}
+    ranges = [
+        ("low", 0, 50),                  # [0, 50)
+        ("mid", 25, 75, True, True),     # [25, 75] — overlaps "low"
+        ("hi_open", 50, None),           # [50, inf)
+    ]
+    got = {
+        r["label"]: r["count"]
+        for r in searcher.facet_ranges("w0000", values, "v", ranges).collect()
+    }
+    assert got["low"] == sum(1 for d in matched if 0 <= vals[d] < 50)
+    assert got["mid"] == sum(1 for d in matched if 25 <= vals[d] <= 75)
+    assert got["hi_open"] == sum(1 for d in matched if vals[d] >= 50)
+
+
 def test_group_topk_fewer_groups_than_requested(grouped):
     searcher, oracle, groups = grouped
     got = searcher.group_topk(
