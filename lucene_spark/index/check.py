@@ -161,4 +161,54 @@ def check_index(spark, index_dir: str) -> dict:
     segs = sorted(metas.values(), key=lambda s: s["doc_base"])
     for a, b in zip(segs, segs[1:]):
         assert a["doc_base"] + a["num_docs"] <= b["doc_base"], "doc ranges overlap"
+    # docmap: exactly one url per live doc id, ids inside segment range
+    dm = (
+        spark.read.parquet(os.path.join(index_dir, "docmap"))
+        .where(F.col("segment_id").isin(live))
+        .groupBy("segment_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .collect()
+    )
+    assert {r["segment_id"] for r in dm} == set(live), "segment missing docmap"
+    for r in dm:
+        m = metas[r["segment_id"]]
+        assert r["n"] == r["nd"] == m["num_docs"], (
+            f"docmap row count wrong for {r['segment_id']}"
+        )
+        assert r["lo"] >= m["doc_base"], "docmap id below doc_base"
+        assert r["hi"] < m["doc_base"] + m["num_docs"], "docmap id past range"
+    # stored fields (CheckIndex testStoredFields analog), when present:
+    # one row per doc, ids exactly the segment's range
+    stored_dir = os.path.join(index_dir, "stored")
+    if os.path.isdir(stored_dir):
+        sf = (
+            spark.read.parquet(stored_dir)
+            .where(F.col("segment_id").isin(live))
+            .groupBy("segment_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("doc_id").alias("nd"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            )
+            .collect()
+        )
+        assert {r["segment_id"] for r in sf} == set(live), (
+            "segment missing stored fields"
+        )
+        for r in sf:
+            m = metas[r["segment_id"]]
+            assert r["n"] == r["nd"] == m["num_docs"], (
+                f"stored row count wrong for {r['segment_id']}"
+            )
+            assert (
+                r["lo"] == m["doc_base"]
+                and r["hi"] == m["doc_base"] + m["num_docs"] - 1
+            ), f"stored doc_id range wrong for {r['segment_id']}"
+        totals["stored_docs"] = int(sum(r["n"] for r in sf))
     return totals

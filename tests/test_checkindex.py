@@ -42,6 +42,37 @@ def test_check_after_append(spark, tmp_path, corpus):
     assert t["segments"] == 4
 
 
+def test_check_stored_fields(spark, tmp_path, corpus):
+    """testStoredFields analog: one stored row per doc covering the
+    segment's exact id range, verified through a merge; a dropped
+    stored row is detected."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "idx")
+    build_index(
+        spark, _df(spark, corpus), d,
+        IndexConfig(num_segments=3, analyzer=ENGLISH, stored_cols=("text",)),
+    )
+    t = check_index(spark, d)
+    assert t["stored_docs"] == len(corpus)
+    force_merge(spark, d)
+    t2 = check_index(spark, d)
+    assert t2["stored_docs"] == len(corpus)
+    # drop one stored row from the LIVE segment (old merged-away dirs
+    # remain on disk but are pruned by the live filter) -> violation
+    from lucene_spark.index.builder import read_latest_commit
+
+    live = read_latest_commit(d)["segments"][0]["segment_id"]
+    path = sorted(glob.glob(f"{d}/stored/segment_id={live}/*.parquet"))[0]
+    tbl = pq.read_table(path)
+    pq.write_table(tbl.slice(1), path)
+    with pytest.raises(Exception):
+        check_index(spark, d)
+
+
 def test_check_detects_corruption(spark, tmp_path, corpus):
     import glob
 
