@@ -185,6 +185,36 @@ def _rewrite_once(q: Query) -> Query:
         if q.mode == "in_set" and not q.args[0]:
             return MatchNoDocsQuery()  # TermInSetQuery over {} matches nothing
         return q
+    if isinstance(q, PhraseQuery):
+        # PhraseQuery.rewrite (PhraseQuery.java): no terms ->
+        # MatchNoDocs; ONE term -> TermQuery (the sloppy matcher
+        # requires >= 2 position lists)
+        if not q.terms:
+            return MatchNoDocsQuery()
+        if len(q.terms) == 1:
+            return TermQuery(q.terms[0])
+        return q
+    if isinstance(q, MultiPhraseQuery):
+        # MultiPhraseQuery.rewrite (MultiPhraseQuery.java:182-195):
+        # no slots -> MatchNoDocs; ONE slot -> BooleanQuery of SHOULD
+        # TermQuery over the slot's members
+        if not q.slots:
+            return MatchNoDocsQuery()
+        if len(q.slots) == 1:
+            return BooleanQuery(
+                should=tuple(TermQuery(t) for t in q.slots[0]),
+                min_should_match=1,
+            )
+        if q.slop > 0:
+            flat = [t for slot in q.slots for t in slot]
+            if len(set(flat)) != len(flat):
+                # driver-side rejection (documented out of scope): never
+                # let hasMultiTermRpts shapes reach the executors
+                raise NotImplementedError(
+                    "sloppy MultiPhraseQuery with repeated terms across "
+                    "slots (hasMultiTermRpts) is out of scope"
+                )
+        return q
     if isinstance(q, BoostQuery):
         c = rewrite(q.query)
         if isinstance(c, MatchNoDocsQuery):
@@ -292,6 +322,28 @@ def map_leaves(q: Query, fn) -> Query:
             min_should_match=q.min_should_match,
         )
     return fn(q)
+
+
+def scoring_boolean_rewrite(q: Query, expander) -> Query:
+    """``MultiTermQuery.SCORING_BOOLEAN_REWRITE`` core, shared by the
+    Spark and serving planes: ``expander(leaf)`` returns the leaf's
+    expanded (fielded) terms; every MultiTermQuery leaf becomes a
+    BooleanQuery of SHOULD TermQuery clauses (boost 1 per clause, like
+    ``ScoringRewrite.SCORING_BOOLEAN_REWRITE``), empty expansion ->
+    MatchNoDocsQuery."""
+
+    def leaf(node):
+        if not isinstance(node, MultiTermQuery):
+            return node
+        terms = expander(node)
+        if not terms:
+            return MatchNoDocsQuery()
+        return BooleanQuery(
+            should=tuple(TermQuery(t) for t in terms),
+            min_should_match=1,
+        )
+
+    return rewrite(map_leaves(q, leaf))
 
 
 def multi_term_leaves(q: Query) -> tuple:

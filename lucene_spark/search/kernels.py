@@ -107,6 +107,23 @@ def seed_below(kth: float, dtype: str) -> float:
 # ---------------------------------------------------------------- exhaustive
 
 
+def multi_term_union_docs(seg: SegmentView, q: "ast.MultiTermQuery"):
+    """LIVE docs containing ANY dictionary term matching the leaf's
+    predicate — the constant-score MultiTermQuery rewrite's doc set,
+    shared by the exhaustive scorer and the WAND _DocsLeaf adapter.
+    The segment view holds the scan's superset of terms; the Python
+    matcher (one source of truth, search/multiterm.py) decides
+    membership here exactly as on the serving plane."""
+    from lucene_spark.search.multiterm import term_key_matcher
+
+    pred = term_key_matcher(q.mode, q.args, q.field)
+    parts = [tb.decode_all()[0] for t, tb in seg.terms.items() if pred(t)]
+    docs = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
+    return docs[seg.live_mask(docs)].astype(np.int64)
+
+
 def score_exhaustive(
     seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost: float = 1.0
 ):
@@ -134,23 +151,8 @@ def score_exhaustive(
         d = d[seg.live_mask(d)]
         return d, np.full(d.size, float(np.float32(boost)), np.float64)
     if isinstance(q, ast.MultiTermQuery):
-        # CONSTANT_SCORE_REWRITE (MultiTermQuery.java): union the docs
-        # of every dictionary term matching the leaf's predicate. The
-        # segment view holds the scan's superset of terms; the Python
-        # matcher (one source of truth, search/multiterm.py) decides
-        # membership here exactly as on the serving plane.
-        from lucene_spark.search.multiterm import term_key_matcher
-
-        pred = term_key_matcher(q.mode, q.args, q.field)
-        parts = [
-            tb.decode_all()[0] for t, tb in seg.terms.items() if pred(t)
-        ]
-        docs = (
-            np.unique(np.concatenate(parts))
-            if parts
-            else np.empty(0, np.int64)
-        )
-        docs = docs[seg.live_mask(docs)].astype(np.int64)
+        # CONSTANT_SCORE_REWRITE (MultiTermQuery.java)
+        docs = multi_term_union_docs(seg, q)
         c = float(np.float32(boost)) if dtype == "f32" else float(boost)
         return docs, np.full(docs.size, c, np.float64)
     if isinstance(q, ast.BoostQuery):
@@ -1147,18 +1149,7 @@ def _make_leaf(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost:
         # CONSTANT_SCORE_REWRITE as a window leaf: union the matching
         # terms' docs once at leaf build (same decode the exhaustive
         # branch pays), then serve windows/probes off the sorted array
-        from lucene_spark.search.multiterm import term_key_matcher
-
-        pred = term_key_matcher(q.mode, q.args, q.field)
-        parts = [
-            tb.decode_all()[0] for t, tb in seg.terms.items() if pred(t)
-        ]
-        docs = (
-            np.unique(np.concatenate(parts))
-            if parts
-            else np.empty(0, np.int64)
-        )
-        docs = docs[seg.live_mask(docs)].astype(np.int64)
+        docs = multi_term_union_docs(seg, q)
         if docs.size == 0:
             return _EMPTY_LEAF
         return _DocsLeaf(docs, boost, dtype)

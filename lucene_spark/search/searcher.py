@@ -607,7 +607,10 @@ class Searcher:
         ``k`` docs within each selected group (score desc, doc asc).
         ``group_df``: DataFrame (doc_id, <group_col>) supplying each
         doc's group value (the reference reads it from doc values; here
-        any doc-keyed column works).
+        any doc-keyed column works). Matching docs with NO row in
+        ``group_df`` form one NULL group — the reference's null-group
+        behavior for docs missing the grouping value — rather than
+        silently disappearing.
 
         Spark-native single pass: score the match set, join the group
         column, two window ranks — no driver collection; returns
@@ -616,7 +619,7 @@ class Searcher:
         from pyspark.sql.window import Window
 
         scored = self.score_docs_df(query, dtype=dtype)
-        joined = scored.join(group_df, "doc_id")
+        joined = scored.join(group_df, "doc_id", "left")
         wg = Window.partitionBy(group_col).orderBy(
             F.desc("score"), F.asc("doc_id")
         )
@@ -636,9 +639,15 @@ class Searcher:
                 .alias("group_rank"),
             )
         )
+        # null-SAFE join: the null group must survive selection (a
+        # plain equi-join drops NULL keys)
+        h = heads.withColumnRenamed(group_col, "__head_group")
         return (
             ranked.where(F.col("rank") <= int(k))
-            .join(F.broadcast(heads), group_col)
+            .join(
+                F.broadcast(h),
+                F.col(group_col).eqNullSafe(F.col("__head_group")),
+            )
             .select(group_col, "group_rank", "rank", "doc_id", "url", "score")
             .orderBy("group_rank", "rank")
         )
@@ -655,6 +664,8 @@ class Searcher:
         given range order."""
         import pyspark.sql.functions as F
 
+        if not ranges:
+            return self.spark.createDataFrame([], "label string, count long")
         matched = self.match_docs(query).join(value_df, "doc_id")
         v = F.col(value_col)
         aggs = []
@@ -850,10 +861,15 @@ class Searcher:
         gen = self.commit["generation"]
         cached = getattr(self, "_explain_ls", None)
         if cached is None or cached[0] != gen:
-            self._explain_ls = (
-                gen,
-                LocalSearcher(self.index_dir, preload_stats=False, workers=1),
-            )
+            ls = LocalSearcher(self.index_dir, preload_stats=False, workers=1)
+            if ls.commit["generation"] != gen:
+                # a writer has advanced the index past this Searcher's
+                # pinned snapshot — explain must stay bit-identical to
+                # THIS searcher's search(), so pin the reader to the
+                # same commit (segments are immutable; only the
+                # generation metadata differs)
+                ls._open(self.commit)
+            self._explain_ls = (gen, ls)
         # parse with THIS searcher's analyzers (the serving-side
         # reconstruction may differ when a custom analyzer was passed)
         q = self.parse(query) if isinstance(query, str) else query
@@ -871,22 +887,12 @@ class Searcher:
         Expansion collects terms to the driver — cap it on wide
         patterns (the reference throws TooManyClauses past 1024)."""
         q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
-
-        def leaf(node):
-            if not isinstance(node, ast_mod.MultiTermQuery):
-                return node
-            terms = self.expand_terms(
-                node.mode, *node.args, field=node.field,
-                max_expansions=max_expansions,
-            )
-            if not terms:
-                return ast_mod.MatchNoDocsQuery()
-            return ast_mod.BooleanQuery(
-                should=tuple(ast_mod.TermQuery(t) for t in terms),
-                min_should_match=1,
-            )
-
-        return ast_mod.rewrite(ast_mod.map_leaves(q, leaf))
+        return ast_mod.scoring_boolean_rewrite(
+            q,
+            lambda n: self.expand_terms(
+                n.mode, *n.args, field=n.field, max_expansions=max_expansions
+            ),
+        )
 
     def multi_term_docs(self, mode: str, *args, field: str = ""):
         """Docs matching ANY term of the expansion (the constant-score

@@ -307,23 +307,30 @@ class ShardedSearcher:
             out[qid] = rows[:k]
         return out
 
-    def highlight(self, query, k: int = 10, **kw) -> list:
+    def highlight(
+        self,
+        query,
+        k: int = 10,
+        field: str = "",
+        max_passages: int = 2,
+        passage_tokens: int = 24,
+        pre: str = "<b>",
+        post: str = "</b>",
+        dtype: str = "f32",
+    ) -> list:
         """[(doc_id, score, url, snippet)] — scatter-gather top-k, then
         snippets extracted in the parent over k stored-field reads (the
         stored table is shared storage; snippet work is O(k), no reason
-        to ship it to shard workers)."""
+        to ship it to shard workers). Same signature and contract as
+        ``LocalSearcher.highlight``."""
         from lucene_spark.search.highlight import highlight_text
 
-        top = self.search(query, k=k)
-        if not top:
-            return []
         ls = self._stats_ls
         q = (
             ls.parse(query)
             if isinstance(query, str)
             else ast_mod.rewrite(query)
         )
-        field = kw.pop("field", "")
         specs = dict(
             (f, s)
             for f, s in (
@@ -331,29 +338,30 @@ class ShardedSearcher:
                 or [["", ls.commit.get("text_col", "text")]]
             )
         )
+        if field not in specs:
+            raise KeyError(f"unknown field {field!r}; indexed: {sorted(specs)}")
         src_col = specs[field]
         analyzer = ls.field_analyzers.get(field, ls.analyzer)
-        saved = ls._segment_ids
-        try:
-            ls._segment_ids = None  # parent reads stored across ALL segments
-            ls.segments = ls.all_segments
-            docs = {
-                r["doc_id"]: r for r in ls.documents([d for d, _, _ in top])
-            }
-        finally:
-            ls._segment_ids = saved
-            ls.segments = [
-                s
-                for s in ls.all_segments
-                if saved is None or s["segment_id"] in saved
-            ]
+        top = self.search(query, k=k, dtype=dtype)
+        if not top:
+            return []
+        # the stats searcher owns NO segments; read stored fields across
+        # all live segments explicitly (no shared-state mutation)
+        docs = {
+            r["doc_id"]: r
+            for r in ls.documents(
+                [d for d, _, _ in top], segments=ls.all_segments
+            )
+        }
         return [
             (
                 d,
                 sc,
                 url,
                 highlight_text(
-                    str(docs[d][src_col]), q, analyzer, field=field, **kw
+                    str(docs[d][src_col]), q, analyzer, field=field,
+                    max_passages=max_passages,
+                    passage_tokens=passage_tokens, pre=pre, post=post,
                 )
                 if d in docs
                 else None,
@@ -635,29 +643,18 @@ class LocalSearcher:
 
     def scoring_rewrite(self, query, max_expansions: "int | None" = None):
         """SCORING_BOOLEAN_REWRITE on the serving plane — same contract
-        as ``Searcher.scoring_rewrite`` (BM25-scored expansion, boost 1
-        per clause)."""
+        as ``Searcher.scoring_rewrite`` (shared core in ast.py)."""
         q = (
             self.parse(query)
             if isinstance(query, str)
             else ast_mod.rewrite(query)
         )
-
-        def leaf(node):
-            if not isinstance(node, ast_mod.MultiTermQuery):
-                return node
-            terms = self.expand_terms(
-                node.mode, *node.args, field=node.field,
-                max_expansions=max_expansions,
-            )
-            if not terms:
-                return ast_mod.MatchNoDocsQuery()
-            return ast_mod.BooleanQuery(
-                should=tuple(ast_mod.TermQuery(t) for t in terms),
-                min_should_match=1,
-            )
-
-        return ast_mod.rewrite(ast_mod.map_leaves(q, leaf))
+        return ast_mod.scoring_boolean_rewrite(
+            q,
+            lambda n: self.expand_terms(
+                n.mode, *n.args, field=n.field, max_expansions=max_expansions
+            ),
+        )
 
     def explain(self, query, doc_id: int, dtype: str = "f32") -> dict:
         """IndexSearcher.explain analog: nested score breakdown whose
@@ -805,15 +802,18 @@ class LocalSearcher:
             n += int(docs.size)
         return n
 
-    def documents(self, doc_ids) -> "list[dict]":
+    def documents(self, doc_ids, segments=None) -> "list[dict]":
         """Stored-fields retrieval (``StoredFields.document`` analog):
         one dict per found id, doc_id ascending. k pyarrow reads with
-        doc_id row-group pruning per owning segment — never a scan."""
+        doc_id row-group pruning per owning segment — never a scan.
+        ``segments``: optional segment-meta list overriding this
+        searcher's (possibly sharded) view — a parent reading on behalf
+        of shard workers passes ``all_segments``."""
         import pyarrow.parquet as pq
 
         ids = sorted(int(d) for d in doc_ids)
         out: list = []
-        for s in self.segments:
+        for s in segments if segments is not None else self.segments:
             lo, hi = int(s["doc_base"]), int(s["doc_base"] + s["num_docs"])
             mine = [d for d in ids if lo <= d < hi]
             if not mine:

@@ -104,6 +104,38 @@ def test_explain_must_not_exclusion(planes):
     assert any("[must_not] excluded" in d["description"] for d in ex["details"])
 
 
+def test_explain_pins_the_searcher_generation(spark, tmp_path_factory):
+    """A writer advancing the index must not skew explain() off the
+    Searcher's snapshot: the value stays bit-identical to THIS
+    searcher's search() until refresh()."""
+    from lucene_spark.streaming.nrt import append_batch
+
+    corpus = make_pages(120)
+    d = str(tmp_path_factory.mktemp("explain_gen"))
+    cfg = IndexConfig(num_segments=2, analyzer=ENGLISH)
+    build_index(
+        spark,
+        spark.createDataFrame(
+            [(r["url"], r["text"]) for r in corpus[:80]], ["url", "text"]
+        ),
+        d, cfg,
+    )
+    s = Searcher(spark, d)
+    row = s.search("w0000", k=1).collect()[0]
+    append_batch(
+        spark,
+        spark.createDataFrame(
+            [(r["url"], r["text"]) for r in corpus[80:]], ["url", "text"]
+        ),
+        d, IndexConfig(num_segments=1, analyzer=ENGLISH),
+    )
+    # searcher still pinned at gen 1; explain must match ITS scores
+    row2 = s.search("w0000", k=1).collect()[0]
+    assert row2 == row
+    ex = s.explain("w0000", row["doc_id"])
+    assert np.float32(ex["value"]) == np.float32(row["score"])
+
+
 def test_explain_multi_term_leaf(planes):
     _, ls = planes
     doc, score, _ = ls.search("w004*", k=1)[0]

@@ -93,6 +93,35 @@ def test_facet_ranges_overlapping(grouped):
     assert got["hi_open"] == sum(1 for d in matched if vals[d] >= 50)
 
 
+def test_group_topk_null_group_for_unmapped_docs(grouped):
+    """Matching docs with no group_df row form ONE null group (the
+    reference's null-group behavior) instead of silently vanishing."""
+    searcher, oracle, groups = grouped
+    spark = groups.sparkSession
+    partial = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(0, 300, 2)],  # even ids only
+        "doc_id long, group string",
+    )
+    full = oracle.top_k(parse("w0000", ENGLISH), k=10**6)
+    odd_matched = [d for d, _, _ in full if d % 2 == 1]
+    assert odd_matched  # fixture sanity
+    rows = searcher.group_topk(
+        "w0000", partial, group_col="group", n_groups=50, k=10**6,
+        dtype="f32",
+    ).collect()
+    null_docs = sorted(r["doc_id"] for r in rows if r["group"] is None)
+    assert null_docs == sorted(odd_matched)
+    # every matched doc appears exactly once across groups
+    assert sorted(r["doc_id"] for r in rows) == sorted(d for d, _, _ in full)
+
+
+def test_facet_ranges_empty_list(grouped):
+    searcher, _, groups = grouped
+    spark = groups.sparkSession
+    values = spark.createDataFrame([(0, 1)], "doc_id long, v long")
+    assert searcher.facet_ranges("w0000", values, "v", []).collect() == []
+
+
 def test_group_topk_fewer_groups_than_requested(grouped):
     searcher, oracle, groups = grouped
     got = searcher.group_topk(

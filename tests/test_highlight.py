@@ -161,5 +161,13 @@ def test_sharded_highlight_matches_local(stored_idx):
     try:
         for query in ("w0042", '"w0007 w0042"'):
             assert ss.highlight(query, k=8) == l.highlight(query, k=8), query
+        # full signature parity: dtype accepted, bad field rejected the
+        # same way on both planes
+        assert ss.highlight("w0042", k=4, dtype="f64") == l.highlight(
+            "w0042", k=4, dtype="f64"
+        )
+        for plane in (ss, l):
+            with pytest.raises(KeyError, match="unknown field"):
+                plane.highlight("w0042", field="nope")
     finally:
         ss.close()

@@ -302,8 +302,48 @@ def test_multi_phrase_sloppy_rejects_shared_terms():
     q = ast.MultiPhraseQuery(
         slots=(("w0000", "w0001"), ("w0001",)), positions=(0, 1), slop=2
     )
+    # rejected at REWRITE time (driver-side), before any kernel runs
+    with pytest.raises(NotImplementedError):
+        ast.rewrite(q)
     with pytest.raises(NotImplementedError):
         engine.count(q)
+
+
+def test_degenerate_phrase_shapes_rewrite():
+    """PhraseQuery.rewrite / MultiPhraseQuery.rewrite analogs: one term
+    -> TermQuery; one slot -> SHOULD boolean; empty -> MatchNoDocs —
+    the sloppy matcher then never sees < 2 position lists (was an
+    IndexError on single-slot sloppy multi-phrase)."""
+    from lucene_spark.search.local import LocalIndex
+
+    assert ast.rewrite(
+        ast.PhraseQuery(terms=("w0000",), positions=(0,), slop=3)
+    ) == ast.TermQuery("w0000")
+    assert isinstance(
+        ast.rewrite(ast.PhraseQuery(terms=(), positions=())),
+        ast.MatchNoDocsQuery,
+    )
+    got = ast.rewrite(
+        ast.MultiPhraseQuery(
+            slots=(("w0000", "w0001"),), positions=(0,), slop=1
+        )
+    )
+    assert got == ast.BooleanQuery(
+        should=(ast.TermQuery("w0000"), ast.TermQuery("w0001")),
+        min_should_match=1,
+    )
+    assert isinstance(
+        ast.rewrite(ast.MultiPhraseQuery(slots=(), positions=())),
+        ast.MatchNoDocsQuery,
+    )
+    # end-to-end: a single-slot sloppy multi-phrase searches fine now
+    corpus = make_pages(60)
+    engine = LocalIndex.build(corpus, num_segments=2, analyzer=ENGLISH)
+    q = ast.MultiPhraseQuery(
+        slots=(("w0000", "w0001"),), positions=(0,), slop=2
+    )
+    assert engine.count(q) > 0
+    assert engine.search(q, k=5)
 
 
 @pytest.mark.parametrize(
