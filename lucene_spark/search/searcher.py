@@ -624,6 +624,8 @@ class Searcher:
             F.desc("score"), F.asc("doc_id")
         )
         ranked = joined.withColumn("rank", F.row_number().over(wg))
+        # the unpartitioned row_number window runs AFTER the limit — it
+        # numbers at most n_groups rows on one task, never the corpus
         heads = (
             ranked.where(F.col("rank") == 1)
             .orderBy(F.desc("score"), F.asc("doc_id"), F.asc(group_col))
