@@ -398,6 +398,22 @@ def _slot_union_keys(tbs, docs, rel: int):
     return member_keys[0]
 
 
+def _verify_multi_exact(slot_tbs, rels, docs):
+    """Exact multi-phrase verification at given candidate ``docs``:
+    per-slot union of member positions as packed doc<<32|pos keys, one
+    sorted intersection per slot (same vectorization as
+    ``_verify_phrase``)."""
+    keys = None
+    for tbs, rel in zip(slot_tbs, rels):
+        k = _slot_union_keys(tbs, docs, rel)
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if keys.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    freqs = np.bincount(keys >> 32, minlength=docs.size)
+    hit = freqs > 0
+    return docs[hit], freqs[hit].astype(np.int64)
+
+
 def _multi_phrase_doc_freqs(seg: SegmentView, q: ast.MultiPhraseQuery):
     """MultiPhraseQuery matching (``search/MultiPhraseQuery.java`` via
     ``UnionPostingsEnum``): each slot accepts any of its member terms;
@@ -432,18 +448,7 @@ def _multi_phrase_doc_freqs(seg: SegmentView, q: ast.MultiPhraseQuery):
     rels = q.positions
     if q.slop > 0:
         return _verify_multi_sloppy(slot_tbs, rels, q.slop, docs)
-    # per-slot union of member positions as packed doc<<32|pos keys,
-    # then one sorted intersection per slot (same vectorization as
-    # _verify_phrase)
-    keys = None
-    for tbs, rel in zip(slot_tbs, rels):
-        k = _slot_union_keys(tbs, docs, rel)
-        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
-        if keys.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-    freqs = np.bincount(keys >> 32, minlength=docs.size)
-    hit = freqs > 0
-    return docs[hit], freqs[hit].astype(np.int64)
+    return _verify_multi_exact(slot_tbs, rels, docs)
 
 
 def _verify_multi_sloppy(slot_tbs, rels, slop: int, docs: np.ndarray):
@@ -735,6 +740,30 @@ class _TermLeaf:
         return pres, sc
 
 
+def _lead_window_docs(tbs, lo, hi):
+    """Docs in [lo, hi] present in EVERY member term: decode only the
+    RAREST member's overlapping blocks; every other member is PROBED
+    at the surviving candidates (``ConjunctionDISI.java`` follower
+    advance — the probe decodes only blocks containing a candidate,
+    never a member's full overlapping range)."""
+    lead = min(tbs, key=lambda tb: tb.doc_freq)
+    b0, b1 = lead.overlapping(lo, hi)
+    if b0 >= b1:
+        return np.empty(0, np.int64)
+    d = np.concatenate([lead.decode(i)[0] for i in range(b0, b1)])
+    i0 = int(np.searchsorted(d, lo))
+    i1 = int(np.searchsorted(d, hi, side="right"))
+    cand = d[i0:i1]
+    for tb in tbs:
+        if tb is lead:
+            continue
+        if cand.size == 0:
+            break
+        p, _ = _probe_blocks(tb, cand)
+        cand = cand[p]
+    return cand
+
+
 class _PhraseLeaf:
     """Exact phrase as a leaf: bound = min over member terms of their
     max phrase-scored impact (valid: phraseFreq <= any member tf);
@@ -770,18 +799,13 @@ class _PhraseLeaf:
         return _block_windows(lead, nwin)
 
     def window_postings(self, seg, lo, hi):
-        cand = None
-        for tb in self.tbs:
-            b0, b1 = tb.overlapping(lo, hi)
-            if b0 >= b1:
-                return np.empty(0, np.int64), np.empty(0, np.float64)
-            d = np.concatenate([tb.decode(i)[0] for i in range(b0, b1)])
-            i0 = int(np.searchsorted(d, lo))
-            i1 = int(np.searchsorted(d, hi, side="right"))
-            d = d[i0:i1]
-            cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
-            if cand.size == 0:
-                return np.empty(0, np.int64), np.empty(0, np.float64)
+        # leapfrog: decode only the RAREST member's blocks in the
+        # window; every other member is PROBED at the surviving
+        # candidates (ConjunctionDISI.java follower advance — probe
+        # decodes only blocks that contain a candidate)
+        cand = _lead_window_docs(self.tbs, lo, hi)
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         docs, freqs = _verify_phrase(seg, self.q, self.tbs, cand)
         if docs.size == 0:
             return docs, np.empty(0, np.float64)
@@ -808,6 +832,237 @@ class _PhraseLeaf:
                 sc[idx] = self.psc.score(
                     ff, self.tbs[0].norms[dd]
                 ).astype(np.float64)
+        return pres, sc
+
+
+def _pad_bound(b: float) -> float:
+    """Inflate a SUBADDITIVITY-derived score bound by a small relative
+    margin so float32 rounding can never flip it below a true doc
+    score.  The sum bounds below rest on real-arithmetic concavity
+    (score(a+b) <= score(a)+score(b) for score(x)=w*x*c/(1+x*c),
+    concave with score(0)=0); computed f32 scores sit within a few ulps
+    (~1e-7 relative) of the real values, so 1e-5 relative dominates any
+    rounding drift while costing no measurable pruning power.  Bounds
+    stay true upper bounds -> pruning stays rank-safe."""
+    return b + abs(b) * 1e-5
+
+
+class _SloppyLeaf:
+    """Sloppy phrase (slop>0) as a window-scorable leaf.
+
+    The reference does NOT prune sloppy phrases — SloppyPhraseMatcher
+    feeds DUMMY impacts (``SloppyPhraseMatcher.java:119-127``), so its
+    ImpactsDISI never skips.  This engine goes further with a bound
+    that IS valid for sloppy matching: sloppyFreq = sum over greedy
+    matches of 1/(1+matchLength) <= #matches <= sum of member tfs, and
+    BM25 is concave in freq with score(0)=0, so
+
+        score(sloppyFreq, n) <= sum_i score(tf_i, n) <= sum_i bmax_i
+
+    (per-member max phrase-scored impact; NOT the exact-phrase min —
+    sloppyFreq can exceed the min member tf when a rare term's single
+    occurrence pairs with several occurrences of a frequent one).
+    The bound is padded one relative epsilon for f32 rounding
+    (_pad_bound), keeping pruned == exhaustive bit-identical."""
+
+    __slots__ = ("tbs", "psc", "q", "bms", "doc_freq")
+
+    def __init__(self, tbs, psc, q: ast.PhraseQuery):
+        self.tbs = tbs
+        self.psc = psc
+        self.q = q
+        self.bms = [tb.block_max_scores(psc) for tb in tbs]
+        self.doc_freq = min(tb.doc_freq for tb in tbs)
+
+    def overlaps(self, lo, hi) -> bool:
+        for tb in self.tbs:
+            b0, b1 = tb.overlapping(lo, hi)
+            if b0 >= b1:
+                return False
+        return True
+
+    def window_bound(self, lo, hi) -> float:
+        bound = 0.0
+        for tb, bm in zip(self.tbs, self.bms):
+            b0, b1 = tb.overlapping(lo, hi)
+            if b0 >= b1:
+                return 0.0
+            bound += float(bm[b0:b1].max())
+        return _pad_bound(bound)
+
+    def windows(self, nwin: int) -> np.ndarray:
+        lead = min(self.tbs, key=lambda tb: tb.doc_freq)
+        return _block_windows(lead, nwin)
+
+    def window_postings(self, seg, lo, hi):
+        # same leapfrog as _PhraseLeaf: decode the rarest member only,
+        # probe the rest at candidates
+        cand = _lead_window_docs(self.tbs, lo, hi)
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs, freqs = _verify_sloppy(seg, self.q, self.tbs, cand)
+        if docs.size == 0:
+            return docs, np.empty(0, np.float64)
+        return docs, self.psc.score(freqs, self.tbs[0].norms[docs]).astype(np.float64)
+
+    def window_docs(self, seg, lo, hi) -> np.ndarray:
+        d, _ = self.window_postings(seg, lo, hi)
+        return d
+
+    def probe(self, seg, docs):
+        cand = docs
+        for tb in self.tbs:
+            if cand.size == 0:
+                break
+            p, _ = _probe_blocks(tb, cand)
+            cand = cand[p]
+        pres = np.zeros(docs.size, dtype=bool)
+        sc = np.zeros(docs.size, dtype=np.float64)
+        if cand.size:
+            dd, ff = _verify_sloppy(seg, self.q, self.tbs, cand)
+            if dd.size:
+                idx = np.searchsorted(docs, dd)
+                pres[idx] = True
+                sc[idx] = self.psc.score(
+                    ff, self.tbs[0].norms[dd]
+                ).astype(np.float64)
+        return pres, sc
+
+
+class _MultiPhraseLeaf:
+    """MultiPhraseQuery (exact or sloppy) as a window-scorable leaf.
+
+    Doc approximation: conjunction of per-slot member-doc UNIONS
+    (``MultiPhraseQuery.java`` via UnionPostingsEnum).  Window bound by
+    the same concavity argument as _SloppyLeaf, applied per slot: a
+    slot's union position count <= sum of its members' tfs, so
+
+      exact (slop=0):  freq <= min_s slotCount(s)
+                       -> bound = min_s sum_{m in s} bmax_m
+      sloppy (slop>0): freq <= sum of all member tfs
+                       -> bound = sum over all members' bmax
+
+    both padded one relative epsilon (_pad_bound) for f32 rounding;
+    pruned == exhaustive bit-identically."""
+
+    __slots__ = ("slot_tbs", "psc", "q", "slot_bms", "doc_freq")
+
+    def __init__(self, slot_tbs, psc, q: ast.MultiPhraseQuery):
+        self.slot_tbs = slot_tbs
+        self.psc = psc
+        self.q = q
+        self.slot_bms = [
+            [tb.block_max_scores(psc) for tb in tbs] for tbs in slot_tbs
+        ]
+        self.doc_freq = min(
+            sum(tb.doc_freq for tb in tbs) for tbs in slot_tbs
+        )
+
+    def _slot_overlap(self, tbs, lo, hi):
+        """Member (tb, b0, b1) spans overlapping [lo, hi] for one slot."""
+        spans = []
+        for tb in tbs:
+            b0, b1 = tb.overlapping(lo, hi)
+            if b0 < b1:
+                spans.append((tb, b0, b1))
+        return spans
+
+    def overlaps(self, lo, hi) -> bool:
+        return all(self._slot_overlap(tbs, lo, hi) for tbs in self.slot_tbs)
+
+    def window_bound(self, lo, hi) -> float:
+        slot_sums = []
+        for tbs, bms in zip(self.slot_tbs, self.slot_bms):
+            ssum = 0.0
+            any_member = False
+            for tb, bm in zip(tbs, bms):
+                b0, b1 = tb.overlapping(lo, hi)
+                if b0 < b1:
+                    any_member = True
+                    ssum += float(bm[b0:b1].max())
+            if not any_member:
+                return 0.0
+            slot_sums.append(ssum)
+        if self.q.slop > 0:
+            return _pad_bound(float(sum(slot_sums)))
+        return _pad_bound(min(slot_sums))
+
+    def windows(self, nwin: int) -> np.ndarray:
+        lead = min(self.slot_tbs, key=lambda tbs: sum(tb.doc_freq for tb in tbs))
+        parts = [_block_windows(tb, nwin) for tb in lead]
+        return np.unique(np.concatenate(parts))
+
+    def _window_cand(self, lo, hi):
+        """Candidate docs in [lo, hi]: intersection over slots of the
+        union of member docs — leapfrog-shaped: only the LEAD slot
+        (smallest summed doc_freq) decodes its overlapping blocks;
+        every other slot is PROBED (union of member probes) at the
+        surviving candidates."""
+        lead = min(self.slot_tbs, key=lambda tbs: sum(tb.doc_freq for tb in tbs))
+        spans = self._slot_overlap(lead, lo, hi)
+        if not spans:
+            return np.empty(0, np.int64)
+        parts = []
+        for tb, b0, b1 in spans:
+            d = np.concatenate([tb.decode(i)[0] for i in range(b0, b1)])
+            i0 = int(np.searchsorted(d, lo))
+            i1 = int(np.searchsorted(d, hi, side="right"))
+            if i0 < i1:
+                parts.append(d[i0:i1])
+        if not parts:
+            return np.empty(0, np.int64)
+        cand = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+        for tbs in self.slot_tbs:
+            if tbs is lead:
+                continue
+            if cand.size == 0:
+                break
+            pres_any = np.zeros(cand.size, dtype=bool)
+            for tb in tbs:
+                p, _ = _probe_blocks(tb, cand)
+                pres_any |= p
+            cand = cand[pres_any]
+        return cand
+
+    def _verify(self, cand):
+        rels = self.q.positions
+        if self.q.slop > 0:
+            return _verify_multi_sloppy(self.slot_tbs, rels, self.q.slop, cand)
+        return _verify_multi_exact(self.slot_tbs, rels, cand)
+
+    def window_postings(self, seg, lo, hi):
+        cand = self._window_cand(lo, hi)
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs, freqs = self._verify(cand)
+        if docs.size == 0:
+            return docs, np.empty(0, np.float64)
+        norms = self.slot_tbs[0][0].norms
+        return docs, self.psc.score(freqs, norms[docs]).astype(np.float64)
+
+    def window_docs(self, seg, lo, hi) -> np.ndarray:
+        d, _ = self.window_postings(seg, lo, hi)
+        return d
+
+    def probe(self, seg, docs):
+        cand = docs
+        for tbs in self.slot_tbs:
+            if cand.size == 0:
+                break
+            pres_any = np.zeros(cand.size, dtype=bool)
+            for tb in tbs:
+                p, _ = _probe_blocks(tb, cand)
+                pres_any |= p
+            cand = cand[pres_any]
+        pres = np.zeros(docs.size, dtype=bool)
+        sc = np.zeros(docs.size, dtype=np.float64)
+        if cand.size:
+            dd, ff = self._verify(cand)
+            if dd.size:
+                idx = np.searchsorted(docs, dd)
+                pres[idx] = True
+                norms = self.slot_tbs[0][0].norms
+                sc[idx] = self.psc.score(ff, norms[dd]).astype(np.float64)
         return pres, sc
 
 
@@ -1084,9 +1339,11 @@ def _block_windows(tb: TermBlocks, nwin: int) -> np.ndarray:
 
 def _make_leaf(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost: float = 1.0):
     """Leaf adapter for ``q``, or None when q is not leaf-adaptable
-    (sloppy phrases, multi-phrase, termless leaves — those shapes fall
-    back to the exhaustive kernel). Nested BooleanQuery trees recurse
-    into _BoolLeaf (WANDScorer-in-WANDScorer)."""
+    (termless leaves, multi-term-repeat sloppy multi-phrases — those
+    shapes fall back to the exhaustive kernel). Nested BooleanQuery
+    trees recurse into _BoolLeaf (WANDScorer-in-WANDScorer); sloppy
+    phrases and multi-phrases get concavity-bound leaves
+    (_SloppyLeaf/_MultiPhraseLeaf)."""
     if isinstance(q, ast.BoostQuery):
         return _make_leaf(seg, q.query, scorers, dtype, boost * q.boost)
     if isinstance(q, ast.BooleanQuery):
@@ -1131,13 +1388,28 @@ def _make_leaf(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost:
         key = ("t", q.term, boost) if boost != 1.0 else ("t", q.term)
         sc = scorers.get(key)
         return _TermLeaf(tb, sc) if sc is not None else None
-    if isinstance(q, ast.PhraseQuery) and q.slop == 0:
+    if isinstance(q, ast.PhraseQuery):
         tbs = [seg.term_blocks(t) for t in q.terms]
         if any(tb is None for tb in tbs):
             return _EMPTY_LEAF
         key = ("p", q.terms, boost) if boost != 1.0 else ("p", q.terms)
         sc = scorers.get(key)
-        return _PhraseLeaf(tbs, sc, q) if sc is not None else None
+        if sc is None:
+            return None
+        return _PhraseLeaf(tbs, sc, q) if q.slop == 0 else _SloppyLeaf(tbs, sc, q)
+    if isinstance(q, ast.MultiPhraseQuery):
+        if q.slop > 0:
+            flat = [t for slot in q.slots for t in slot]
+            if len(set(flat)) != len(flat):
+                return None  # hasMultiTermRpts -> exhaustive path decides
+        slot_tbs = []
+        for slot in q.slots:
+            tbs = [tb for tb in (seg.term_blocks(t) for t in slot) if tb is not None]
+            if not tbs:
+                return _EMPTY_LEAF
+            slot_tbs.append(tbs)
+        sc = scorers.get(("mp", q.slots, boost))
+        return _MultiPhraseLeaf(slot_tbs, sc, q) if sc is not None else None
     if isinstance(q, ast.ConstantScoreQuery):
         inner = _make_leaf(seg, q.query, scorers, dtype, 1.0)
         if inner is None:
@@ -1342,8 +1614,6 @@ def search_segment(
             heap = _term_topk(seg, q.term, scorers, k, th, dtype, sd)
             return heap.docs, _final_scores(heap.scores, dtype)
         if isinstance(q, ast.PhraseQuery) and q.slop == 0:
-            # sloppy phrases use dummy impacts in the reference too
-            # (SloppyPhraseMatcher.java:119-127) -> exhaustive path
             heap = _phrase_topk(seg, q, scorers, k, th, dtype, sd)
             return heap.docs, _final_scores(heap.scores, dtype)
         if isinstance(q, ast.BooleanQuery):
@@ -1375,9 +1645,20 @@ def search_segment(
                     return heap.docs, _final_scores(heap.scores, dtype)
         # boosted / constant-score / plain leaf at the root: run it as a
         # single-must WAND window scan (same pruning as _term_topk but
-        # with the boost-folded scorer)
+        # with the boost-folded scorer).  Sloppy phrases and
+        # multi-phrases route here too: the reference leaves them
+        # unpruned (SloppyPhraseMatcher.java:119-127 dummy impacts) but
+        # the _SloppyLeaf/_MultiPhraseLeaf concavity bounds are true
+        # upper bounds, so this engine prunes them rank-safely.
         if isinstance(
-            q, (ast.BoostQuery, ast.ConstantScoreQuery, ast.PhraseQuery, ast.TermQuery)
+            q,
+            (
+                ast.BoostQuery,
+                ast.ConstantScoreQuery,
+                ast.PhraseQuery,
+                ast.MultiPhraseQuery,
+                ast.TermQuery,
+            ),
         ):
             leaf = _make_leaf(seg, q, scorers, dtype)
             if leaf is not None:
