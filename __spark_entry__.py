@@ -513,8 +513,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def fuzzy_match(spark, sf_dir):
+        # "sacn"~1: a TRANSPOSITION case — matches "scan" only under
+        # the Damerau default (FuzzyQuery.java:73-76); plain
+        # Levenshtein distance is 2
         return _out_docs(
-            _searcher(spark, sf_dir).multi_term_docs("fuzzy", "scan", 1)
+            _searcher(spark, sf_dir).multi_term_docs("fuzzy", "sacn", 1)
         )
 
     def wildcard_match(spark, sf_dir):
@@ -781,7 +784,9 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "set_match": osql.multiterm_match_sql(
             "t IN ('merge', 'scan', 'vector', 'zzz_nonexistent')"
         ),
-        "fuzzy_match": osql.multiterm_match_sql("levenshtein(t, 'scan') <= 1"),
+        "fuzzy_match": osql.multiterm_match_sql(
+            "damerau_levenshtein(t, 'sacn') <= 1"
+        ),
         "wildcard_match": osql.multiterm_match_sql("t LIKE 'sc%n'"),
         "prefix_wide_match": osql.multiterm_match_sql("t LIKE 's%'"),
         "field_exists_match": osql.field_exists_sql(TITLE_WORDS),

@@ -26,10 +26,16 @@ Dialect notes (documented constraints, not hidden divergences):
   common subset (the reference uses its own RegExp automaton syntax;
   this engine targets the practical intersection). Matching is
   UNANCHORED like Spark ``rlike`` — anchor with ^$ for whole-term.
-- ``fuzzy`` is plain Levenshtein (no transpositions), mirroring Spark's
-  ``levenshtein()`` and DuckDB's; the reference's FuzzyQuery default
-  enables transpositions (Damerau) — callers needing that must expand
-  explicitly.
+- ``fuzzy`` defaults to TRANSPOSITION-AWARE edit distance like the
+  reference (``FuzzyQuery.java:73-76`` defaults transpositions=true);
+  args = (base, max_edits[, transpositions=True]) — pass False for the
+  plain-Levenshtein opt-out (Spark's ``levenshtein()`` semantics).
+  The variant implemented is the FULL Damerau-Levenshtein (matching
+  DuckDB's ``damerau_levenshtein``, the correctness oracle); the
+  reference's automaton implements the restricted variant (a
+  transposed pair cannot be edited again), which differs only on
+  pathological max_edits=2 shapes like "ca"~2 vs "abc" (full DL 2,
+  restricted 3) — ours is the more permissive of the two there.
 """
 
 from __future__ import annotations
@@ -80,6 +86,48 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def damerau_levenshtein(a: str, b: str) -> int:
+    """FULL Damerau-Levenshtein distance (insert/delete/substitute/
+    transpose, transpositions may be edited again) — the alphabet-map
+    dynamic program, semantics identical to DuckDB's
+    ``damerau_levenshtein`` (the gate oracle). The reference's
+    FuzzyQuery automaton (``FuzzyQuery.java:73-76`` transpositions
+    default) implements the restricted variant; see the module dialect
+    notes."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    maxdist = la + lb
+    da: dict = {}
+    d = [[maxdist] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)  # last row where b[j-1] appeared in a
+            l = db  # last column matched in this row
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitution
+                d[i + 1][j] + 1,  # insertion
+                d[i][j + 1] + 1,  # deletion
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transposition
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
 def bare_matcher(mode: str, args: tuple):
     """Predicate over BARE terms (field already stripped)."""
     if mode == "prefix":
@@ -93,13 +141,16 @@ def bare_matcher(mode: str, args: tuple):
         return lambda t: rx.search(t) is not None
     if mode == "fuzzy":
         base, max_edits = args[0], int(args[1])
+        transpositions = bool(args[2]) if len(args) > 2 else True
         me = max_edits
+        dist = damerau_levenshtein if transpositions else levenshtein
 
-        def _fz(t, base=base, me=me):
-            # cheap length screen before the DP
+        def _fz(t, base=base, me=me, dist=dist):
+            # cheap length screen before the DP (each edit op changes
+            # length by at most 1 under both variants)
             if abs(len(t) - len(base)) > me:
                 return False
-            return levenshtein(t, base) <= me
+            return dist(t, base) <= me
 
         return _fz
     if mode == "range":

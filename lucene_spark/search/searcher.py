@@ -827,8 +827,18 @@ class Searcher:
         if mode == "in_set":
             return F.col("term").isin([fielded(field, t) for t in args[0]])
         if mode == "fuzzy":
-            base, max_edits = args
-            return scope & (F.levenshtein(bare, F.lit(base)) <= max_edits)
+            base, max_edits = args[0], int(args[1])
+            transpositions = bool(args[2]) if len(args) > 2 else True
+            # Spark has no Damerau function; a transposition costs 1
+            # under DL but <= 2 plain-Levenshtein ops, so lev <= 2n is
+            # a SUPERSET of dl <= n — the scan predicate only prunes,
+            # the Python matcher (multiterm.term_key_matcher) decides
+            # membership in the kernels / expansion post-filter
+            cap = 2 * max_edits if transpositions else max_edits
+            lenscreen = (
+                F.abs(F.length(bare) - F.lit(len(base))) <= max_edits
+            )  # every DL op changes length by <= 1
+            return scope & lenscreen & (F.levenshtein(bare, F.lit(base)) <= cap)
         raise ValueError(f"unknown expansion mode {mode!r}")
 
     def expand_terms(
@@ -843,14 +853,31 @@ class Searcher:
         only when the expansion is known small."""
         import pyspark.sql.functions as F
 
+        from lucene_spark.search.multiterm import term_key_matcher
+
         td = self.term_dictionary().where(
             self._term_predicate(mode, *args, field=field)
         )
-        if max_expansions is not None:
+        # fuzzy-with-transpositions has a SUPERSET scan predicate
+        # (Spark lacks a Damerau function), so its TopTermsRewrite cap
+        # must apply AFTER the exact Python post-filter — else superset
+        # terms crowd out true matches; every other mode's predicate is
+        # exact, so the cap stays Spark-side (bounded driver collect)
+        superset = mode == "fuzzy" and (len(args) < 3 or bool(args[2]))
+        if max_expansions is not None and not superset:
             td = td.orderBy(F.desc("doc_freq"), F.asc("term")).limit(
                 int(max_expansions)
             )
-        return sorted(r["term"] for r in td.select("term").collect())
+        pred = term_key_matcher(mode, tuple(args), field)
+        rows = [
+            r
+            for r in td.select("term", "doc_freq").collect()
+            if pred(r["term"])
+        ]
+        if max_expansions is not None and superset:
+            rows.sort(key=lambda r: (-int(r["doc_freq"]), r["term"]))
+            rows = rows[: int(max_expansions)]
+        return sorted(r["term"] for r in rows)
 
     def explain(self, query, doc_id: int, dtype: str = "f32") -> dict:
         """IndexSearcher.explain analog (driver-side over the owning
@@ -910,13 +937,23 @@ class Searcher:
 
         index_dir = self.index_dir
 
+        mt_mode, mt_args, mt_field = mode, tuple(args), field
+
         def kernel(key, pdf):
             import pandas as pd
+
+            from lucene_spark.search.multiterm import term_key_matcher
 
             if pdf.empty:
                 return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
             seg = _load_segment_view(index_dir, str(key[0]), pdf)
-            parts = [tb.decode_all()[0] for tb in seg.terms.values()]
+            # the scan predicate is a SUPERSET for fuzzy (levenshtein
+            # cap stands in for Damerau); membership is decided by the
+            # one-source-of-truth Python matcher, like the kernels
+            pred = term_key_matcher(mt_mode, mt_args, mt_field)
+            parts = [
+                tb.decode_all()[0] for t, tb in seg.terms.items() if pred(t)
+            ]
             docs = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
             docs = docs[seg.live_mask(docs)]
             return pd.DataFrame({"doc_id": (docs + seg.doc_base).astype("int64")})

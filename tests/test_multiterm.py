@@ -54,7 +54,7 @@ def test_parser_multi_term_shapes():
 
 VOCAB = [
     "w0040", "w0041", "w0042", "w0049", "w0050", "w004", "w0042x",
-    "merge", "merga", "marge", "mergers", "scan", "a", "",
+    "merge", "merga", "marge", "mergers", "emrge", "scan", "a", "",
 ]
 
 
@@ -76,7 +76,10 @@ def test_matcher_semantics():
     }
     # unanchored regexp (rlike contract)
     assert "w0042x" in _matched("regexp", ("0042",))
-    assert _matched("fuzzy", ("merge", 1)) == {"merge", "merga", "marge"}
+    # Damerau default (FuzzyQuery.java:73-76): the transposition
+    # "emrge" is ONE edit; the plain-Levenshtein opt-out excludes it
+    assert _matched("fuzzy", ("merge", 1)) == {"merge", "merga", "marge", "emrge"}
+    assert _matched("fuzzy", ("merge", 1, False)) == {"merge", "merga", "marge"}
     assert _matched("fuzzy", ("merge", 2)) >= {"merge", "merga", "marge", "mergers"}
     # 2-arg range keeps the historical half-open [lo, hi) contract
     assert _matched("range", ("w0040", "w0049")) == {"w0040", "w0041", "w0042", "w0042x"}
@@ -104,15 +107,42 @@ def test_levenshtein_matches_reference_values():
     assert lev("merge", "merge") == 0
 
 
+def test_damerau_levenshtein_matches_duckdb():
+    """The Python Damerau implementation must agree with DuckDB's
+    ``damerau_levenshtein`` (the gate oracle) — full-DL semantics,
+    incl. the edited-after-transposition case the restricted variant
+    scores higher."""
+    import duckdb
+
+    dl = multiterm.damerau_levenshtein
+    assert dl("sacn", "scan") == 1  # the FuzzyQuery.java:73-76 default case
+    assert dl("ab", "ba") == 1
+    assert dl("CA", "ABC") == 2  # full DL; restricted/OSA would say 3
+    assert dl("kitten", "sitting") == 3
+    assert dl("", "ab") == 2 and dl("ab", "") == 2
+    con = duckdb.connect()
+    rng = np.random.default_rng(5)
+    alpha = "abcde"
+    for _ in range(500):
+        a = "".join(rng.choice(list(alpha), rng.integers(0, 8)))
+        b = "".join(rng.choice(list(alpha), rng.integers(0, 8)))
+        want = con.sql(
+            f"select damerau_levenshtein('{a}', '{b}')"
+        ).fetchone()[0]
+        assert dl(a, b) == want, (a, b)
+
+
 def test_spark_scan_predicate_equals_python_matcher(spark):
-    """The Spark Column predicate (scan filter) and the Python matcher
-    (kernel/serving/highlight) must select identical term sets — one
-    source of truth across planes."""
+    """The Spark Column predicate (scan filter) must select the SAME
+    term set as the Python matcher (kernel/serving/highlight) for exact
+    modes, and a SUPERSET for fuzzy-with-transpositions (Spark has no
+    Damerau function; the Python matcher decides membership)."""
     import pyspark.sql.functions as F
 
     vocab = sorted(
         {f"w{i:04d}" for i in range(0, 120, 7)}
-        | {"merge", "merga", "marge", "scan", "title\x1fw0042", "title\x1fmerge"}
+        | {"merge", "merga", "marge", "emrge", "marze", "scan",
+           "title\x1fw0042", "title\x1fmerge"}
     )
     df = spark.createDataFrame([(t,) for t in vocab], "term string")
     s = Searcher.__new__(Searcher)  # _term_predicate needs no state
@@ -122,6 +152,7 @@ def test_spark_scan_predicate_equals_python_matcher(spark):
         ("wildcard", ("w0?4*",), ""),
         ("regexp", ("^w0(0|1)14$",), ""),
         ("fuzzy", ("merge", 1), ""),
+        ("fuzzy", ("merge", 1, False), ""),
         ("range", ("w0007", "w0077"), ""),
         ("range", ("w0007", "w0077", True, True), ""),
         ("range", ("w0007", "w0077", False, False), ""),
@@ -136,7 +167,14 @@ def test_spark_scan_predicate_equals_python_matcher(spark):
         }
         pred = multiterm.term_key_matcher(mode, args, field)
         got_py = {t for t in vocab if pred(t)}
-        assert got_spark == got_py, (mode, args, field)
+        if mode == "fuzzy" and (len(args) < 3 or args[2]):
+            # superset scan: "emrge" (dl 1) must survive the scan;
+            # "marze" (dl 2, lev 2) may pass the scan but the matcher
+            # rejects it
+            assert got_spark >= got_py, (mode, args, field)
+            assert "emrge" in got_py and "marze" not in got_py
+        else:
+            assert got_spark == got_py, (mode, args, field)
 
 
 # ------------------------------------------------- engine vs oracle
