@@ -340,19 +340,31 @@ class Searcher:
         dtype: str = "f32",
         total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
         share_theta: bool = False,
+        direct: bool = True,
     ):
-        """Batched query evaluation: ONE stats job + ONE postings scan
-        answers the whole query set — the Spark-native shape for query
-        THROUGHPUT (per-query jobs are driver-scheduling-bound; a batch
-        amortizes the scan and runs every (segment, query) kernel in the
-        same stage). Returns DataFrame (query_id, doc_id, score, url)
-        with per-query rank contract identical to ``search``.
+        """Batched query evaluation: ONE stats job + ONE per-segment
+        stage answers the whole query set — the Spark-native shape for
+        query THROUGHPUT (per-query jobs are driver-scheduling-bound; a
+        batch amortizes the scan and runs every (segment, query) kernel
+        in the same stage). Returns DataFrame (query_id, doc_id, score,
+        url) with per-query rank contract identical to ``search``.
 
         ``queries``: list of query strings/ASTs, or {query_id: query}.
         ``share_theta`` is opt-in here too: the interleaved A/B
         (BENCH.md round 3) measured the champion pre-pass ~20% slower
         for the batch — the per-query pre-passes run serially on the
         driver while the batch stage would have amortized them anyway.
+
+        ``direct=True`` (default): one stage of segment tasks that read
+        their own term-pruned postings row groups and docmap rows with
+        pyarrow (the serving plane's access pattern, distributed), then
+        one tiny shuffle of <= S*Q*k hit rows for the global per-query
+        rank. The opt-out (``direct=False``) is the round-3 shape —
+        Catalyst postings scan -> repartition(S) -> kernel -> window ->
+        broadcast docmap join — kept for A/B; it shuffles every matched
+        postings BLOCK through the exchange and scans the full docmap to
+        resolve k urls, both of which cost fixed wall time per batch and
+        capped the 2->8-core batched scaling at 0.71 (BENCH.md round 4).
         """
         import pyspark.sql.functions as F
         from pyspark.sql.window import Window
@@ -379,6 +391,12 @@ class Searcher:
             )
         kqs, kk, kp, kd, kt = parsed, k, pruned, dtype, total_hits_threshold
         kseeds = seeds
+
+        if direct:
+            return self._search_many_direct(
+                parsed, all_terms, scorers, k, pruned, dtype,
+                total_hits_threshold, seeds,
+            )
 
         def kernel(key, pdf):
             import pandas as pd
@@ -420,6 +438,136 @@ class Searcher:
         )
         return (
             self.docmap.join(F.broadcast(topk), "doc_id")
+            .select("query_id", "doc_id", "score", "url")
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        )
+
+    def _search_many_direct(
+        self, parsed, all_terms, scorers, k, pruned, dtype, threshold,
+        seeds,
+    ):
+        """One-stage batched execution: a seed row per live segment is
+        hashed to its own task; each task reads its segment's
+        term-pruned postings row groups, term dictionary (MultiTermQuery
+        rewrites via ``multiterm.arrow_filters`` + the shared Python
+        matcher) and docmap hit rows directly with pyarrow — the same
+        storage access pattern the Catalyst scan compiles to, without
+        shipping postings blocks through an exchange. The only shuffle
+        is the final per-query rank over <= S*Q*k hit rows. At cluster
+        scale this is strictly less data movement than the scan shape:
+        postings stay on the (shared-storage) read path, never on the
+        shuffle path, and the docmap is probed per segment instead of
+        scanned per batch."""
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        index_dir = self.index_dir
+        kqs, kk, kp, kd, kt, kseeds = (
+            parsed, k, pruned, dtype, threshold, seeds,
+        )
+        terms_list = sorted(all_terms)
+        mt_leaves: list = []
+        seen: set = set()
+        for q in parsed.values():
+            for leaf in ast_mod.multi_term_leaves(q):
+                key = (leaf.mode, tuple(leaf.args), leaf.field)
+                if key not in seen:
+                    seen.add(key)
+                    mt_leaves.append(key)
+        kmt = mt_leaves
+        pcols = [
+            "term", "block_id", "num_docs", "first_doc", "last_doc",
+            "docs_bin", "tfs_bin", "pos_bin", "impact_tfs", "impact_norms",
+        ]
+
+        def one_segment(sid: str):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from lucene_spark.search import multiterm
+
+            need = set(terms_list)
+            for mode, margs, mfield in kmt:
+                filt = multiterm.arrow_filters(mode, margs, mfield)
+                t = pq.read_table(
+                    os.path.join(index_dir, "term_stats", f"segment_id={sid}"),
+                    columns=["term"],
+                    filters=filt,
+                )
+                pred = multiterm.term_key_matcher(mode, margs, mfield)
+                need.update(x for x in t["term"].to_pylist() if pred(x))
+            if need:
+                tbl = pq.read_table(
+                    os.path.join(index_dir, "postings", f"segment_id={sid}"),
+                    columns=pcols,
+                    filters=[("term", "in", sorted(need))],
+                )
+                pp = tbl.to_pandas()
+            else:
+                pp = pd.DataFrame(columns=pcols)
+            seg = _load_segment_view(index_dir, sid, pp)
+            out_q, out_d, out_s = [], [], []
+            for qid, q in kqs.items():
+                docs, scores = kernels.search_segment(
+                    seg, q, scorers, kk, pruned=kp, dtype=kd,
+                    total_hits_threshold=kt,
+                    seed_theta=kseeds.get(qid, -np.inf),
+                )
+                out_q.extend([qid] * docs.size)
+                out_d.append((docs + seg.doc_base).astype("int64"))
+                out_s.append(np.asarray(scores, dtype=np.float64))
+            gd = np.concatenate(out_d) if out_d else np.empty(0, "int64")
+            gs = np.concatenate(out_s) if out_s else np.empty(0, "float64")
+            if gd.size:
+                t = pq.read_table(
+                    os.path.join(index_dir, "docmap", f"segment_id={sid}"),
+                    columns=["doc_id", "url"],
+                    filters=[("doc_id", "in", np.unique(gd).tolist())],
+                )
+                did = t["doc_id"].to_numpy()
+                uarr = np.asarray(t["url"].to_pylist(), dtype=object)
+                order = np.argsort(did)
+                urls = uarr[order][np.searchsorted(did[order], gd)]
+            else:
+                urls = np.empty(0, dtype=object)
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="object"),
+                    "doc_id": gd,
+                    "score": gs,
+                    "url": pd.Series(urls, dtype="object"),
+                }
+            )
+
+        def kernel(batches):
+            # mapInPandas over an EXACTLY-partitioned seed RDD (one
+            # segment per partition, below): no shuffle, and no
+            # hash-collision skew — repartition(n, segment_id) buckets
+            # ~36% of partitions empty and some with 3-4 segments,
+            # which made the straggler task ~4x the median and capped
+            # batched scaling (BENCH.md round 4)
+            for pdf in batches:
+                for sid in pdf["segment_id"]:
+                    yield one_segment(str(sid))
+
+        seg_ids = sorted(self.live_segments)
+        n = max(1, len(seg_ids))
+        seed_df = self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(
+                [(sid,) for sid in seg_ids], n
+            ),
+            "segment_id string",
+        )
+        per_seg = seed_df.mapInPandas(
+            kernel, "query_id string, doc_id long, score double, url string"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            per_seg.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
             .select("query_id", "doc_id", "score", "url")
             .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
         )

@@ -59,7 +59,7 @@ def main(cpus: int, corpus: str, out_path: str) -> None:
         )
         build_s = time.time() - t0
 
-        searcher = Searcher(spark, index_dir, cache_stats=True)
+        searcher = Searcher(spark, index_dir, preload_stats=True)
         searcher.search("w0000", k=10).collect()  # warm
         qset = [q["query"] for q in make_queries()][::2]  # 40-query mix
         lat: dict = {}

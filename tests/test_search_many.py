@@ -40,6 +40,50 @@ def test_search_many_matches_search(searcher):
         assert got.get(q, []) == single, q
 
 
+HARD_QUERIES = [
+    "w0042",
+    "w004*",            # prefix (sargable arrow filter)
+    "w0042~1",          # fuzzy (Damerau; dictionary post-filter)
+    "w0001 AND w0002",
+    '"w0001 w0002"~2',  # sloppy phrase
+    "*",                # MatchAll/FieldExists — termless, norms-only
+    "w0000 OR w99999",  # one zero-hit arm
+]
+
+
+def test_direct_matches_legacy_batch(searcher):
+    """direct=True (one stage, task-side pyarrow reads) must be
+    bit-identical to the round-3 scan->shuffle->join shape, including
+    MultiTermQuery rewrites and termless leaves."""
+    a = searcher.search_many(
+        {q: q for q in HARD_QUERIES}, k=10, direct=True
+    ).collect()
+    b = searcher.search_many(
+        {q: q for q in HARD_QUERIES}, k=10, direct=False
+    ).collect()
+    norm = lambda rows: [
+        (r["query_id"], r["doc_id"], r["score"], r["url"]) for r in rows
+    ]
+    assert norm(a) == norm(b)
+    assert {r["query_id"] for r in a} >= {"w0042", "*", "w004*"}
+
+
+def test_direct_respects_deletes(spark, tmp_path, corpus):
+    from lucene_spark.index.deletes import delete_docs
+
+    d = str(tmp_path / "del_idx")
+    df = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in corpus], ["url", "text"]
+    )
+    build_index(spark, df, d, IndexConfig(num_segments=3, analyzer=ENGLISH))
+    s = Searcher(spark, d)
+    victims = [r["url"] for r in s.search("w0042", k=3).collect()]
+    delete_docs(spark, d, keys=victims)
+    s = Searcher(spark, d)
+    hits = s.search_many(["w0042"], k=10, direct=True).collect()
+    assert victims and not ({r["url"] for r in hits} & set(victims))
+
+
 def test_strided_build_same_answers(spark, tmp_path, corpus):
     df = spark.createDataFrame([(r["url"], r["text"]) for r in corpus], ["url", "text"])
     d1, d2 = str(tmp_path / "counted"), str(tmp_path / "strided")
