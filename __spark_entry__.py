@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 # time).
 ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
-_FORMAT_VERSION = "v5"  # v5: dense bit-set doc blocks
+_FORMAT_VERSION = "v6"  # v6: stored text column (highlight gate entry)
 _NUM_SEGMENTS = 4
 TITLE_WORDS = 8  # title field = first 8 whitespace words of text
 FIELD_TITLE_TERM = "merge"  # title df ~40/500 at sf0.01
@@ -58,6 +58,14 @@ MP_OFFS = (0, 1)
 BOOSTS = [("merge", 2.5), ("window", 0.5)]  # dyadic => exact doubles
 CONST_MUST, CONST_NOT = ["merge"], ["scan"]
 K = 10
+GROUP_N, GROUP_K = 4, 2  # grouping: top-4 langs, top-2 docs each
+# overlapping n_chars ranges (inc_lo=True, inc_hi=False defaults)
+FACET_RANGES = [
+    ("short", None, 150),
+    ("mid", 100, 350),
+    ("long", 300, None),
+    ("all", None, None),
+]
 
 
 # --------------------------------------------------------------- index mgmt
@@ -102,6 +110,7 @@ def _searcher(spark: SparkSession, sf_dir: str):
         # range partitioning on doc_id keeps internal ids == doc_id
         # (deterministic tie-breaks mirrored by the oracle's ORDER BY)
         pid_expr=f"int(cast(url as bigint) / {chunk})",
+        stored_cols=("text",),  # highlight reads the stored source
     )
     build_index(spark, pages, index_dir, cfg)  # resumes if already built
     s = Searcher(spark, index_dir)
@@ -551,6 +560,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("facet")
         )
 
+    def group_topk(spark, sf_dir):
+        # lucene/grouping two-pass (FirstPassGroupingCollector +
+        # TopGroupsCollector): top GROUP_N groups by best f64 BM25 doc
+        # score, top GROUP_K docs within each — two window ranks,
+        # no driver collection
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        out = _searcher(spark, sf_dir).group_topk(
+            TERM, docs.select("doc_id", "lang"), group_col="lang",
+            n_groups=GROUP_N, k=GROUP_K, dtype="f64",
+        )
+        return out.select(
+            "lang", "group_rank", "rank",
+            F.col("doc_id").cast("long").alias("doc_id"), "url", "score",
+        )
+
+    def facet_ranges(spark, sf_dir):
+        # LongRangeFacetCounts: OVERLAPPING ranges over n_chars = one
+        # conditional-sum aggregation over the match set (each doc
+        # counts in every containing range)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return _searcher(spark, sf_dir).facet_ranges(
+            TERM, docs.select("doc_id", "n_chars"), "n_chars", FACET_RANGES
+        )
+
+    def highlight_topk(spark, sf_dir):
+        # UnifiedHighlighter re-analysis best-passage snippets over the
+        # stored text of the f64 top-k (single window, 24 emitted
+        # tokens); the oracle reproduces the UAX#29 offsets via prefix
+        # sums — exact on this single-space ASCII corpus
+        return _searcher(spark, sf_dir).highlight(
+            TERM, k=K, max_passages=1, passage_tokens=24, dtype="f64"
+        )
+
     def sort_by_field(spark, sf_dir):
         matched = _out_docs(_searcher(spark, sf_dir).match_docs(TERM_RARE))
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -668,21 +710,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE: the driver's correctness gate records at most 50 entries in
     # REGISTRATION ORDER — entries the r2 gate never reached (the emb_*
-    # / events_sessionize tail) therefore come FIRST, and redundant
-    # near-duplicates of already-gated paths (rare-term twins, literal
-    # IVF SQL forms, subset dedup variants) were consolidated out of the
-    # gate; they remain covered by tests/ (see NOTES.md).
+    # / events_sessionize tail) and the round-4 additions (grouping /
+    # range facets / highlight, previously tests-only surfaces) come
+    # FIRST; redundant near-duplicates of already-gated paths were
+    # consolidated past the cap (see the tail of this dict): term_topk
+    # (the same TermQuery leaf is gate-proven via serve_term_topk +
+    # squeeze_term_topk and every *_topk tree entry), multi_phrase_match
+    # (subsumed by multi_phrase_topk's match+score), emb_ivf_topk2
+    # (same join-form plan gate-proven at C=64). They remain runnable
+    # and covered by tests/ (see NOTES.md).
     q.update(
         events_sessionize=_sql_events(windows.sessionize_sql),
         emb_cosine_topk=emb_cosine_topk,
         emb_near_dup_pairs=emb_near_dup_pairs,
         emb_ivf_assign_arr=emb_ivf_assign_arr,
-        emb_ivf_topk2=emb_ivf_topk2,
         emb_ivf_topk_c64=emb_ivf_topk_c64,
+        group_topk=group_topk,
+        facet_ranges=facet_ranges,
+        highlight_topk=highlight_topk,
         nested_bool_topk=nested_bool_topk,
         mt_tree_topk=mt_tree_topk,
         term_postings=term_postings,
-        term_topk=term_topk,
         serve_term_topk=serve_term_topk,
         squeeze_term_topk=squeeze_term_topk,
         bool_and_topk=bool_and_topk,
@@ -693,7 +741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         phrase_topk=phrase_topk,
         phrase_sloppy_topk=phrase_sloppy_topk,
         phrase_sloppy_match=phrase_sloppy_match,
-        multi_phrase_match=multi_phrase_match,
         multi_phrase_topk=multi_phrase_topk,
         boost_or_topk=boost_or_topk,
         const_score_match=const_score_match,
@@ -725,6 +772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_simhash=_sql_docs(lambda d: dedup.simhash_spark_sql()),
         media_features=media_features,
         events_tumbling=_sql_events(windows.tumbling_counts_sql),
+        # ---- past the 50-entry gate cap (consolidated, still runnable)
+        term_topk=term_topk,
+        multi_phrase_match=multi_phrase_match,
+        emb_ivf_topk2=emb_ivf_topk2,
     )
     return q
 
@@ -801,6 +852,9 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "classic_tfidf": osql.classic_tfidf_sql(TERM),
         "facet_count": osql.facet_count_sql(TERM, "lang"),
         "sort_by_field": osql.sort_by_field_sql(TERM_RARE, "n_chars", K),
+        "group_topk": osql.group_topk_sql(TERM, "lang", GROUP_N, GROUP_K),
+        "facet_ranges": osql.facet_ranges_sql(TERM, FACET_RANGES, "n_chars"),
+        "highlight_topk": osql.highlight_topk_sql(TERM, K, 24),
         "token_count": text.token_count_sql(DUCK),
         "quality_score": text.quality_sql(DUCK),
         "lang_id": text.lang_id_sql(DUCK),

@@ -577,3 +577,148 @@ def field_exists_sql(title_words: int = 8, table: str = "documents") -> str:
 SELECT CAST(doc_id AS BIGINT) AS doc_id
 FROM docs WHERE len(ttoks) > 0
 ORDER BY doc_id"""
+
+
+def group_topk_sql(
+    term: str, group_col: str = "lang", n_groups: int = 4, k: int = 2,
+    table: str = "documents",
+) -> str:
+    """Grouping two-pass (``Searcher.group_topk``): top ``n_groups``
+    groups by best doc score (tie: doc asc, group asc), top ``k`` docs
+    within each. Mirrors the engine's two window ranks exactly; the
+    engine's NULL group cannot arise here (every doc carries
+    ``group_col``)."""
+    return f"""WITH {base_ctes(table)},
+{_df_cte([term])},
+scored AS (
+  SELECT d.doc_id, {_score(_idf(0), _tf(term))} AS score, t.{group_col} AS grp
+  FROM docs d, stats, dfs
+  JOIN {table} t ON t.doc_id = d.doc_id
+  WHERE {_tf(term)} > 0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY grp ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+),
+heads AS (
+  SELECT grp, CAST(row_number() OVER (
+      ORDER BY score DESC, doc_id ASC, grp ASC) AS INTEGER) AS group_rank
+  FROM ranked WHERE rank = 1
+  ORDER BY score DESC, doc_id ASC, grp ASC
+  LIMIT {n_groups}
+)
+SELECT r.grp AS {group_col}, h.group_rank, r.rank,
+       CAST(r.doc_id AS BIGINT) AS doc_id,
+       printf('%012d', r.doc_id) AS url, r.score
+FROM ranked r JOIN heads h ON r.grp = h.grp
+WHERE r.rank <= {k}
+ORDER BY h.group_rank, r.rank"""
+
+
+def facet_ranges_sql(
+    term: str, ranges, value_col: str = "n_chars", table: str = "documents",
+) -> str:
+    """Range facets (``Searcher.facet_ranges``): per-range counts over
+    the term's match set; ranges may OVERLAP (conditional sums, not a
+    bucketing GROUP BY). ``ranges``: (label, lo, hi[, inc_lo, inc_hi]),
+    defaults inc_lo=True / inc_hi=False like the engine."""
+    selects = []
+    for r in ranges:
+        label, lo, hi = r[0], r[1], r[2]
+        inc_lo = bool(r[3]) if len(r) > 3 else True
+        inc_hi = bool(r[4]) if len(r) > 4 else False
+        conds = []
+        if lo is not None:
+            conds.append(f"v {'>=' if inc_lo else '>'} {lo}")
+        if hi is not None:
+            conds.append(f"v {'<=' if inc_hi else '<'} {hi}")
+        body = (
+            f"count(*) FILTER (WHERE {' AND '.join(conds)})"
+            if conds else "count(*)"
+        )
+        selects.append(
+            f"SELECT '{label}' AS label, CAST({body} AS BIGINT) AS count FROM vals"
+        )
+    u = "\nUNION ALL ".join(selects)
+    return f"""WITH {base_ctes(table)},
+vals AS (
+  SELECT t.{value_col} AS v
+  FROM docs d JOIN {table} t ON t.doc_id = d.doc_id
+  WHERE {_tf(term)} > 0
+)
+{u}"""
+
+
+def highlight_topk_sql(
+    term: str, k: int = 10, passage_tokens: int = 24,
+    table: str = "documents",
+) -> str:
+    """Single-term best-passage highlight over the top-k
+    (``Searcher.highlight`` with max_passages=1): windows of
+    ``passage_tokens`` EMITTED (post-stopword) tokens, best window =
+    (most occurrences, earliest) — the engine's (-uniq, -occ, w0) key
+    degenerates to that for one term — char span from the window's
+    first emitted token start to its last emitted token end, each
+    occurrence wrapped <b></b>, '...' unless the window touches the
+    document edge. Valid because this corpus's text is single-space
+    token-joined ASCII, so prefix sums over raw tokens reproduce the
+    UAX#29 re-analysis offsets the engine reads
+    (``uhighlight/UnifiedHighlighter.java`` OffsetSource.ANALYSIS)."""
+    return f"""WITH {base_ctes(table)},
+{_df_cte([term])},
+topk AS (
+  SELECT doc_id, {_score(_idf(0), _tf(term))} AS score
+  FROM docs, stats, dfs
+  WHERE {_tf(term)} > 0
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+),
+rt AS (
+  SELECT d.doc_id, unnest(d.raw) AS tok,
+         unnest(range(1, len(d.raw) + 1)) AS i
+  FROM docs d JOIN topk USING (doc_id)
+),
+pos AS (
+  SELECT doc_id, tok, i,
+         coalesce(sum(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+  FROM rt
+),
+em AS (
+  SELECT doc_id, tok, cs, cs + length(tok) AS ce,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS eidx
+  FROM pos WHERE tok NOT IN ({_STOP})
+),
+wstats AS (
+  SELECT doc_id, eidx // {passage_tokens} AS w, count(*) AS occ
+  FROM em WHERE tok = '{term}' GROUP BY doc_id, eidx // {passage_tokens}
+),
+best AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, w,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY occ DESC, w ASC) AS rn
+    FROM wstats) WHERE rn = 1
+),
+span AS (
+  SELECT e.doc_id, min(e.cs) AS s0, max(e.ce) AS e1,
+         min(e.eidx) AS we0, max(e.eidx) AS we1
+  FROM em e JOIN best b
+    ON e.doc_id = b.doc_id AND e.eidx // {passage_tokens} = b.w
+  GROUP BY e.doc_id
+),
+ncnt AS (SELECT doc_id, count(*) AS n FROM em GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       printf('%012d', t.doc_id) AS url, t.score,
+       (CASE WHEN s.we0 = 0 THEN '' ELSE '...' END) ||
+       regexp_replace(substring(d.text, CAST(s.s0 + 1 AS BIGINT),
+                                CAST(s.e1 - s.s0 AS BIGINT)),
+                      '\\b{term}\\b', '<b>{term}</b>', 'g') ||
+       (CASE WHEN s.we1 = c.n - 1 THEN '' ELSE '...' END) AS snippet
+FROM topk t
+JOIN span s ON s.doc_id = t.doc_id
+JOIN ncnt c ON c.doc_id = t.doc_id
+JOIN {table} d ON d.doc_id = t.doc_id
+ORDER BY t.score DESC, t.doc_id ASC"""
