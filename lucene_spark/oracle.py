@@ -179,29 +179,36 @@ class OracleIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         """MultiPhraseQuery: any member term per slot; slot positions =
         union of member positions; idf = sum over ALL member terms
-        (MultiPhraseQuery.java:218-237). slop > 0 runs the no-repeats
-        SloppyPhraseMatcher over the union lists (float32 sloppyFreq);
-        slots sharing a term (hasMultiTermRpts) are rejected."""
-        flat_terms = [t for slot in q.slots for t in slot]
-        if q.slop > 0 and len(set(flat_terms)) != len(flat_terms):
-            raise NotImplementedError(
-                "sloppy MultiPhraseQuery with repeated terms across "
-                "slots (hasMultiTermRpts) is out of scope"
-            )
+        (MultiPhraseQuery.java:218-237). slop > 0 runs the
+        SloppyPhraseMatcher over the union lists (float32 sloppyFreq),
+        including slots sharing a term (hasMultiTermRpts repeat
+        machinery)."""
         slot_entries = []
+        slot_present = []
         for slot in q.slots:
-            es = [self.postings[t] for t in slot if t in self.postings]
+            present = [t for t in slot if t in self.postings]
+            es = [self.postings[t] for t in present]
             if not es:
                 return np.empty(0, np.int64), np.empty(0, np.float32)
             slot_entries.append(es)
+            slot_present.append(tuple(present))
         docs = None
         for es in slot_entries:
             d = np.unique(np.concatenate([e[0] for e in es]))
             docs = d if docs is None else np.intersect1d(docs, d, assume_unique=True)
             if docs.size == 0:
                 return docs, np.empty(0, np.float32)
-        from lucene_spark.search.sloppy import sloppy_freq
+        from lucene_spark.search.sloppy import (
+            multi_repeat_groups,
+            sloppy_freq,
+            sloppy_freq_repeats,
+        )
 
+        groups, mtr = (
+            multi_repeat_groups(slot_present)
+            if q.slop > 0
+            else (None, False)
+        )
         freqs = np.zeros(
             docs.size, dtype=np.float64 if q.slop > 0 else np.int64
         )
@@ -220,7 +227,13 @@ class OracleIndex:
             if slot_pos is None:
                 continue
             if q.slop > 0:
-                freqs[i] = sloppy_freq(slot_pos, q.positions, q.slop)
+                freqs[i] = (
+                    sloppy_freq(slot_pos, q.positions, q.slop)
+                    if groups is None
+                    else sloppy_freq_repeats(
+                        slot_pos, q.positions, q.slop, groups, mtr
+                    )
+                )
             else:
                 cand = None
                 for pos, rel in zip(slot_pos, q.positions):

@@ -69,8 +69,8 @@ class MultiPhraseQuery(Query):
     slots: tuple  # tuple[tuple[str, ...], ...]
     positions: tuple
     # slop > 0 = sloppy matching over per-slot UNION positions
-    # (UnionPostingsEnum + SloppyPhraseMatcher); slots sharing a term
-    # (hasMultiTermRpts) are rejected — documented out of scope
+    # (UnionPostingsEnum + SloppyPhraseMatcher), incl. slots sharing a
+    # term (the hasMultiTermRpts repeat machinery)
     slop: int = 0
 
 
@@ -205,15 +205,8 @@ def _rewrite_once(q: Query) -> Query:
                 should=tuple(TermQuery(t) for t in q.slots[0]),
                 min_should_match=1,
             )
-        if q.slop > 0:
-            flat = [t for slot in q.slots for t in slot]
-            if len(set(flat)) != len(flat):
-                # driver-side rejection (documented out of scope): never
-                # let hasMultiTermRpts shapes reach the executors
-                raise NotImplementedError(
-                    "sloppy MultiPhraseQuery with repeated terms across "
-                    "slots (hasMultiTermRpts) is out of scope"
-                )
+        # slots sharing a term (hasMultiTermRpts) are handled by the
+        # repeat machinery in lucene_spark.search.sloppy
         return q
     if isinstance(q, BoostQuery):
         c = rewrite(q.query)

@@ -418,24 +418,24 @@ def _multi_phrase_doc_freqs(seg: SegmentView, q: ast.MultiPhraseQuery):
     """MultiPhraseQuery matching (``search/MultiPhraseQuery.java`` via
     ``UnionPostingsEnum``): each slot accepts any of its member terms;
     slot positions are the union of member positions. slop == 0 is the
-    vectorized exact intersection; slop > 0 runs the no-repeats
-    SloppyPhraseMatcher over the union lists (the reference's
-    hasRpts=false path — slots sharing a term, hasMultiTermRpts, are
-    rejected as out of scope), with the same vectorized pairwise-band
-    pre-filter as single-term sloppy phrases."""
-    if q.slop > 0:
-        flat_terms = [t for slot in q.slots for t in slot]
-        if len(set(flat_terms)) != len(flat_terms):
-            raise NotImplementedError(
-                "sloppy MultiPhraseQuery with repeated terms across "
-                "slots (hasMultiTermRpts) is out of scope"
-            )
+    vectorized exact intersection; slop > 0 runs the SloppyPhraseMatcher
+    over the union lists — including slots sharing a term
+    (hasMultiTermRpts, ``SloppyPhraseMatcher.java:453-472,575-600``:
+    bipartite-component repeat groups, dynamic collision resolution at
+    init) — with the same vectorized pairwise-band pre-filter as
+    single-term sloppy phrases."""
     slot_tbs: list = []
+    slot_present: list = []
     for slot in q.slots:
-        tbs = [tb for tb in (seg.term_blocks(t) for t in slot) if tb is not None]
-        if not tbs:
+        pairs = [
+            (t, tb)
+            for t, tb in ((t, seg.term_blocks(t)) for t in slot)
+            if tb is not None
+        ]
+        if not pairs:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        slot_tbs.append(tbs)
+        slot_present.append(tuple(t for t, _ in pairs))
+        slot_tbs.append([tb for _, tb in pairs])
     docs = None
     for tbs in slot_tbs:
         d = np.unique(np.concatenate([tb.decode_all()[0] for tb in tbs]))
@@ -447,15 +447,27 @@ def _multi_phrase_doc_freqs(seg: SegmentView, q: ast.MultiPhraseQuery):
         return docs, np.empty(0, np.int64)
     rels = q.positions
     if q.slop > 0:
-        return _verify_multi_sloppy(slot_tbs, rels, q.slop, docs)
+        return _verify_multi_sloppy(slot_tbs, rels, q.slop, docs, slot_present)
     return _verify_multi_exact(slot_tbs, rels, docs)
 
 
-def _verify_multi_sloppy(slot_tbs, rels, slop: int, docs: np.ndarray):
+def _verify_multi_sloppy(slot_tbs, rels, slop: int, docs: np.ndarray,
+                         slot_terms=None):
     """Sloppy verification over slot-union positions: the pairwise
-    within-slop band pre-filter (necessary condition, vectorized), then
-    the exact greedy matcher per surviving doc — float32 sloppyFreq."""
-    from lucene_spark.search.sloppy import sloppy_freq
+    within-slop band pre-filter (necessary condition even with repeats
+    — every pp of a true match sits inside the <=slop window), then the
+    exact greedy matcher per surviving doc — float32 sloppyFreq.
+    ``slot_terms``: per-slot PRESENT terms for repeat-group detection
+    (slots sharing a term take the repeat/hasMultiTermRpts machinery)."""
+    from lucene_spark.search.sloppy import (
+        multi_repeat_groups,
+        sloppy_freq,
+        sloppy_freq_repeats,
+    )
+
+    groups, mtr = (
+        multi_repeat_groups(slot_terms) if slot_terms else (None, False)
+    )
 
     slot_keys = [
         _slot_union_keys(tbs, docs, rel) for tbs, rel in zip(slot_tbs, rels)
@@ -497,7 +509,10 @@ def _verify_multi_sloppy(slot_tbs, rels, slop: int, docs: np.ndarray):
         pls = [sl[i] for sl in per_slot_lists]
         if any(p.size == 0 for p in pls):
             continue
-        freqs[i] = sloppy_freq(pls, rels, slop)
+        if groups is None:
+            freqs[i] = sloppy_freq(pls, rels, slop)
+        else:
+            freqs[i] = sloppy_freq_repeats(pls, rels, slop, groups, mtr)
     hit = freqs > 0
     return docs[hit], freqs[hit]
 
@@ -945,12 +960,15 @@ class _MultiPhraseLeaf:
     both padded one relative epsilon (_pad_bound) for f32 rounding;
     pruned == exhaustive bit-identically."""
 
-    __slots__ = ("slot_tbs", "psc", "q", "slot_bms", "doc_freq")
+    __slots__ = ("slot_tbs", "psc", "q", "slot_bms", "doc_freq",
+                 "slot_terms")
 
-    def __init__(self, slot_tbs, psc, q: ast.MultiPhraseQuery):
+    def __init__(self, slot_tbs, psc, q: ast.MultiPhraseQuery,
+                 slot_terms=None):
         self.slot_tbs = slot_tbs
         self.psc = psc
         self.q = q
+        self.slot_terms = slot_terms
         self.slot_bms = [
             [tb.block_max_scores(psc) for tb in tbs] for tbs in slot_tbs
         ]
@@ -1027,7 +1045,9 @@ class _MultiPhraseLeaf:
     def _verify(self, cand):
         rels = self.q.positions
         if self.q.slop > 0:
-            return _verify_multi_sloppy(self.slot_tbs, rels, self.q.slop, cand)
+            return _verify_multi_sloppy(
+                self.slot_tbs, rels, self.q.slop, cand, self.slot_terms
+            )
         return _verify_multi_exact(self.slot_tbs, rels, cand)
 
     def window_postings(self, seg, lo, hi):
@@ -1398,18 +1418,22 @@ def _make_leaf(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost:
             return None
         return _PhraseLeaf(tbs, sc, q) if q.slop == 0 else _SloppyLeaf(tbs, sc, q)
     if isinstance(q, ast.MultiPhraseQuery):
-        if q.slop > 0:
-            flat = [t for slot in q.slots for t in slot]
-            if len(set(flat)) != len(flat):
-                return None  # hasMultiTermRpts -> exhaustive path decides
         slot_tbs = []
+        slot_present = []
         for slot in q.slots:
-            tbs = [tb for tb in (seg.term_blocks(t) for t in slot) if tb is not None]
-            if not tbs:
+            pairs = [
+                (t, tb)
+                for t, tb in ((t, seg.term_blocks(t)) for t in slot)
+                if tb is not None
+            ]
+            if not pairs:
                 return _EMPTY_LEAF
-            slot_tbs.append(tbs)
+            slot_present.append(tuple(t for t, _ in pairs))
+            slot_tbs.append([tb for _, tb in pairs])
         sc = scorers.get(("mp", q.slots, boost))
-        return _MultiPhraseLeaf(slot_tbs, sc, q) if sc is not None else None
+        if sc is None:
+            return None
+        return _MultiPhraseLeaf(slot_tbs, sc, q, slot_present)
     if isinstance(q, ast.ConstantScoreQuery):
         inner = _make_leaf(seg, q.query, scorers, dtype, 1.0)
         if inner is None:

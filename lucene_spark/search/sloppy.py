@@ -167,10 +167,70 @@ class _RefPQ:
         heap[i] = node
 
 
-def sloppy_freq_repeats(pos_lists, offsets, slop: int, groups) -> float:
+def multi_repeat_groups(slot_terms) -> "tuple[list | None, bool]":
+    """Repeat-group detection for MultiPhraseQuery slots —
+    ``repeatingTerms`` + ``repeatingPPs`` + ``gatherRptGroups``
+    (``SloppyPhraseMatcher.java:505-560,620-690``). Returns
+    (groups, has_multi_term_rpts): groups = lists of slot indices, or
+    None when no term appears in two slots. ``slot_terms[i]`` must be
+    the slot's terms PRESENT in the segment (absent terms contribute no
+    positions, hence no collisions).
+
+    Without multi-term repeats (every repeating slot is single-term)
+    grouping per shared term reproduces the reference's positional
+    first-doc grouping: same term => same first position => collision;
+    distinct single terms never collide at placeFirstPositions. With
+    multi-term repeats the reference computes connected components of
+    the slot x repeating-term bipartite graph (``unionTermGroups``) to
+    catch hidden collisions — reproduced with a union-find over
+    repeating terms co-occurring in a slot."""
+    cnt: dict = {}
+    for slot in slot_terms:
+        for t in dict.fromkeys(slot):
+            cnt[t] = cnt.get(t, 0) + 1
+    rset = {t for t, c in cnt.items() if c >= 2}
+    if not rset:
+        return None, False
+    rpp = [i for i, slot in enumerate(slot_terms) if rset & set(slot)]
+    has_mtr = any(len(set(slot_terms[i])) > 1 for i in rpp)
+    if not has_mtr:
+        by_term: dict = {}
+        for i in rpp:
+            by_term.setdefault(slot_terms[i][0], []).append(i)
+        groups = [g for g in by_term.values() if len(g) > 1]
+        return (groups or None), False
+    parent = {t: t for t in rset}
+
+    def find(t):
+        while parent[t] != t:
+            parent[t] = parent[parent[t]]
+            t = parent[t]
+        return t
+
+    for i in rpp:
+        ts = [t for t in dict.fromkeys(slot_terms[i]) if t in rset]
+        for b in ts[1:]:
+            ra, rb = find(ts[0]), find(b)
+            if ra != rb:
+                parent[rb] = ra
+    by_root: dict = {}
+    for i in rpp:
+        roots = {find(t) for t in slot_terms[i] if t in rset}
+        # slots with rpt terms in two components already unioned them
+        by_root.setdefault(roots.pop(), []).append(i)
+    return list(by_root.values()), True
+
+
+def sloppy_freq_repeats(
+    pos_lists, offsets, slop: int, groups, mtr: bool = False
+) -> float:
     """Sloppy frequency for phrases with REPEATED terms — a faithful
-    port of ``SloppyPhraseMatcher``'s repeat machinery (the
-    single-term-per-slot case; ``hasMultiTermRpts`` is out of scope):
+    port of ``SloppyPhraseMatcher``'s repeat machinery. ``mtr=True`` =
+    the multi-term-repeats variant (``hasMultiTermRpts``): slots are
+    union postings lists and the same term can hide in several slots,
+    so per-doc initialization resolves collisions dynamically
+    (``advanceRepeatGroups`` case 2) instead of the fixed rank-r
+    advancement:
 
     - per-doc init: all pps to their first position, then each repeat
       group (sorted by query offset) advances its rank-r member r
@@ -220,23 +280,6 @@ def sloppy_freq_repeats(pos_lists, offsets, slop: int, groups) -> float:
             state["end"] = pos[i]
         return True
 
-    # initComplex: placeFirstPositions + advanceRepeatGroups + fillQueue
-    for i in range(n):
-        if counts[i] == 0:
-            return 0.0
-        idx[i] = 0
-        pos[i] = int(pos_lists[i][0]) - offs[i]
-    for rg in rgs:
-        for jj in range(1, len(rg)):
-            for _ in range(jj):
-                if not next_position(rg[jj]):
-                    return 0.0  # PPs exhausted
-    pq = _RefPQ(n, pos, offs)
-    for i in range(n):  # fillQueue: ord order, raises end
-        if pos[i] > state["end"]:
-            state["end"] = pos[i]
-        pq.add(i)
-
     def tp_pos(i: int) -> int:
         return pos[i] + offs[i]
 
@@ -251,6 +294,45 @@ def sloppy_freq_repeats(pos_lists, offsets, slop: int, groups) -> float:
         if pos[a] < pos[b] or (pos[a] == pos[b] and offs[a] < offs[b]):
             return a
         return b
+
+    # initComplex: placeFirstPositions + advanceRepeatGroups + fillQueue
+    for i in range(n):
+        if counts[i] == 0:
+            return 0.0
+        idx[i] = 0
+        pos[i] = int(pos_lists[i][0]) - offs[i]
+    if mtr:
+        # advanceRepeatGroups case 2 (SloppyPhraseMatcher.java:453-472):
+        # collisions are not known statically — resolve each in turn by
+        # advancing the lesser pp; if a pp EARLIER in the (offset-
+        # sorted) group moved, redo from that group position (incr=0)
+        for rg in rgs:
+            gi = 0
+            while gi < len(rg):
+                incr = 1
+                pp = rg[gi]
+                while True:
+                    k = collide(pp)
+                    if k < 0:
+                        break
+                    pp2 = lesser(pp, rg[k])
+                    if not advance_pp(pp2):
+                        return 0.0  # PPs exhausted
+                    if rpt_ind[pp2] < gi:
+                        incr = 0
+                        break
+                gi += incr
+    else:
+        for rg in rgs:
+            for jj in range(1, len(rg)):
+                for _ in range(jj):
+                    if not next_position(rg[jj]):
+                        return 0.0  # PPs exhausted
+    pq = _RefPQ(n, pos, offs)
+    for i in range(n):  # fillQueue: ord order, raises end
+        if pos[i] > state["end"]:
+            state["end"] = pos[i]
+        pq.add(i)
 
     def advance_rpts(i: int) -> bool:
         if group_of[i] < 0:

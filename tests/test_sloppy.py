@@ -294,7 +294,9 @@ def test_multi_phrase_sloppy_spark_plane(pair):
         assert np.float32(row["score"]) == np.float32(es)
 
 
-def test_multi_phrase_sloppy_rejects_shared_terms():
+def test_multi_phrase_sloppy_shared_terms_supported():
+    # hasMultiTermRpts shapes (previously rejected) now run the repeat
+    # machinery end-to-end; count agrees with the exhaustive search
     from lucene_spark.search.local import LocalIndex
 
     corpus = make_pages(50)
@@ -302,11 +304,9 @@ def test_multi_phrase_sloppy_rejects_shared_terms():
     q = ast.MultiPhraseQuery(
         slots=(("w0000", "w0001"), ("w0001",)), positions=(0, 1), slop=2
     )
-    # rejected at REWRITE time (driver-side), before any kernel runs
-    with pytest.raises(NotImplementedError):
-        ast.rewrite(q)
-    with pytest.raises(NotImplementedError):
-        engine.count(q)
+    assert ast.rewrite(q) == q
+    hits = engine.search(q, k=1000, pruned=False)
+    assert engine.count(q) == len(hits) > 0
 
 
 def test_degenerate_phrase_shapes_rewrite():

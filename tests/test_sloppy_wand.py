@@ -79,6 +79,11 @@ def _shapes():
         # sloppy multi-phrase (no repeats across slots)
         MP([("w0000", "w0003"), ("w0001",)], slop=2),
         MP([("w0000",), ("w0001", "w0004"), ("w0002",)], slop=3),
+        # sloppy multi-phrase WITH repeats across slots
+        # (hasMultiTermRpts: bipartite repeat groups + dynamic init)
+        MP([("w0000", "w0001"), ("w0001",)], slop=2),
+        MP([("w0000", "w0001"), ("w0001", "w0002")], slop=2),
+        MP([("w0000",), ("w0000", "w0002")], slop=3),
         # boolean trees with sloppy/multi-phrase CLAUSES: the clause
         # must become a _SloppyLeaf/_MultiPhraseLeaf inside _BoolLeaf
         ast.BooleanQuery(
@@ -135,14 +140,25 @@ def test_sloppy_wand_f64_mirror(engine):
         assert a == b, q
 
 
-def test_multi_term_rpts_still_rejected(engine):
-    """Sloppy multi-phrase with a term shared across slots keeps its
-    documented NotImplementedError (hasMultiTermRpts) on BOTH paths."""
-    q = MP([("w0000", "w0001"), ("w0000",)], slop=2)
-    with pytest.raises(NotImplementedError):
-        engine.search(q, k=10, pruned=False)
-    with pytest.raises(NotImplementedError):
-        engine.search(q, k=10, pruned=True)
+def test_multi_term_rpts_pruned_equals_exhaustive(engine, oracle):
+    """Sloppy multi-phrase with a term shared across slots
+    (hasMultiTermRpts, previously rejected) must agree across
+    pruned / exhaustive / oracle and actually produce hits on this
+    corpus (the shapes are not vacuous)."""
+    shapes = [
+        MP([("w0000", "w0001"), ("w0000",)], slop=2),
+        MP([("w0000", "w0001"), ("w0001",)], slop=1),
+        MP([("w0001", "w0000"), ("w0000", "w0002")], slop=2),
+    ]
+    for q in shapes:
+        a = engine.search(q, k=10, pruned=True)
+        b = engine.search(q, k=10, pruned=False)
+        assert a == b, q
+        assert len(a) > 0, q
+        expected = oracle.top_k(q, k=10)
+        assert [(d, u) for d, _, u in a] == [(d, u) for d, _, u in expected]
+        for (gd, gs, gu), (ed, es, eu) in zip(a, expected):
+            assert np.float32(gs) == np.float32(es), (q, gs, es)
 
 
 def test_sloppy_wand_decodes_fewer_blocks():
