@@ -234,3 +234,75 @@ def test_local_refresh_retains_unchanged_views(spark, tmp_path_factory):
     fresh = LocalSearcher(d)
     for q in QUERIES[:5]:
         assert l.search(q, k=10) == fresh.search(q, k=10), q
+
+
+def _rss_kb(pid: int) -> int:
+    with open(f"/proc/{pid}/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1])
+    return 0
+
+
+def test_sharded_soak_sustained_appends(spark, tmp_path_factory):
+    """Serving soak (VERDICT r3 #8): 32 NRT append generations against
+    a live ShardedSearcher. The pool must not drift (same worker
+    processes re-pointed every refresh), worker memory must stay
+    bounded (caches grow with the segment count, not with the refresh
+    count), counts must track the appended docs exactly, and the final
+    answers must match a fresh LocalSearcher on the final commit."""
+    from lucene_spark.search.serve import ShardedSearcher
+    from lucene_spark.streaming.nrt import append_batch
+
+    corpus = make_pages(320)
+    base, feed = corpus[:128], corpus[128:]
+    d = str(tmp_path_factory.mktemp("srv_soak"))
+    build_index(
+        spark, spark.createDataFrame(
+            [(r["url"], r["text"]) for r in base], ["url", "text"]
+        ), d, IndexConfig(num_segments=2, analyzer=ENGLISH),
+    )
+    gens = 32
+    batch = len(feed) // gens
+    ss = ShardedSearcher(d, shards=2)
+    try:
+        ss.search(QUERIES[0], k=10)  # warm
+        pids0 = ss.worker_pids()
+        rss0 = sum(_rss_kb(p) for p in pids0)
+        n_docs = len(base)
+        lat = []
+        import time as _t
+
+        for g in range(gens):
+            rows = feed[g * batch : (g + 1) * batch]
+            append_batch(
+                spark, spark.createDataFrame(
+                    [(r["url"], r["text"]) for r in rows], ["url", "text"]
+                ), d, IndexConfig(num_segments=1, analyzer=ENGLISH),
+            )
+            n_docs += len(rows)
+            assert ss.refresh() is True
+            assert ss.worker_pids() == pids0, f"worker drift at gen {g}"
+            t0 = _t.time()
+            ss.search(QUERIES[g % len(QUERIES)], k=10)
+            lat.append(_t.time() - t0)
+            assert ss.count("w0000 OR *") >= 0  # termless stays routable
+        # exact doc accounting across all generations
+        assert ss.commit["doc_count"] == n_docs
+        assert len(ss.commit["segments"]) == 2 + gens
+        # memory bounded: growth is segment metadata + block caches for
+        # the queried terms, far below one leaked corpus per refresh
+        rss1 = sum(_rss_kb(p) for p in ss.worker_pids())
+        assert rss1 - rss0 < 200_000, (rss0, rss1)  # < 200 MB growth
+        # latency stable: the last generations are not systematically
+        # slower than the first (loose 10x bound — noisy-box safe)
+        early = sorted(lat[:8])[4]
+        late = sorted(lat[-8:])[4]
+        assert late < early * 10 + 0.05, (early, late)
+        # final answers == a fresh searcher over the final commit
+        fresh = LocalSearcher(d, workers=1)
+        for q in QUERIES[:6]:
+            assert ss.search(q, k=10) == fresh.search(q, k=10), q
+            assert ss.count(q) == fresh.count(q), q
+    finally:
+        ss.close()
