@@ -316,14 +316,47 @@ def _verify_sloppy(seg, q, tbs, docs):
         if docs.size == 0:
             return docs, np.empty(0, np.float64)
     groups = repeat_groups(q.terms)
-    pos_lists = [_positions_for_docs(tb, docs) for tb in tbs]
+    flats = [_positions_flat(tb, docs) for tb in tbs]
     freqs = np.zeros(docs.size, dtype=np.float64)
-    for i in range(docs.size):
-        pls = [pl[i] for pl in pos_lists]
-        if groups is None:
-            freqs[i] = sloppy_freq(pls, q.positions, q.slop)
-        else:
-            freqs[i] = sloppy_freq_repeats(pls, q.positions, q.slop, groups)
+    # vectorized singleton fast path: when EVERY term occurs exactly
+    # once in the doc (the common case on web-length docs), the greedy
+    # matcher emits exactly one candidate match of
+    # matchLength = span(shifted positions) — freq is the closed form
+    # 1f/(1f + span) when span <= slop, bit-identical to the matcher
+    # (single match, so no f32 accumulation-order concern). Invalid
+    # with repeat groups (a repeated term's two pps on one position
+    # collide to 0 matches), which keep the exact matcher.
+    todo = np.arange(docs.size)
+    if groups is None and docs.size > 0:
+        lens_mat = np.stack([lens for lens, _ in flats])
+        single = np.all(lens_mat == 1, axis=0)
+        if np.any(single):
+            starts = [np.cumsum(lens) - lens for lens, _ in flats]
+            shifted = np.stack([
+                flat[st[single]] - int(rel)
+                for (lens, flat), st, rel in zip(flats, starts, q.positions)
+            ])
+            span = shifted.max(axis=0) - shifted.min(axis=0)
+            ok = span <= int(q.slop)
+            f32 = (
+                np.float32(1.0)
+                / (np.float32(1.0) + span.astype(np.float32))
+            )
+            out = np.where(ok, f32.astype(np.float64), 0.0)
+            freqs[np.flatnonzero(single)] = out
+            todo = np.flatnonzero(~single)
+    if todo.size:
+        pos_lists = [
+            np.split(flat, np.cumsum(lens)[:-1]) for lens, flat in flats
+        ]
+        for i in todo:
+            pls = [pl[i] for pl in pos_lists]
+            if groups is None:
+                freqs[i] = sloppy_freq(pls, q.positions, q.slop)
+            else:
+                freqs[i] = sloppy_freq_repeats(
+                    pls, q.positions, q.slop, groups
+                )
     hit = freqs > 0
     return docs[hit], freqs[hit]
 
@@ -494,21 +527,39 @@ def _verify_multi_sloppy(slot_tbs, rels, slop: int, docs: np.ndarray,
             new_keys.append((remap[d[m]] << 32) | (k[m] & 0xFFFFFFFF))
         slot_keys = new_keys
         docs = docs[keep]
-    # split each slot's keys into per-doc RAW position lists (undo the
-    # rel shift so the matcher applies offsets itself)
-    per_slot_lists = []
+    # per-slot RAW position arrays + per-doc bounds (undo the rel shift
+    # so the matcher applies offsets itself)
+    slot_pos, slot_bounds = [], []
     for k, rel in zip(slot_keys, rels):
         d = k >> 32
-        pos = (k & 0xFFFFFFFF).astype(np.int64) - _POS_OFF + rel
-        bounds = np.searchsorted(d, np.arange(docs.size + 1))
-        per_slot_lists.append(
-            [pos[bounds[i] : bounds[i + 1]] for i in range(docs.size)]
-        )
+        slot_pos.append((k & 0xFFFFFFFF).astype(np.int64) - _POS_OFF + rel)
+        slot_bounds.append(np.searchsorted(d, np.arange(docs.size + 1)))
+    lens_mat = np.stack([np.diff(b) for b in slot_bounds])
     freqs = np.zeros(docs.size, dtype=np.float64)
-    for i in range(docs.size):
-        pls = [sl[i] for sl in per_slot_lists]
-        if any(p.size == 0 for p in pls):
-            continue
+    # singleton fast path (see _verify_sloppy): one union position per
+    # slot => the greedy matcher's single candidate match, closed-form
+    # 1f/(1f+span); only without repeat groups
+    todo = np.flatnonzero(np.all(lens_mat >= 1, axis=0))
+    if groups is None and todo.size:
+        single = np.all(lens_mat == 1, axis=0)
+        sel = np.flatnonzero(single)
+        if sel.size:
+            shifted = np.stack([
+                pos[b[:-1][sel]] - int(rel)
+                for pos, b, rel in zip(slot_pos, slot_bounds, rels)
+            ])
+            span = shifted.max(axis=0) - shifted.min(axis=0)
+            ok = span <= int(slop)
+            f32 = (
+                np.float32(1.0)
+                / (np.float32(1.0) + span.astype(np.float32))
+            )
+            freqs[sel] = np.where(ok, f32.astype(np.float64), 0.0)
+            todo = todo[~single[todo]]
+    for i in todo:
+        pls = [
+            pos[b[i] : b[i + 1]] for pos, b in zip(slot_pos, slot_bounds)
+        ]
         if groups is None:
             freqs[i] = sloppy_freq(pls, rels, slop)
         else:

@@ -1,8 +1,8 @@
 """Sloppy phrase matching — a faithful port of
-``search/SloppyPhraseMatcher.java`` (both the no-repeats fast path and
-the repeat-group machinery for phrases that repeat a term; multi-term
-repeats — MultiPhraseQuery slots sharing terms — remain out of scope
-and are rejected at query-build time).
+``search/SloppyPhraseMatcher.java``: the no-repeats fast path, the
+repeat-group machinery for phrases that repeat a term, and the
+multi-term-repeats variant (MultiPhraseQuery slots sharing terms,
+``hasMultiTermRpts``).
 
 Semantics (PhraseScorer.java:84-95 + SloppyPhraseMatcher.java:193-225):
 - each term's positions are shifted by its query offset
@@ -27,6 +27,7 @@ Semantics (PhraseScorer.java:84-95 + SloppyPhraseMatcher.java:193-225):
 from __future__ import annotations
 
 import heapq
+from bisect import bisect_right
 
 import numpy as np
 
@@ -39,42 +40,52 @@ def sloppy_freq(pos_lists: list, offsets, slop: int) -> float:
     """
     n = len(pos_lists)
     counts = [len(p) for p in pos_lists]
+    lists = [
+        p.tolist() if isinstance(p, np.ndarray) else list(p)
+        for p in pos_lists
+    ]
+    offs = [int(o) for o in offsets]
     idxs = [0] * n
-    pos = [int(pos_lists[i][0]) - int(offsets[i]) for i in range(n)]
+    pos = [lists[i][0] - offs[i] for i in range(n)]
     end = max(pos)
-    heap = [(pos[i], int(offsets[i]), i) for i in range(n)]
+    heap = [(pos[i], offs[i], i) for i in range(n)]
     heapq.heapify(heap)
     state = {"positioned": True, "ml": None, "end": end}
 
-    def advance(i: int) -> bool:
-        idxs[i] += 1
-        if idxs[i] >= counts[i]:
-            return False
-        pos[i] = int(pos_lists[i][idxs[i]]) - int(offsets[i])
-        if pos[i] > state["end"]:
-            state["end"] = pos[i]
-        return True
-
     def next_match() -> bool:
+        # One episode of the reference loop advances the popped pp one
+        # element at a time while its shifted position stays <= nxt,
+        # shrinking matchLength to end - (last element <= nxt); since
+        # positions ascend and ``end`` cannot change during the
+        # approach (every approach element is <= nxt <= end), the whole
+        # approach is ONE binary search — identical state transitions
+        # and f32 emission order, O(log) per episode instead of O(run).
         if not state["positioned"]:
             return False
         p, off, i = heapq.heappop(heap)
         state["ml"] = state["end"] - p
         nxt = heap[0][0]
-        while advance(i):
-            if pos[i] > nxt:
-                heapq.heappush(heap, (pos[i], off, i))
-                if state["ml"] <= slop:
-                    return True
-                p, off, i = heapq.heappop(heap)
-                nxt = heap[0][0]
-                state["ml"] = state["end"] - p
-            else:
-                ml2 = state["end"] - pos[i]
-                if ml2 < state["ml"]:
-                    state["ml"] = ml2
-        state["positioned"] = False
-        return state["ml"] <= slop
+        while True:
+            lst = lists[i]
+            start = idxs[i] + 1
+            # first index whose SHIFTED position exceeds nxt
+            j = bisect_right(lst, nxt + off, start)
+            if j > start:
+                # approach elements existed: ml = end - last-below
+                state["ml"] = state["end"] - (lst[j - 1] - off)
+            if j >= counts[i]:
+                state["positioned"] = False
+                return state["ml"] <= slop
+            idxs[i] = j
+            pos[i] = lst[j] - off
+            if pos[i] > state["end"]:
+                state["end"] = pos[i]
+            heapq.heappush(heap, (pos[i], off, i))
+            if state["ml"] <= slop:
+                return True
+            p, off, i = heapq.heappop(heap)
+            nxt = heap[0][0]
+            state["ml"] = state["end"] - p
 
     if not next_match():
         return 0.0
