@@ -509,6 +509,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def regexp_match(spark, sf_dir):
         return _out_docs(_searcher(spark, sf_dir).multi_term_docs("regexp", "ow$"))
 
+    def regexp_lucene_match(spark, sf_dir):
+        # the reference RegexpQuery dialect (util/automaton/RegExp.java):
+        # ANCHORED automaton matching with & INTERSECTION — terms that
+        # start with m, end with e, and contain r; the oracle mirrors it
+        # as a conjunction of anchored host regexes
+        return _out_docs(
+            _searcher(spark, sf_dir).multi_term_docs(
+                "lregexp", "m.*e&.*r.*"
+            )
+        )
+
     def range_match(spark, sf_dir):
         return _out_docs(
             _searcher(spark, sf_dir).multi_term_docs("range", "ba", "da")
@@ -746,7 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         const_score_match=const_score_match,
         total_hits=total_hits,
         collection_stats=collection_stats,
-        regexp_match=regexp_match,
+        regexp_lucene_match=regexp_lucene_match,
         range_match=range_match,
         set_match=set_match,
         fuzzy_match=fuzzy_match,
@@ -773,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_features=media_features,
         events_tumbling=_sql_events(windows.tumbling_counts_sql),
         # ---- past the 50-entry gate cap (consolidated, still runnable)
+        regexp_match=regexp_match,  # host-dialect twin of regexp_lucene_match
         term_topk=term_topk,
         multi_phrase_match=multi_phrase_match,
         emb_ivf_topk2=emb_ivf_topk2,
@@ -832,6 +844,9 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "mt_tree_topk": osql.mt_or_topk_sql(TERM, TERM_RARE, K),
         "regexp_match": osql.multiterm_match_sql("regexp_matches(t, 'ow$')"),
         "range_match": osql.multiterm_match_sql("t >= 'ba' AND t < 'da'"),
+        "regexp_lucene_match": osql.multiterm_match_sql(
+            "regexp_full_match(t, 'm.*e') AND regexp_full_match(t, '.*r.*')"
+        ),
         "set_match": osql.multiterm_match_sql(
             "t IN ('merge', 'scan', 'vector', 'zzz_nonexistent')"
         ),

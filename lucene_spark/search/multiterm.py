@@ -26,6 +26,14 @@ Dialect notes (documented constraints, not hidden divergences):
   common subset (the reference uses its own RegExp automaton syntax;
   this engine targets the practical intersection). Matching is
   UNANCHORED like Spark ``rlike`` — anchor with ^$ for whole-term.
+- ``lregexp`` is the reference dialect itself: the
+  ``util/automaton/RegExp.java`` grammar compiled to an automaton
+  (``lucene_spark.search.lregexp``), ANCHORED like RegexpQuery, with
+  ``&`` intersection, ``<n-m>`` intervals, ``#``/``@``, and the
+  deprecated ``~`` complement behind its flag; args =
+  (pattern[, flags=ALL]). The scan plane pushes the pattern's literal
+  prefix (the ``Operations.getCommonPrefix`` analog); membership is
+  decided by the shared automaton matcher on every plane.
 - ``fuzzy`` defaults to TRANSPOSITION-AWARE edit distance like the
   reference (``FuzzyQuery.java:73-76`` defaults transpositions=true);
   args = (base, max_edits[, transpositions=True]) — pass False for the
@@ -139,6 +147,15 @@ def bare_matcher(mode: str, args: tuple):
     if mode == "regexp":
         rx = re.compile(args[0])
         return lambda t: rx.search(t) is not None
+    if mode == "lregexp":
+        # the reference RegexpQuery dialect: util/automaton/RegExp.java
+        # grammar (incl. & intersection, <n-m> intervals, # @), ANCHORED
+        # whole-term matching; args = (pattern[, flags]), flags default
+        # RegExp.ALL like RegexpQuery's constructor
+        from lucene_spark.search.lregexp import ALL, lucene_regexp_matcher
+
+        flags = int(args[1]) if len(args) > 1 else ALL
+        return lucene_regexp_matcher(args[0], flags)
     if mode == "fuzzy":
         base, max_edits = args[0], int(args[1])
         transpositions = bool(args[2]) if len(args) > 2 else True

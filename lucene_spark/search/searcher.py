@@ -954,6 +954,18 @@ class Searcher:
             return scope & bare.rlike(wildcard_regex(args[0]))
         if mode == "regexp":
             return scope & bare.rlike(args[0])
+        if mode == "lregexp":
+            # Lucene-dialect regexp: Spark cannot evaluate the dialect,
+            # so the scan screen is the SARGABLE literal prefix every
+            # match must start with (the Operations.getCommonPrefix
+            # analog; empty prefix = field scope only) — the shared
+            # Python automaton decides membership downstream
+            from lucene_spark.search.lregexp import literal_prefix
+
+            p = literal_prefix(args[0])
+            if p:
+                return scope & F.col("term").startswith(fielded(field, p))
+            return scope
         if mode == "range":
             # (lo, hi[, include_lo, include_hi]); 2-arg form keeps the
             # historical half-open [lo, hi) contract
@@ -1011,7 +1023,9 @@ class Searcher:
         # must apply AFTER the exact Python post-filter — else superset
         # terms crowd out true matches; every other mode's predicate is
         # exact, so the cap stays Spark-side (bounded driver collect)
-        superset = mode == "fuzzy" and (len(args) < 3 or bool(args[2]))
+        superset = (
+            mode == "fuzzy" and (len(args) < 3 or bool(args[2]))
+        ) or mode == "lregexp"
         if max_expansions is not None and not superset:
             td = td.orderBy(F.desc("doc_freq"), F.asc("term")).limit(
                 int(max_expansions)

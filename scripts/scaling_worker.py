@@ -84,11 +84,17 @@ def main(cpus: int, corpus: str, out_path: str) -> None:
             list(ex.map(run_q, qset))
         conc_s = time.time() - t0
 
-        # batched evaluation: ONE scan answers the whole set — the
-        # engine's throughput API (amortizes driver scheduling)
+        # batched evaluation: ONE per-segment stage answers the whole
+        # set — the engine's throughput API (amortizes driver
+        # scheduling). First run is COLD (round-3-comparable); the
+        # second is the steady-state number a serving deployment sees
+        # (Arrow/JIT warmed, file cache hot).
         t0 = time.time()
         searcher.search_many(qset, k=10, pruned=True, dtype="f32").collect()
         batch_s = time.time() - t0
+        t0 = time.time()
+        searcher.search_many(qset, k=10, pruned=True, dtype="f32").collect()
+        batch_warm_s = time.time() - t0
 
         out = {
             "cpus": cpus,
@@ -100,6 +106,7 @@ def main(cpus: int, corpus: str, out_path: str) -> None:
             "qps_sequential": round(len(qset) / query_s, 3),
             "qps_concurrent8": round(len(qset) / conc_s, 3),
             "qps_batched": round(len(qset) / batch_s, 3),
+            "qps_batched_warm": round(len(qset) / batch_warm_s, 3),
             "query_p50_secs": round(vals[len(vals) // 2], 4),
             "query_p95_secs": round(vals[int(len(vals) * 0.95)], 4),
         }

@@ -1,0 +1,119 @@
+"""Lucene RegExp dialect (lucene_spark.search.lregexp).
+
+Goldens re-derived from the reference's own test corpus:
+``core/src/test/org/apache/lucene/search/TestRegexpQuery.java`` indexes
+one doc whose terms are the whitespace tokens of
+"the quick brown fox jumps over the lazy ??? dog 493432 49344 [foo]
+12.3 \\ ς" and asserts hit counts per pattern — reproduced here as
+does-any-term-match over the same vocabulary (single doc: count 1 iff
+some term matches)."""
+
+import pytest
+
+from lucene_spark.search import multiterm
+from lucene_spark.search.lregexp import (
+    ALL,
+    DEPRECATED_COMPLEMENT,
+    NONE,
+    literal_prefix,
+    lucene_regexp_matcher,
+)
+
+# the TestRegexpQuery.java:50-54 document, whitespace-tokenized
+VOCAB = [
+    "the", "quick", "brown", "fox", "jumps", "over", "lazy", "???",
+    "dog", "493432", "49344", "[foo]", "12.3", "\\", "ς",
+]
+
+
+def hits(pattern, flags=ALL):
+    m = lucene_regexp_matcher(pattern, flags)
+    return 1 if any(m(t) for t in VOCAB) else 0
+
+
+def test_reference_goldens():
+    # TestRegexpQuery.java:91-132 (hit counts on the single doc)
+    assert hits("q.[aeiou]c.*") == 1
+    assert hits(".[aeiou]c.*") == 0
+    assert hits("q.[aeiou]c") == 0
+    assert hits("<420000-600000>") == 1
+    assert hits("<493433-600000>") == 0
+    assert hits("\\d") == 0
+    assert hits("\\d*") == 1
+    assert hits("\\d{6}") == 1
+    assert hits("[a\\d]{6}") == 1
+    assert hits("\\d{2,7}") == 1
+    assert hits("\\d{4}") == 0
+    assert hits("\\dog") == 0
+    assert hits("493\\d32") == 1
+    assert hits("\\wox") == 1
+    assert hits("493\\w32") == 1
+    assert hits("\\?\\?\\?") == 1
+    assert hits("\\?\\W\\?") == 1
+    assert hits("\\?\\S\\?") == 1
+    assert hits("\\[foo\\]") == 1
+    assert hits("\\[\\w{3}\\]") == 1
+    assert hits("\\S*ck") == 1
+    assert hits("[\\d\\.]{3,10}") == 1
+    assert hits("\\d{1,3}(\\.(\\d{1,2}))+") == 1
+    assert hits("\\\\") == 1
+    assert hits("\\\\.*") == 1
+    assert hits("4934[314]") == 1  # TestRegexpQuery.java:184
+    assert hits("[^a-z]") == 1     # :151 (??? / numbers / backslash)
+    assert hits("[^03ad]") == 1    # :152
+    with pytest.raises(ValueError):
+        hits("\\p")                # :138 invalid escape
+
+
+def test_operators_and_flags():
+    m = lucene_regexp_matcher("ab|cd")
+    assert m("ab") and m("cd") and not m("abcd")
+    m = lucene_regexp_matcher("f.*&.*x")   # intersection
+    assert m("fox") and not m("foo")
+    m = lucene_regexp_matcher("~(ab)", ALL | DEPRECATED_COMPLEMENT)
+    assert not m("ab") and m("") and m("abc")
+    m = lucene_regexp_matcher("a&b", NONE)  # & literal when disabled
+    assert m("a&b")
+    m = lucene_regexp_matcher("a@")
+    assert m("a") and m("aXYZ") and not m("b")
+    m = lucene_regexp_matcher("#|x")  # empty language arm
+    assert m("x") and not m("")
+    # anchored (RegexpQuery contract), unlike the host-dialect mode
+    assert not lucene_regexp_matcher("ui")("quick")
+    with pytest.raises(NotImplementedError):
+        lucene_regexp_matcher("<mysuffixes>")("x")  # named automaton
+
+
+def test_decimal_interval_semantics():
+    # Automata.makeDecimalInterval: equal digit counts -> fixed width;
+    # unequal -> any leading zeros before a width-of-max form
+    m = lucene_regexp_matcher("<5-17>")
+    assert m("05") and m("17") and m("005") and m("09")
+    assert not m("5") and not m("18") and not m("170")
+    m = lucene_regexp_matcher("<10-25>")  # equal widths: exactly 2
+    assert m("10") and m("25") and not m("010") and not m("9")
+
+
+def test_literal_prefix_screen():
+    assert literal_prefix("merge") == "merge"
+    assert literal_prefix("mer.*") == "mer"
+    assert literal_prefix("me?rge") == "m"
+    assert literal_prefix("ab|cd") == ""  # union invalidates any prefix
+    assert literal_prefix("[mn]x") == ""
+    assert literal_prefix("m{1,2}x") == ""
+    # screen is a superset of the matcher for a random pattern set
+    pats = ["mer.*", "ab|cd", "q.[aeiou]c.*", "493\\d32", "f.*&.*x"]
+    for p in pats:
+        pre = literal_prefix(p)
+        m = lucene_regexp_matcher(p)
+        for t in VOCAB + ["merge", "mercury"]:
+            if m(t):
+                assert t.startswith(pre), (p, t, pre)
+
+
+def test_matcher_mode_wiring():
+    pred = multiterm.term_key_matcher("lregexp", ("49\\d*",), "")
+    assert pred("493432") and pred("49344") and not pred("12.3")
+    # fielded scoping
+    predf = multiterm.term_key_matcher("lregexp", ("49\\d*",), "title")
+    assert predf("title\x1f49344") and not predf("49344")

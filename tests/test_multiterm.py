@@ -153,6 +153,7 @@ def test_spark_scan_predicate_equals_python_matcher(spark):
         ("regexp", ("^w0(0|1)14$",), ""),
         ("fuzzy", ("merge", 1), ""),
         ("fuzzy", ("merge", 1, False), ""),
+        ("lregexp", ("m.*e&.*a.*",), ""),
         ("range", ("w0007", "w0077"), ""),
         ("range", ("w0007", "w0077", True, True), ""),
         ("range", ("w0007", "w0077", False, False), ""),
@@ -173,6 +174,10 @@ def test_spark_scan_predicate_equals_python_matcher(spark):
             # rejects it
             assert got_spark >= got_py, (mode, args, field)
             assert "emrge" in got_py and "marze" not in got_py
+        elif mode == "lregexp":
+            # literal-prefix superset screen; the automaton decides
+            assert got_spark >= got_py, (mode, args, field)
+            assert got_py == {"marge", "marze"}
         else:
             assert got_spark == got_py, (mode, args, field)
 
