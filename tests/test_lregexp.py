@@ -117,3 +117,67 @@ def test_matcher_mode_wiring():
     # fielded scoping
     predf = multiterm.term_key_matcher("lregexp", ("49\\d*",), "title")
     assert predf("title\x1f49344") and not predf("49344")
+
+
+def test_hypothesis_common_subset_vs_host_re():
+    """On the dialect intersection (literals, ., classes, |, ?, *, +,
+    {n,m}, parens — no & ~ < > # @ " and no predefined escapes), the
+    automaton must agree with Python re.fullmatch."""
+    import re as host_re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    atom = st.one_of(
+        st.sampled_from(list("abcde")),
+        st.just("."),
+        st.sampled_from(["[ab]", "[^ab]", "[a-c]", "[b-e]"]),
+    )
+
+    @st.composite
+    def pattern(draw, depth=0):
+        if depth > 2:
+            return draw(atom)
+        kind = draw(st.integers(0, 5))
+        if kind <= 1:
+            return draw(atom)
+        if kind == 2:
+            return draw(pattern(depth + 1)) + draw(pattern(depth + 1))
+        if kind == 3:
+            return f"({draw(pattern(depth + 1))})" + draw(
+                st.sampled_from(["?", "*", "+", "{2}", "{1,2}", "{0,3}"])
+            )
+        if kind == 4:
+            return (
+                f"({draw(pattern(depth + 1))}|{draw(pattern(depth + 1))})"
+            )
+        return f"({draw(pattern(depth + 1))})"
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        pat=pattern(),
+        s=st.text(alphabet="abcdef", max_size=6),
+    )
+    def run(pat, s):
+        want = host_re.fullmatch(pat, s) is not None
+        got = lucene_regexp_matcher(pat)(s)
+        assert got == want, (pat, s, got, want)
+
+    run()
+
+
+def test_serving_plane_parity():
+    """lregexp expansion through LocalSearcher must equal the Spark-free
+    kernel path's matcher on the same index (one matcher source)."""
+    from lucene_spark.analysis.analyzer import ENGLISH
+    from lucene_spark.fixtures import make_pages
+    from lucene_spark.search.local import LocalIndex
+
+    engine = LocalIndex.build(make_pages(120), num_segments=2, analyzer=ENGLISH)
+    q_ast = __import__(
+        "lucene_spark.search.ast", fromlist=["MultiTermQuery"]
+    ).MultiTermQuery("lregexp", ("w00.*&.*2",), "")
+    docs = engine.search(q_ast, k=1000, pruned=False)
+    pred = multiterm.term_key_matcher("lregexp", ("w00.*&.*2",), "")
+    assert docs, "expected matches on the w-vocab corpus"
+    assert pred("w0042") and not pred("w0043") and not pred("x0042")
