@@ -87,6 +87,10 @@ def main() -> None:
 
         searcher = Searcher(spark, index_dir, cache_stats=True, preload_stats=True)
         searcher.search("merge", k=10).collect()  # warm JVM/py workers
+        # the direct batched shape runs mapInPandas workers distinct
+        # from search()'s applyInPandas pool — warm those too so
+        # batched_set measures steady state like the per-query classes
+        searcher.search_many(["merge"], k=10).collect()
 
         for name, q in QUERY_SET:
             t0 = time.time()
