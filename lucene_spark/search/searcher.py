@@ -269,8 +269,23 @@ class Searcher:
         dtype: str = "f32",
         total_hits_threshold: int = kernels.TOTAL_HITS_THRESHOLD,
         share_theta: bool = False,
+        direct: bool = False,
     ):
         """Top-k DataFrame (doc_id, score, url), rank == Lucene contract.
+
+        ``direct=True`` routes through the one-stage batched executor
+        (``_search_many_direct`` with a single query): segment tasks
+        read their own pruned postings/docmap row groups task-side —
+        no postings exchange, no corpus-wide docmap scan per query.
+        Default OFF for single queries — measured, not assumed: on the
+        960k/64-segment corpus at local[8] the direct shape runs ~25%
+        SLOWER per query (22.1 s vs 17.8 s per 12-query sweep, 2
+        interleaved reps) because each segment task re-pays parquet
+        dataset discovery + footer parses for ONE query's terms, which
+        the Catalyst scan amortizes JVM-side; the batch amortizes them
+        across the whole query set, which is why ``search_many``
+        defaults ON. Bit-identical either way
+        (tests/test_search_many.py).
 
         ``share_theta`` (opt-in): seed every segment kernel's theta from
         a driver-side champion-segment pre-pass — the
@@ -292,6 +307,18 @@ class Searcher:
         stats = self._global_stats(tstats)
         scorers = build_scorers(q, stats, dtype=dtype)
         index_dir = self.index_dir
+        if direct:
+            seeds = (
+                self._champion_seeds(
+                    {"q": q}, scorers, k, dtype, total_hits_threshold
+                )
+                if share_theta and pruned
+                else {}
+            )
+            return self._search_many_direct(
+                {"q": q}, terms, scorers, k, pruned, dtype,
+                total_hits_threshold, seeds,
+            ).select("doc_id", "score", "url")
         seed = -np.inf
         if share_theta and pruned:
             seed = self._champion_seeds(

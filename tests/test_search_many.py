@@ -98,3 +98,13 @@ def test_strided_build_same_answers(spark, tmp_path, corpus):
         a = [(r["url"], np.float32(r["score"])) for r in s1.search(q, k=10).collect()]
         b = [(r["url"], np.float32(r["score"])) for r in s2.search(q, k=10).collect()]
         assert a == b, q
+
+
+def test_single_query_direct_matches_default(searcher):
+    for q in HARD_QUERIES:
+        a = searcher.search(q, k=10, direct=True).collect()
+        b = searcher.search(q, k=10, direct=False).collect()
+        norm = lambda rows: [
+            (r["doc_id"], r["score"], r["url"]) for r in rows
+        ]
+        assert norm(a) == norm(b), q
