@@ -346,17 +346,25 @@ def _verify_sloppy(seg, q, tbs, docs):
             freqs[np.flatnonzero(single)] = out
             todo = np.flatnonzero(~single)
     if todo.size:
+        from lucene_spark.search.sloppy import sloppy_freq_2
+
         pos_lists = [
             np.split(flat, np.cumsum(lens)[:-1]) for lens, flat in flats
         ]
+        rels = q.positions
+        two = (
+            groups is None and len(pos_lists) == 2 and rels[0] != rels[1]
+        )
         for i in todo:
             pls = [pl[i] for pl in pos_lists]
-            if groups is None:
-                freqs[i] = sloppy_freq(pls, q.positions, q.slop)
-            else:
-                freqs[i] = sloppy_freq_repeats(
-                    pls, q.positions, q.slop, groups
+            if two:
+                freqs[i] = sloppy_freq_2(
+                    pls[0], pls[1], int(rels[0]), int(rels[1]), q.slop
                 )
+            elif groups is None:
+                freqs[i] = sloppy_freq(pls, rels, q.slop)
+            else:
+                freqs[i] = sloppy_freq_repeats(pls, rels, q.slop, groups)
     hit = freqs > 0
     return docs[hit], freqs[hit]
 
@@ -556,11 +564,18 @@ def _verify_multi_sloppy(slot_tbs, rels, slop: int, docs: np.ndarray,
             )
             freqs[sel] = np.where(ok, f32.astype(np.float64), 0.0)
             todo = todo[~single[todo]]
+    from lucene_spark.search.sloppy import sloppy_freq_2
+
+    two = groups is None and len(slot_pos) == 2 and rels[0] != rels[1]
     for i in todo:
         pls = [
             pos[b[i] : b[i + 1]] for pos, b in zip(slot_pos, slot_bounds)
         ]
-        if groups is None:
+        if two:
+            freqs[i] = sloppy_freq_2(
+                pls[0], pls[1], int(rels[0]), int(rels[1]), slop
+            )
+        elif groups is None:
             freqs[i] = sloppy_freq(pls, rels, slop)
         else:
             freqs[i] = sloppy_freq_repeats(pls, rels, slop, groups, mtr)

@@ -96,6 +96,52 @@ def sloppy_freq(pos_lists: list, offsets, slop: int) -> float:
     return float(freq)
 
 
+def sloppy_freq_2(pa, pb, off_a: int, off_b: int, slop: int) -> float:
+    """Two-term no-repeats sloppy frequency — ``sloppy_freq``
+    specialized. With exactly two pps, ``end == max(a, b)`` at every
+    pop (the historical max is always one of the two current
+    positions), so each episode of the reference loop reduces to:
+    snap the lagging list to its last element <= the leader, emit
+    matchLength = leader - snapped, step to the first element beyond.
+    The candidate sequence — hence the float32 accumulation order — is
+    identical to the heap loop (pinned bitwise by the hypothesis
+    differential in tests/test_sloppy.py). Requires off_a != off_b
+    (always true for a 2-term PhraseQuery; ties in shifted position
+    resolve by offset exactly as the (position, offset, ord)
+    comparator does).
+
+    ``pa``/``pb``: ascending RAW positions (non-empty);
+    ``off_a``/``off_b``: the query offsets."""
+    la = pa.tolist() if isinstance(pa, np.ndarray) else list(pa)
+    lb = pb.tolist() if isinstance(pb, np.ndarray) else list(pb)
+    na, nb = len(la), len(lb)
+    ia = ib = 0
+    a = la[0] - off_a
+    b = lb[0] - off_b
+    one = np.float32(1.0)
+    freq = np.float32(0.0)
+    while True:
+        if a < b or (a == b and off_a < off_b):
+            j = bisect_right(la, b + off_a, ia)
+            ml = b - (la[j - 1] - off_a)
+            if ml <= slop:
+                freq = np.float32(freq + one / (one + np.float32(ml)))
+            if j >= na:
+                break
+            ia = j
+            a = la[j] - off_a
+        else:
+            j = bisect_right(lb, a + off_b, ib)
+            ml = a - (lb[j - 1] - off_b)
+            if ml <= slop:
+                freq = np.float32(freq + one / (one + np.float32(ml)))
+            if j >= nb:
+                break
+            ib = j
+            b = lb[j] - off_b
+    return float(freq)
+
+
 def repeat_groups(terms) -> "list[list[int]] | None":
     """Indices of repeated terms, grouped (None when all distinct) —
     the repeat-group identification of ``SloppyPhraseMatcher``

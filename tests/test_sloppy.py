@@ -368,3 +368,32 @@ def test_prefilter_full_match_set(pair, query):
     for row, (ed, es, eu) in zip(got, expected):
         assert row["doc_id"] == ed and row["url"] == eu
         assert np.float32(row["score"]) == np.float32(es), query
+
+
+def test_sloppy_freq_2_matches_generic_hypothesis():
+    """The 2-term specialization must equal the generic greedy BITWISE
+    on random position lists (same candidate sequence, same f32
+    accumulation order)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_spark.search.sloppy import sloppy_freq, sloppy_freq_2
+
+    poslist = st.lists(
+        st.integers(0, 40), min_size=1, max_size=10, unique=True
+    ).map(sorted)
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        a=poslist, b=poslist,
+        offs=st.sampled_from([(0, 1), (0, 2), (1, 0), (2, 5), (3, 1)]),
+        slop=st.integers(0, 8),
+    )
+    def run(a, b, offs, slop):
+        pa, pb = np.asarray(a, np.int64), np.asarray(b, np.int64)
+        want = sloppy_freq([pa, pb], offs, slop)
+        got = sloppy_freq_2(pa, pb, offs[0], offs[1], slop)
+        assert got == want, (a, b, offs, slop, got, want)
+
+    run()
