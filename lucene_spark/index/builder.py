@@ -70,6 +70,17 @@ class IndexConfig:
     # the columnar layout gives free column pruning; doc_id row-group
     # stats make top-k fetches k-sized reads, never scans.
     stored_cols: tuple = ()
+    # TermVectorsFormat analog (``codecs/lucene90/
+    # Lucene90CompressingTermVectorsFormat.java`` role, columnar
+    # layout): indexed FIELD NAMES whose per-doc analyzed token stream
+    # (term, position, char start, char end) is persisted doc-major in
+    # vectors/segment_id=<sid>/ — one row per (doc, field), arrays
+    # aligned in stream order. Consumed by the highlighter as the
+    # TERM_VECTORS offset source (no query-time re-analysis; the win is
+    # long documents) and by the ``term_vectors`` reader APIs. Like the
+    # reference, vectors are per-field opt-in (FieldType.storeTermVectors
+    # + ...Positions + ...Offsets, ``document/FieldType.java``).
+    vector_fields: tuple = ()
     generation: int = 1
     # Optional SQL expression for the segment-assignment column. Default
     # (None) = hash(key) scatter (uniform load). A range expression (e.g.
@@ -219,6 +230,7 @@ def _write_segment_files(
     doc_base: int,
     urls: list,
     stored: "dict | None" = None,
+    vectors: "list | None" = None,
 ) -> dict:
     """Write one segment's parquet files (tmp dir + atomic rename).
 
@@ -323,6 +335,38 @@ def _write_segment_files(
         )
         kinds.append("stored")
 
+    if vectors:
+        # doc-major term vectors: one row per (doc, field); rows arrive
+        # doc_id-sorted (callers iterate docs in segment order) so the
+        # 1024-doc row groups give the same k-sized top-k fetches as
+        # stored fields
+        vec_tbl = pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in vectors], pa.int64()),
+                "url": pa.array([r["url"] for r in vectors], pa.string()),
+                "field": pa.array([r["field"] for r in vectors], pa.string()),
+                "terms": pa.array(
+                    [r["terms"] for r in vectors], pa.list_(pa.string())
+                ),
+                "positions": pa.array(
+                    [r["positions"] for r in vectors], pa.list_(pa.int32())
+                ),
+                "starts": pa.array(
+                    [r["starts"] for r in vectors], pa.list_(pa.int32())
+                ),
+                "ends": pa.array(
+                    [r["ends"] for r in vectors], pa.list_(pa.int32())
+                ),
+            }
+        )
+        os.makedirs(os.path.join(tmp_root, "vectors"), exist_ok=True)
+        pq.write_table(
+            vec_tbl,
+            os.path.join(tmp_root, "vectors", "data.parquet"),
+            row_group_size=1024,
+        )
+        kinds.append("vectors")
+
     postings_bytes = sum(
         len(r["docs_bin"]) + len(r["tfs_bin"]) + len(r["pos_bin"])
         for r in block_rows
@@ -401,9 +445,40 @@ def build_segment_pdf(
         if config.stored_cols
         else None
     )
+    vectors: list = []
+    if config.vector_fields:
+        # term vectors: persist the analyzed (term, position, offsets)
+        # stream per (doc, field) — EXACTLY the stream the inverted index
+        # was built from (same analyzer, same stop/length/position
+        # rules), which is what makes the TERM_VECTORS highlight source
+        # byte-identical to re-analysis. Docs with an empty stream write
+        # no row (readers treat a missing row as an empty vector).
+        specs_map = dict(specs)
+        for fname in config.vector_fields:
+            if fname not in specs_map:
+                raise KeyError(
+                    f"vector field {fname!r} is not an indexed field"
+                )
+            an = analyzer_for(config, fname)
+            texts = pdf[specs_map[fname]].fillna("").astype(str).tolist()
+            for i, text in enumerate(texts):
+                toks, poss, st, en = an.tokenize_offsets(text)
+                if not toks:
+                    continue
+                vectors.append(
+                    {
+                        "doc_id": doc_base + i,
+                        "url": urls[i],
+                        "field": fname,
+                        "terms": toks,
+                        "positions": poss,
+                        "starts": st,
+                        "ends": en,
+                    }
+                )
     extra = _write_segment_files(
         index_dir, sid, block_rows, term_stats, norms_rows, doc_base, urls,
-        stored=stored,
+        stored=stored, vectors=vectors,
     )
     m = {
         "segment_id": sid,
@@ -544,6 +619,7 @@ def build_index(
         },
         "store_positions": config.store_positions,
         "stored_cols": list(config.stored_cols),
+        "vector_fields": list(config.vector_fields),
     }
     if write_commit:
         os.makedirs(os.path.join(index_dir, "commits"), exist_ok=True)

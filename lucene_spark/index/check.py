@@ -211,4 +211,60 @@ def check_index(spark, index_dir: str) -> dict:
                 and r["hi"] == m["doc_base"] + m["num_docs"] - 1
             ), f"stored doc_id range wrong for {r['segment_id']}"
         totals["stored_docs"] = int(sum(r["n"] for r in sf))
+    # term vectors (CheckIndex testTermVectors analog), when present:
+    # at most one row per (doc, field), ids inside the segment range,
+    # arrays aligned, positions strictly increasing (one token per
+    # position), token char spans ordered and non-overlapping
+    vec_dir = os.path.join(index_dir, "vectors")
+    if os.path.isdir(vec_dir):
+        vdf = spark.read.parquet(vec_dir).where(F.col("segment_id").isin(live))
+        va = (
+            vdf.groupBy("segment_id", "field")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("doc_id").alias("nd"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            )
+            .collect()
+        )
+        for r in va:
+            m = metas[r["segment_id"]]
+            assert r["n"] == r["nd"], (
+                f"duplicate vector rows in {r['segment_id']}/{r['field']}"
+            )
+            assert r["n"] <= m["num_docs"], "more vectors than docs"
+            assert r["lo"] >= m["doc_base"], "vector id below doc_base"
+            assert r["hi"] < m["doc_base"] + m["num_docs"], "vector id past range"
+
+        def vkernel(iterator):
+            import pandas as pd
+
+            bad = 0
+            n = 0
+            for pdf in iterator:
+                for r in pdf.itertuples(index=False):
+                    n += 1
+                    t, p = list(r.terms), np.asarray(r.positions, np.int64)
+                    s = np.asarray(r.starts, np.int64)
+                    e = np.asarray(r.ends, np.int64)
+                    ok = (
+                        len(t) == p.size == s.size == e.size
+                        and p.size > 0
+                        and p[0] >= 0
+                        and (np.diff(p) > 0).all()
+                        and s[0] >= 0
+                        and (e > s).all()
+                        and (s[1:] >= e[:-1]).all()
+                        and all(isinstance(x, str) and x for x in t)
+                    )
+                    if not ok:
+                        bad += 1
+            yield pd.DataFrame({"n": [n], "bad": [bad]})
+
+        vrows = vdf.select(
+            "terms", "positions", "starts", "ends"
+        ).mapInPandas(vkernel, "n long, bad long").collect()
+        assert sum(r["bad"] for r in vrows) == 0, "malformed term vector rows"
+        totals["vector_rows"] = int(sum(r["n"] for r in vrows))
     return totals

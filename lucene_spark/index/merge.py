@@ -566,6 +566,11 @@ def merge_segments(
             spark, index_dir, group, tmp_root, new_base, span, num_salts
         ):
             kinds.append("stored")
+        if _merge_stored(
+            spark, index_dir, group, tmp_root, new_base, span, num_salts,
+            kind="vectors",
+        ):
+            kinds.append("vectors")
         for kind in kinds:
             final = os.path.join(index_dir, kind, f"segment_id={new_sid}")
             if os.path.exists(final):
@@ -710,14 +715,17 @@ def force_merge(
 
 def _merge_stored(
     spark, index_dir: str, group: list, tmp_root: str,
-    new_base: int, span: int, num_salts: int,
+    new_base: int, span: int, num_salts: int, kind: str = "stored",
 ) -> bool:
-    """Carry stored fields (SegmentMerger's StoredFieldsConsumer role)
-    through a merge. The new doc ids are taken from the freshly written
-    merged docmap via a url equijoin — url is the unique doc key — so
-    ONE code path serves both the id-preserving concat merge and the
-    renumbering squeeze merge, and dead docs drop out of the inner join
-    for free. Distributed end-to-end: a url-shuffle join plus the same
+    """Carry a doc-major side table — stored fields (SegmentMerger's
+    StoredFieldsConsumer role) or term vectors (its TermVectorsConsumer
+    role, ``kind="vectors"``) — through a merge. The new doc ids are
+    taken from the freshly written merged docmap via a url equijoin —
+    url is the unique doc key — so ONE code path serves both the
+    id-preserving concat merge and the renumbering squeeze merge, and
+    dead docs drop out of the inner join for free (vectors may hold
+    several rows per url, one per field; the join fans out correctly).
+    Distributed end-to-end: a url-shuffle join plus the same
     doc_id-range shard writes as the docmap (row-group min/max stats
     keep post-merge fetches k-sized)."""
     import pyarrow as pa
@@ -725,13 +733,13 @@ def _merge_stored(
     import pyspark.sql.functions as F
 
     dirs = [
-        os.path.join(index_dir, "stored", f"segment_id={s['segment_id']}")
+        os.path.join(index_dir, kind, f"segment_id={s['segment_id']}")
         for s in group
     ]
     have = [d for d in dirs if os.path.isdir(d)]
     if not have:
         return False
-    st_dir = os.path.join(tmp_root, "stored")
+    st_dir = os.path.join(tmp_root, kind)
     os.makedirs(st_dir, exist_ok=True)
     new_dm = spark.read.parquet(os.path.join(tmp_root, "docmap")).select(
         "doc_id", "url"
@@ -778,7 +786,7 @@ def vacuum(index_dir: str) -> list:
     live = {s["segment_id"] for s in commit["segments"]}
     removed = []
     for kind in ("postings", "term_stats", "norms", "docmap", "deletes",
-                 "stored"):
+                 "stored", "vectors"):
         root = os.path.join(index_dir, kind)
         if not os.path.isdir(root):
             continue
@@ -1144,6 +1152,11 @@ def _merge_squeeze(
             spark, index_dir, group, tmp_root, new_base, span, num_salts
         ):
             kinds.append("stored")
+        if _merge_stored(
+            spark, index_dir, group, tmp_root, new_base, span, num_salts,
+            kind="vectors",
+        ):
+            kinds.append("vectors")
         for kind in kinds:
             final = os.path.join(index_dir, kind, f"segment_id={new_sid}")
             if os.path.exists(final):

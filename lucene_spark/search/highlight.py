@@ -144,12 +144,42 @@ def highlight_text(
 ) -> "str | None":
     """Best-passage snippet for one stored document, or None when no
     query term occurs in ``text`` (the UnifiedHighlighter contract:
-    callers fall back to a document prefix)."""
+    callers fall back to a document prefix). ANALYSIS offset source:
+    the token stream comes from re-running the analyzer over the
+    stored text."""
+    toks, positions, starts, ends = analyzer.tokenize_offsets(text)
+    return highlight_stream(
+        text, toks, positions, starts, ends, q, field=field,
+        max_passages=max_passages, passage_tokens=passage_tokens,
+        pre=pre, post=post, ellipsis=ellipsis,
+    )
+
+
+def highlight_stream(
+    text: str,
+    toks,
+    positions,
+    starts,
+    ends,
+    q,
+    field: str = "",
+    max_passages: int = 2,
+    passage_tokens: int = 24,
+    pre: str = "<b>",
+    post: str = "</b>",
+    ellipsis: str = " ... ",
+) -> "str | None":
+    """``highlight_text`` over an EXPLICIT token stream — the shared
+    passage engine behind both offset sources (the reference's
+    ``uhighlight/FieldOffsetStrategy.java`` role): ANALYSIS passes the
+    re-analyzed stream, TERM_VECTORS passes the stream persisted at
+    index time (``index/TermVectorsFormat`` analog — see
+    ``IndexConfig.vector_fields``). The two are byte-identical by
+    construction because the vector store IS the analysis-time stream."""
     terms, phrases, matchers = _collect_match_specs(q, field)
     if not terms and not phrases and not matchers:
         return None
-    toks, positions, starts, ends = analyzer.tokenize_offsets(text)
-    if not toks:
+    if not len(toks):
         return None
     hit = _match_token_indices(toks, positions, terms, phrases, matchers)
     if not hit:

@@ -1424,6 +1424,42 @@ class Searcher:
         ids = [int(d) for d in doc_ids]
         return st.where(F.col("doc_id").isin(ids)).drop("segment_id")
 
+    def vectors(self):
+        """The term-vectors table (``TermVectors`` reader analog,
+        ``index/TermVectorsFormat`` role) as a live-segment-pruned
+        DataFrame, or None when the index was built without
+        ``IndexConfig.vector_fields``. One row per (doc_id, field):
+        the analyzed token stream as aligned arrays (terms, positions,
+        starts, ends) in stream order."""
+        import pyspark.sql.functions as F
+
+        path = os.path.join(self.index_dir, "vectors")
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path).where(
+            F.col("segment_id").isin(list(self.live_segments))
+        )
+
+    def term_vectors(self, doc_ids, field: str = ""):
+        """``TermVectors.get(docID, field)`` analog for a batch of ids:
+        DataFrame (doc_id, terms, positions, starts, ends). Docs whose
+        field produced no tokens have no row (empty vector). The
+        ``doc_id IN (...)`` predicate pushes to the 1024-doc row groups
+        — a top-k fetch reads k-sized byte ranges, never a scan."""
+        import pyspark.sql.functions as F
+
+        vec = self.vectors()
+        if vec is None:
+            raise ValueError(
+                "index has no term vectors (IndexConfig.vector_fields)"
+            )
+        ids = [int(d) for d in doc_ids]
+        return (
+            vec.where(F.col("doc_id").isin(ids))
+            .where(F.col("field") == field)
+            .select("doc_id", "terms", "positions", "starts", "ends")
+        )
+
     def highlight(
         self,
         query,
@@ -1434,19 +1470,30 @@ class Searcher:
         pre: str = "<b>",
         post: str = "</b>",
         dtype: str = "f32",
+        offset_source: str = "auto",
     ):
         """Top-k search + best-passage snippets over the stored source
-        column of ``field`` (re-analysis offset source — see
-        ``lucene_spark/search/highlight.py``; the
-        ``uhighlight/UnifiedHighlighter.java`` deployment shape).
+        column of ``field`` (see ``lucene_spark/search/highlight.py``;
+        the ``uhighlight/UnifiedHighlighter.java`` deployment shape).
         DataFrame (doc_id, url, score, snippet), rank order preserved;
         snippet is NULL when no query term occurs in the stored text
         (callers show a document prefix). O(k) work: one top-k search,
         one k-sized stored fetch, k snippet extractions in one Arrow
-        batch."""
+        batch.
+
+        ``offset_source`` mirrors ``UnifiedHighlighter.OffsetSource``:
+        "analysis" re-tokenizes the stored text; "vectors" reads the
+        index-time stream from the term-vectors table (k-sized fetch,
+        no re-analysis — the win on long docs); "auto" uses vectors
+        when the field was indexed with them. Both sources produce
+        byte-identical snippets (the vector store IS the analysis-time
+        stream)."""
         import pyspark.sql.functions as F
 
-        from lucene_spark.search.highlight import highlight_text
+        from lucene_spark.search.highlight import (
+            highlight_stream,
+            highlight_text,
+        )
 
         q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
         specs = dict(
@@ -1462,7 +1509,26 @@ class Searcher:
                 [], "doc_id long, url string, score double, snippet string"
             )
         ids = [int(r["doc_id"]) for r in top]
+        if offset_source not in ("auto", "analysis", "vectors"):
+            raise ValueError(f"unknown offset_source {offset_source!r}")
+        use_vec = offset_source == "vectors" or (
+            offset_source == "auto"
+            and field in (self.commit.get("vector_fields") or ())
+            and self.vectors() is not None
+        )
+        if use_vec and (
+            self.vectors() is None
+            or field not in (self.commit.get("vector_fields") or ())
+        ):
+            raise ValueError(
+                f"field {field!r} has no term vectors "
+                "(IndexConfig.vector_fields)"
+            )
         stored = self.get_documents(ids).select("doc_id", src_col)
+        if use_vec:
+            stored = stored.join(
+                self.term_vectors(ids, field=field), "doc_id", "left"
+            )
         kq, kf, kcol = q, field, src_col
         kmax, ktok, kpre, kpost = max_passages, passage_tokens, pre, post
 
@@ -1470,13 +1536,36 @@ class Searcher:
             import pandas as pd
 
             for pdf in iterator:
-                snips = [
-                    highlight_text(
-                        t, kq, analyzer, field=kf, max_passages=kmax,
-                        passage_tokens=ktok, pre=kpre, post=kpost,
-                    )
-                    for t in pdf[kcol].astype(str)
-                ]
+                if use_vec:
+                    def _lst(v, conv=None):
+                        # left-join nulls arrive as None (object) or NaN
+                        if v is None or (isinstance(v, float) and v != v):
+                            return []
+                        return list(v) if conv is None else [conv(x) for x in v]
+
+                    snips = [
+                        highlight_stream(
+                            str(t),
+                            _lst(tv, str),
+                            _lst(pv, int),
+                            _lst(sv, int),
+                            _lst(ev, int),
+                            kq, field=kf, max_passages=kmax,
+                            passage_tokens=ktok, pre=kpre, post=kpost,
+                        )
+                        for t, tv, pv, sv, ev in zip(
+                            pdf[kcol], pdf["terms"], pdf["positions"],
+                            pdf["starts"], pdf["ends"],
+                        )
+                    ]
+                else:
+                    snips = [
+                        highlight_text(
+                            t, kq, analyzer, field=kf, max_passages=kmax,
+                            passage_tokens=ktok, pre=kpre, post=kpost,
+                        )
+                        for t in pdf[kcol].astype(str)
+                    ]
                 yield pd.DataFrame(
                     {"doc_id": pdf["doc_id"], "snippet": snips}
                 )

@@ -92,6 +92,34 @@ def _shard_search_many(args):
     }
 
 
+def _use_vectors(commit: dict, field: str, offset_source: str) -> bool:
+    """Resolve the highlight offset source against the commit's
+    ``vector_fields`` (UnifiedHighlighter.getOffsetSource analog)."""
+    if offset_source not in ("auto", "analysis", "vectors"):
+        raise ValueError(f"unknown offset_source {offset_source!r}")
+    has = field in (commit.get("vector_fields") or ())
+    if offset_source == "vectors" and not has:
+        raise ValueError(
+            f"field {field!r} has no term vectors (IndexConfig.vector_fields)"
+        )
+    return offset_source == "vectors" or (offset_source == "auto" and has)
+
+
+def _snippet(
+    text, q, analyzer, field, use_vec, vec_row, **kw
+) -> "str | None":
+    """One doc's snippet via the selected offset source. ``vec_row``:
+    (terms, positions, starts, ends) from the vectors table, or None
+    for an empty vector (doc produced no tokens -> no snippet, same as
+    an empty re-analyzed stream)."""
+    from lucene_spark.search.highlight import highlight_stream, highlight_text
+
+    if use_vec:
+        toks, poss, st, en = vec_row if vec_row is not None else ([], [], [], [])
+        return highlight_stream(text, toks, poss, st, en, q, field=field, **kw)
+    return highlight_text(text, q, analyzer, field=field, **kw)
+
+
 class ShardedSearcher:
     """One-node serving across K worker PROCESSES, each owning a
     disjoint subset of the index's segments — the in-miniature form of
@@ -317,14 +345,13 @@ class ShardedSearcher:
         pre: str = "<b>",
         post: str = "</b>",
         dtype: str = "f32",
+        offset_source: str = "auto",
     ) -> list:
         """[(doc_id, score, url, snippet)] — scatter-gather top-k, then
         snippets extracted in the parent over k stored-field reads (the
         stored table is shared storage; snippet work is O(k), no reason
         to ship it to shard workers). Same signature and contract as
-        ``LocalSearcher.highlight``."""
-        from lucene_spark.search.highlight import highlight_text
-
+        ``LocalSearcher.highlight`` (incl. ``offset_source``)."""
         ls = self._stats_ls
         q = (
             ls.parse(query)
@@ -347,19 +374,25 @@ class ShardedSearcher:
             return []
         # the stats searcher owns NO segments; read stored fields across
         # all live segments explicitly (no shared-state mutation)
+        ids = [d for d, _, _ in top]
         docs = {
             r["doc_id"]: r
-            for r in ls.documents(
-                [d for d, _, _ in top], segments=ls.all_segments
-            )
+            for r in ls.documents(ids, segments=ls.all_segments)
         }
+        use_vec = _use_vectors(ls.commit, field, offset_source)
+        vecs = (
+            ls.term_vectors(ids, field=field, segments=ls.all_segments)
+            if use_vec
+            else {}
+        )
         return [
             (
                 d,
                 sc,
                 url,
-                highlight_text(
-                    str(docs[d][src_col]), q, analyzer, field=field,
+                _snippet(
+                    str(docs[d][src_col]), q, analyzer, field,
+                    use_vec, vecs.get(d),
                     max_passages=max_passages,
                     passage_tokens=passage_tokens, pre=pre, post=post,
                 )
@@ -830,6 +863,37 @@ class LocalSearcher:
         out.sort(key=lambda r: r["doc_id"])
         return out
 
+    def term_vectors(self, doc_ids, field: str = "", segments=None) -> dict:
+        """Term-vectors retrieval (``TermVectors.get(docID, field)``
+        analog): doc_id -> (terms, positions, starts, ends) for docs
+        that have a vector of ``field``; docs with an empty stream are
+        absent. Same k-sized doc_id row-group-pruned pyarrow reads as
+        ``documents``."""
+        import pyarrow.parquet as pq
+
+        ids = sorted(int(d) for d in doc_ids)
+        out: dict = {}
+        for s in segments if segments is not None else self.segments:
+            lo, hi = int(s["doc_base"]), int(s["doc_base"] + s["num_docs"])
+            mine = [d for d in ids if lo <= d < hi]
+            if not mine:
+                continue
+            p = os.path.join(
+                self.index_dir, "vectors", f"segment_id={s['segment_id']}"
+            )
+            if not os.path.isdir(p):
+                raise ValueError(
+                    "index has no term vectors (IndexConfig.vector_fields)"
+                )
+            t = pq.read_table(
+                p, filters=[("doc_id", "in", mine), ("field", "=", field)]
+            )
+            for r in t.to_pylist():
+                out[int(r["doc_id"])] = (
+                    r["terms"], r["positions"], r["starts"], r["ends"]
+                )
+        return out
+
     def highlight(
         self,
         query,
@@ -840,12 +904,14 @@ class LocalSearcher:
         pre: str = "<b>",
         post: str = "</b>",
         dtype: str = "f32",
+        offset_source: str = "auto",
     ) -> list:
         """[(doc_id, score, url, snippet)] — the serving-plane mirror of
-        ``Searcher.highlight`` (same re-analysis highlighter, same
-        passage selection; snippet None when no stored-text match)."""
-        from lucene_spark.search.highlight import highlight_text
-
+        ``Searcher.highlight`` (same passage selection; snippet None
+        when no stored-text match). ``offset_source``: "analysis"
+        re-tokenizes stored text, "vectors" reads the index-time stream
+        (k-sized pyarrow fetch, no re-analysis), "auto" prefers vectors
+        when the field has them — both byte-identical."""
         q = (
             parse(query, self.analyzer, self.field_analyzers)
             if isinstance(query, str)
@@ -865,16 +931,18 @@ class LocalSearcher:
         top = self.search(query, k=k, dtype=dtype)
         if not top:
             return []
-        docs = {
-            r["doc_id"]: r for r in self.documents([d for d, _, _ in top])
-        }
+        ids = [d for d, _, _ in top]
+        docs = {r["doc_id"]: r for r in self.documents(ids)}
+        use_vec = _use_vectors(self.commit, field, offset_source)
+        vecs = self.term_vectors(ids, field=field) if use_vec else {}
         return [
             (
                 d,
                 sc,
                 url,
-                highlight_text(
-                    str(docs[d][src_col]), q, analyzer, field=field,
+                _snippet(
+                    str(docs[d][src_col]), q, analyzer, field,
+                    use_vec, vecs.get(d),
                     max_passages=max_passages,
                     passage_tokens=passage_tokens, pre=pre, post=post,
                 )
