@@ -1,0 +1,424 @@
+"""Minimal-interval algebra vs the reference's own golden expectations.
+
+Every expected-interval table below is ported from
+``lucene/queries/src/test/org/apache/lucene/queries/intervals/TestIntervals.java``
+(same two document fields, same sources, same per-doc (start, end)
+pairs in enumeration order — using the reference's tests as the oracle
+is the assignment's test model, SURVEY §5)."""
+
+import pytest
+
+from lucene_spark.analysis.analyzer import Analyzer
+from lucene_spark.search import intervals as iv
+
+# TestIntervals.java field1_docs / field2_docs
+FIELD1 = [
+    "Nothing of interest to anyone here",
+    "Pease porridge hot, pease porridge cold, pease porridge in the pot nine"
+    " days old.  Some like it hot, some like it cold, some like it in the"
+    " pot nine days old",
+    "Pease porridge cold, pease porridge hot, pease porridge in the pot"
+    " twelve days old.  Some like it cold, some like it hot, some like it"
+    " in the fraggle",
+    "Nor here, nowt hot going on in pease this one",
+    "Pease porridge hot, pease porridge cold, pease porridge in the pot nine"
+    " years old.  Some like it hot, some like it twelve",
+    "Porridge is great",
+    "",
+]
+FIELD2 = [
+    "In Xanadu did Kubla Khan a stately pleasure dome decree",
+    "Where Alph the sacred river ran through caverns measureless to man",
+    "a b a c b a b c",
+    "So thrice five miles of fertile ground",
+    "Pease hot porridge porridge",
+    "w1 w2 w3 w4 w1 w6 w3 w8 w4 w7 w1 w6",
+    "the quick brown fox jumps over the lazy dog",
+]
+
+_AN = Analyzer(stopwords=frozenset())  # StandardAnalyzer(EMPTY_SET)
+
+
+def _pos_of(text: str) -> dict:
+    terms, positions = _AN.tokenize_one(text)
+    d: dict = {}
+    for t, p in zip(terms, positions):
+        d.setdefault(t, []).append(p)
+    return d
+
+
+_F1 = [_pos_of(t) for t in FIELD1]
+_F2 = [_pos_of(t) for t in FIELD2]
+
+
+def check(source, docs, expected, match_count=None):
+    """checkIntervals analog: flattened (start, end) pairs per doc; docs
+    past the end of ``expected`` must produce no intervals."""
+    matched = 0
+    for i, pos_of in enumerate(docs):
+        got = iv.enumerate_intervals(source, pos_of)
+        pairs: list = []
+        for s, e, _ in got:
+            pairs.extend((s, e))
+        exp = list(expected[i]) if i < len(expected) else []
+        assert pairs == exp, f"doc {i}: got {pairs}, want {exp}"
+        if pairs:
+            matched += 1
+    if match_count is not None:
+        assert matched == match_count
+
+
+def gaps_of(source, pos_of) -> list:
+    return [g for _, _, g in iv.enumerate_intervals(source, pos_of)]
+
+
+def test_term_intervals():
+    src = iv.term("porridge")
+    check(
+        src, _F1,
+        [[], [1, 1, 4, 4, 7, 7], [1, 1, 4, 4, 7, 7], [], [1, 1, 4, 4, 7, 7],
+         [0, 0]],
+        match_count=4,
+    )
+    assert src.min_extent() == 1
+
+
+def test_ordered_near():
+    src = iv.ordered(iv.term("pease"), iv.term("hot"))
+    check(
+        src, _F1,
+        [[], [0, 2, 6, 17], [3, 5, 6, 21], [], [0, 2, 6, 17], []],
+        match_count=3,
+    )
+    assert src.min_extent() == 2
+
+
+def test_ordered_with_duplicates():
+    src = iv.ordered(iv.term("pease"), iv.term("pease"), iv.term("porridge"))
+    check(
+        src, _F1,
+        [[], [0, 4, 3, 7], [0, 4, 3, 7], [], [0, 4, 3, 7], []],
+        match_count=3,
+    )
+    assert gaps_of(src, _F1[1]) == [2, 2]
+
+
+def test_phrase_intervals():
+    src = iv.phrase("pease", "porridge")
+    check(
+        src, _F1,
+        [[], [0, 1, 3, 4, 6, 7], [0, 1, 3, 4, 6, 7], [], [0, 1, 3, 4, 6, 7],
+         []],
+        match_count=3,
+    )
+    assert src.min_extent() == 2
+
+
+def test_unordered_near():
+    src = iv.unordered(iv.term("pease"), iv.term("hot"))
+    check(
+        src, _F1,
+        [[], [0, 2, 2, 3, 6, 17], [3, 5, 5, 6, 6, 21], [3, 7],
+         [0, 2, 2, 3, 6, 17], []],
+        match_count=4,
+    )
+    assert gaps_of(src, _F1[1]) == [1, 0, 10]
+    assert src.min_extent() == 2
+
+
+def test_unordered_with_repeats():
+    src = iv.unordered(iv.term("pease"), iv.term("pease"), iv.term("hot"))
+    check(
+        src, _F1,
+        [[], [0, 3, 2, 6, 3, 17], [0, 5, 3, 6], [], [0, 3, 2, 6, 3, 17], []],
+        match_count=3,
+    )
+
+
+def test_unordered_with_repeats_and_maxgaps():
+    src = iv.maxgaps(
+        2, iv.unordered(iv.term("pease"), iv.term("pease"), iv.term("hot"))
+    )
+    check(
+        src, _F1,
+        [[], [0, 3, 2, 6], [3, 6], [], [0, 3, 2, 6], []],
+        match_count=3,
+    )
+
+
+def test_interval_disjunction():
+    src = iv.or_(iv.term("pease"), iv.term("hot"), iv.term("notmatching"))
+    check(
+        src, _F1,
+        [[], [0, 0, 2, 2, 3, 3, 6, 6, 17, 17],
+         [0, 0, 3, 3, 5, 5, 6, 6, 21, 21], [3, 3, 7, 7],
+         [0, 0, 2, 2, 3, 3, 6, 6, 17, 17], []],
+        match_count=4,
+    )
+    assert src.min_extent() == 1
+
+
+def test_combination_disjunction():
+    src = iv.ordered(
+        iv.or_(iv.term("alph"), iv.term("sacred")), iv.term("measureless")
+    )
+    check(src, _F2, [[], [3, 8], [], [], [], []], match_count=1)
+    assert src.min_extent() == 2
+
+
+def test_nesting():
+    src = iv.unordered(
+        iv.term("pease"),
+        iv.term("porridge"),
+        iv.or_(iv.term("hot"), iv.term("cold")),
+    )
+    check(
+        src, _F1,
+        [[], [0, 2, 1, 3, 2, 4, 3, 5, 4, 6, 5, 7, 6, 17],
+         [0, 2, 1, 3, 2, 4, 3, 5, 4, 6, 5, 7, 6, 17], [],
+         [0, 2, 1, 3, 2, 4, 3, 5, 4, 6, 5, 7, 6, 17], []],
+        match_count=3,
+    )
+    assert src.min_extent() == 3
+    assert gaps_of(src, _F1[1]) == [0, 0, 0, 0, 0, 0, 9]
+
+
+def test_nesting2():
+    src = iv.unordered(
+        iv.ordered(iv.term("like"), iv.term("it"), iv.term("cold")),
+        iv.term("pease"),
+    )
+    check(src, _F1, [[], [6, 21], [6, 17], [], [], []], match_count=2)
+    assert src.min_extent() == 4
+
+
+def test_interleaved_ordered():
+    src = iv.ordered(iv.term("a"), iv.term("b"), iv.term("c"))
+    check(src, _F2, [[], [], [0, 3, 5, 7], [], [], []], match_count=1)
+    assert gaps_of(src, _F2[2]) == [1, 0]
+
+
+def test_unordered_distinct():
+    check(
+        iv.unordered_no_overlaps(iv.term("pease"), iv.term("pease")),
+        _F1,
+        [[], [0, 3, 3, 6], [0, 3, 3, 6], [], [0, 3, 3, 6], []],
+        match_count=3,
+    )
+    src = iv.unordered_no_overlaps(
+        iv.unordered(iv.term("pease"), iv.term("porridge"), iv.term("hot")),
+        iv.term("porridge"),
+    )
+    check(
+        src, _F1,
+        [[], [1, 4, 2, 7, 4, 17], [1, 5, 4, 7], [], [1, 4, 2, 7, 4, 17], []],
+        match_count=3,
+    )
+    check(src, _F2, [[], [], [], [], [0, 3], []], match_count=1)
+    src2 = iv.unordered_no_overlaps(
+        iv.term("porridge"),
+        iv.unordered(iv.term("pease"), iv.term("porridge")),
+    )
+    check(
+        src2, _F1,
+        [[], [1, 4, 4, 7], [1, 4, 4, 7], [], [1, 4, 4, 7], []],
+        match_count=3,
+    )
+
+
+def test_contained_by():
+    src = iv.contained_by(
+        iv.term("porridge"), iv.ordered(iv.term("pease"), iv.term("cold"))
+    )
+    check(
+        src, _F1,
+        [[], [4, 4, 7, 7], [1, 1, 7, 7], [], [4, 4], []],
+        match_count=3,
+    )
+    assert src.min_extent() == 1
+
+
+def test_containing():
+    src = iv.containing(
+        iv.ordered(iv.term("pease"), iv.term("cold")), iv.term("porridge")
+    )
+    check(
+        src, _F1,
+        [[], [3, 5, 6, 21], [0, 2, 6, 17], [], [3, 5], []],
+        match_count=3,
+    )
+    assert src.min_extent() == 2
+
+
+def test_not_containing():
+    src = iv.not_containing(
+        iv.ordered(iv.term("porridge"), iv.term("pease")), iv.term("hot")
+    )
+    check(src, _F1, [[], [4, 6], [1, 3], [], [4, 6], []], match_count=3)
+    assert src.min_extent() == 2
+
+
+def test_maxgaps():
+    src = iv.maxgaps(
+        1, iv.unordered(iv.term("w1"), iv.term("w3"), iv.term("w4"))
+    )
+    check(
+        src, _F2, [[], [], [], [], [], [0, 3, 2, 4, 3, 6]], match_count=1
+    )
+    assert src.min_extent() == 3
+
+
+def test_maxgaps_with_repeats():
+    src = iv.maxgaps(
+        11, iv.ordered(iv.term("pease"), iv.term("pease"), iv.term("hot"))
+    )
+    check(src, _F1, [[], [], [0, 5], [], [], []], match_count=1)
+    assert gaps_of(src, _F1[2]) == [3]
+
+
+def test_maxgaps_with_only_repeats():
+    src = iv.maxgaps(
+        1,
+        iv.ordered(
+            iv.or_(iv.term("pease"), iv.term("hot")),
+            iv.or_(iv.term("pease"), iv.term("hot")),
+        ),
+    )
+    check(
+        src, _F1,
+        [[], [0, 2, 2, 3], [3, 5, 5, 6], [], [0, 2, 2, 3], []],
+        match_count=3,
+    )
+    assert gaps_of(src, _F1[1]) == [1, 0]
+
+
+def test_nested_maxgaps():
+    src = iv.maxgaps(
+        1,
+        iv.unordered(
+            iv.ordered(iv.term("w1"), iv.term("w3")), iv.term("w4")
+        ),
+    )
+    check(
+        src, _F2, [[], [], [], [], [], [0, 3, 3, 6, 4, 8]], match_count=1
+    )
+    assert gaps_of(src, _F2[5]) == [0, 0, 1]
+    assert src.min_extent() == 3
+
+
+def test_defined_gaps():
+    src = iv.phrase(
+        iv.term("pease"),
+        iv.extend(iv.term("cold"), 1, 1),
+        iv.term("porridge"),
+    )
+    check(src, _F1, [[], [3, 7], [0, 4], [], [3, 7], []], match_count=3)
+    assert src.min_extent() == 5
+
+    src2 = iv.extend(iv.term("w1"), 5, iv.MAX_INT)
+    check(
+        src2, _F2,
+        [[], [], [], [], [],
+         [0, iv.MAX_INT - 1, 0, iv.MAX_INT - 1, 5, iv.MAX_INT - 1]],
+        match_count=1,
+    )
+    assert src2.min_extent() == iv.MAX_INT
+
+
+def test_extends():
+    src = iv.extend(iv.term("fox"), 1, 2)
+    check(src, _F2, [[], [], [], [], [], [], [2, 5]], match_count=1)
+
+
+def test_after():
+    src = iv.after(
+        iv.term("porridge"), iv.ordered(iv.term("pease"), iv.term("cold"))
+    )
+    check(
+        src, _F1, [[], [7, 7], [4, 4, 7, 7], [], [7, 7], []], match_count=3
+    )
+    assert src.min_extent() == 1
+
+
+def test_before():
+    src = iv.before(iv.term("cold"), iv.term("twelve"))
+    check(src, _F1, [[], [], [2, 2], [], [5, 5], []], match_count=2)
+    assert src.min_extent() == 1
+
+
+def test_within():
+    src = iv.within(
+        iv.term("hot"), 6, iv.or_(iv.term("porridge"), iv.term("fraggle"))
+    )
+    check(
+        src, _F1, [[], [2, 2], [5, 5, 21, 21], [], [2, 2], []], match_count=3
+    )
+    assert src.min_extent() == 1
+
+
+def test_overlapping():
+    src = iv.overlapping(
+        iv.unordered(iv.term("hot"), iv.term("porridge")),
+        iv.unordered(iv.term("cold"), iv.term("pease")),
+    )
+    check(
+        src, _F1,
+        [[], [2, 4, 7, 17], [5, 7, 7, 21], [], [2, 4], []],
+        match_count=3,
+    )
+    assert gaps_of(src, _F1[2]) == [1, 13]
+    assert src.min_extent() == 2
+
+
+def test_offset_intervals():
+    src = iv.unordered(
+        iv.term("pease"),
+        iv.term("porridge"),
+        iv.or_(iv.term("hot"), iv.term("cold")),
+    )
+    exp_before = [0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+    exp_after = [3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 18, 18]
+    check(
+        iv.Offset(src, preceding=True), _F1,
+        [[], exp_before, exp_before, [], exp_before, []],
+        match_count=3,
+    )
+    check(
+        iv.Offset(src, preceding=False), _F1,
+        [[], exp_after, exp_after, [], exp_after, []],
+        match_count=3,
+    )
+
+
+def test_no_intervals_and_scoring():
+    assert iv.enumerate_intervals(iv.no_intervals("x"), _F1[1]) == []
+    # doc 1 'porridge': three length-1 intervals, minExtent 1 -> freq 3
+    assert iv.interval_freq(iv.term("porridge"), _F1[1]) == 3.0
+    s = iv.saturation_score(3.0, boost=1.0, pivot=1.0)
+    assert s == pytest.approx(0.75)
+    # saturation is monotone in freq and bounded by boost
+    assert iv.saturation_score(0.5, 2.0, 1.0) < iv.saturation_score(
+        5.0, 2.0, 1.0
+    ) < 2.0
+
+
+def test_brute_force_match_parity():
+    """Match-set sanity vs a brute-force oracle: ordered(a, b) matches a
+    doc iff some a-position precedes some b-position; unordered iff both
+    terms occur. (The enumeration goldens above pin the exact interval
+    lists; this pins the DOC-level semantics on every fixture doc.)"""
+    for docs in (_F1, _F2):
+        for a in ("pease", "porridge", "hot", "w1"):
+            for b in ("cold", "hot", "w3"):
+                if a == b:
+                    continue
+                src_o = iv.ordered(iv.term(a), iv.term(b))
+                src_u = iv.unordered(iv.term(a), iv.term(b))
+                for pos_of in docs:
+                    pa, pb = pos_of.get(a, []), pos_of.get(b, [])
+                    want_o = bool(pa and pb and min(pa) < max(pb))
+                    want_u = bool(pa and pb)
+                    got_o = bool(iv.enumerate_intervals(src_o, pos_of))
+                    got_u = bool(iv.enumerate_intervals(src_u, pos_of))
+                    assert got_o == want_o
+                    assert got_u == want_u
