@@ -389,6 +389,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def interval_ordered_topk(spark, sf_dir):
+        # IntervalQuery over ordered(merge, window): minimal-interval
+        # enumeration, freq = sum 1/max(width - minExtent + 1, 1),
+        # pivot-1 saturation score (queries/intervals, f64 mirror)
+        from lucene_spark.search import intervals as iv
+
+        ast = _ast()
+        qq = ast.IntervalQuery(
+            "", iv.ordered(iv.term(TERM), iv.term("window"))
+        )
+        return _topk_docs(
+            _searcher(spark, sf_dir).search(qq, k=K, pruned=True, dtype="f64")
+        )
+
+    def interval_unordered_match(spark, sf_dir):
+        # maxgaps(3, unordered(merge, scan)) match set — the gaps-filtered
+        # two-phase intervals iterator as a doc predicate
+        from lucene_spark.search import intervals as iv
+
+        ast = _ast()
+        qq = ast.IntervalQuery(
+            "", iv.maxgaps(3, iv.unordered(iv.term(TERM), iv.term("scan")))
+        )
+        return _out_docs(_searcher(spark, sf_dir).match_docs(qq))
+
     def bool_and_topk(spark, sf_dir):
         ast = _ast()
         qq = ast.BooleanQuery(must=tuple(ast.TermQuery(t) for t in AND3_TERMS))
@@ -741,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         highlight_topk=highlight_topk,
         nested_bool_topk=nested_bool_topk,
         mt_tree_topk=mt_tree_topk,
+        interval_ordered_topk=interval_ordered_topk,
+        interval_unordered_match=interval_unordered_match,
         term_postings=term_postings,
         serve_term_topk=serve_term_topk,
         squeeze_term_topk=squeeze_term_topk,
@@ -754,14 +781,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         phrase_sloppy_match=phrase_sloppy_match,
         multi_phrase_topk=multi_phrase_topk,
         boost_or_topk=boost_or_topk,
-        const_score_match=const_score_match,
         total_hits=total_hits,
         collection_stats=collection_stats,
         regexp_lucene_match=regexp_lucene_match,
         range_match=range_match,
         set_match=set_match,
         fuzzy_match=fuzzy_match,
-        wildcard_match=wildcard_match,
         prefix_wide_match=prefix_wide_match,
         field_exists_match=field_exists_match,
         field_analyzer_title_topk=field_analyzer_title_topk,
@@ -788,6 +813,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         term_topk=term_topk,
         multi_phrase_match=multi_phrase_match,
         emb_ivf_topk2=emb_ivf_topk2,
+        # displaced by the round-4 interval entries: wildcard's matcher
+        # is gate-proven via mt_tree_topk + hypothesis property tests;
+        # const_score's constant leaf is gate-proven via every
+        # multi-term CONSTANT_SCORE_REWRITE entry
+        wildcard_match=wildcard_match,
+        const_score_match=const_score_match,
     )
     return q
 
@@ -842,6 +873,12 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "total_hits": and_count,
         "collection_stats": osql.collection_stats_sql(),
         "mt_tree_topk": osql.mt_or_topk_sql(TERM, TERM_RARE, K),
+        "interval_ordered_topk": osql.interval_ordered_topk_sql(
+            TERM, "window", K
+        ),
+        "interval_unordered_match": osql.interval_unordered_match_sql(
+            TERM, "scan", 3
+        ),
         "regexp_match": osql.multiterm_match_sql("regexp_matches(t, 'ow$')"),
         "range_match": osql.multiterm_match_sql("t >= 'ba' AND t < 'da'"),
         "regexp_lucene_match": osql.multiterm_match_sql(

@@ -168,6 +168,24 @@ class MultiTermQuery(Query):
     field: str = ""
 
 
+@dataclass(frozen=True)
+class IntervalQuery(Query):
+    """``queries/intervals/IntervalQuery.java``: scores docs by the
+    minimal intervals an ``IntervalsSource`` enumerates over ``field``
+    (sources built with ``lucene_spark.search.intervals`` factories —
+    term/phrase/ordered/unordered/or_/maxgaps/...). Per-doc freq sums
+    1/max(length - minExtent + 1, 1) over the enumerated intervals
+    (``IntervalScorer.java:43-52``); the score function is the
+    saturation curve pivot/(pivot+freq) by default, the sigmoid variant
+    when ``exp`` is set (``IntervalScoreFunction.java``; defaults
+    pivot=1 per ``IntervalQuery.java:46-48``)."""
+
+    field: str
+    source: object  # intervals.IntervalsSource (frozen, hashable)
+    pivot: float = 1.0
+    exp: "float | None" = None
+
+
 def rewrite(q: Query) -> Query:
     """Boolean simplifications to fixpoint (BooleanQuery.java:269-330,
     IndexSearcher.rewrite loop at IndexSearcher.java:860)."""
@@ -290,6 +308,8 @@ def query_terms(q: Query) -> set:
         return {t for slot in q.slots for t in slot}
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
         return query_terms(q.query)
+    if isinstance(q, IntervalQuery):
+        return {fielded(q.field, t) for t in q.source.terms()}
     if isinstance(q, BooleanQuery):
         out: set = set()
         for c in q.must + q.should + q.must_not + q.filter:

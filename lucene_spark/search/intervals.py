@@ -1352,6 +1352,37 @@ def _as_source(s) -> IntervalsSource:
 # --------------------------------------------------------- evaluation
 
 
+def approx_docs(source: IntervalsSource, docs_of: dict):
+    """Doc-level candidate set of ``source`` over per-term sorted doc-id
+    arrays — the vectorized mirror of each source's DocIdSetIterator
+    approximation (conjunction intersect / disjunction union /
+    difference = minuend). ``matches_approx`` is the same predicate at
+    one doc; this is the set form the batch engine feeds the per-doc
+    evaluator with."""
+    import numpy as np
+
+    if isinstance(source, Term):
+        return np.asarray(docs_of.get(source.term, np.empty(0, np.int64)))
+    if isinstance(source, NoMatch):
+        return np.empty(0, np.int64)
+    if isinstance(source, _Conjunction):
+        subs = [approx_docs(s, docs_of) for s in source.subs]
+        out = subs[0]
+        for d in subs[1:]:
+            out = np.intersect1d(out, d, assume_unique=True)
+        return out
+    if isinstance(source, Or):
+        subs = [approx_docs(s, docs_of) for s in source.subs]
+        return np.unique(np.concatenate(subs)) if subs else np.empty(0, np.int64)
+    if isinstance(source, _Difference):
+        return approx_docs(source.minuend, docs_of)
+    if isinstance(source, (MaxGaps, MaxWidth, Extended, Offset)):
+        return approx_docs(source.sub, docs_of)
+    if isinstance(source, Repeating):
+        return approx_docs(source.sub, docs_of)
+    raise TypeError(f"unknown source {source!r}")
+
+
 def enumerate_intervals(source: IntervalsSource, pos_of: dict) -> list:
     """All (start, end, gaps) intervals of ``source`` over one doc's
     positions, in the reference's enumeration order. Empty when the
@@ -1385,6 +1416,20 @@ def interval_freq(source: IntervalsSource, pos_of: dict) -> float:
     return float(f)
 
 
+def interval_freq64(source: IntervalsSource, pos_of: dict) -> float:
+    """float64 mirror of ``interval_freq`` (the engine's dtype="f64"
+    oracle plane, like the BM25 ScorerF64 mirror)."""
+    me = source.min_extent()
+    f = 0.0
+    if not source.matches_approx(pos_of):
+        return 0.0
+    it = source.iterator(pos_of)
+    while it.next_interval() != NO_MORE:
+        length = it.end() - it.start() + 1
+        f += 1.0 / max(length - me + 1, 1)
+    return f
+
+
 def saturation_score(freq: float, boost: float, pivot: float) -> float:
     """IntervalScoreFunction.SaturationFunction (float32 contract):
     weight * (1 - pivot / (pivot + freq))."""
@@ -1394,3 +1439,25 @@ def saturation_score(freq: float, boost: float, pivot: float) -> float:
     p = np.float32(pivot)
     f = np.float32(freq)
     return float(b * (np.float32(1.0) - p / (p + f)))
+
+
+def sigmoid_score(freq: float, boost: float, pivot: float, exp: float) -> float:
+    """IntervalScoreFunction.SigmoidFunction: weight * (1 - pivot^a /
+    (freq^a + pivot^a)) — double math, one final float32 round (the
+    reference casts the double product to float)."""
+    import numpy as np
+
+    pivot_pa = float(pivot) ** float(exp)
+    v = float(np.float32(boost)) * (
+        1.0 - pivot_pa / (float(freq) ** float(exp) + pivot_pa)
+    )
+    return float(np.float32(v))
+
+
+def saturation_score64(freq: float, boost: float, pivot: float) -> float:
+    return boost * (1.0 - pivot / (pivot + freq))
+
+
+def sigmoid_score64(freq: float, boost: float, pivot: float, exp: float) -> float:
+    pivot_pa = pivot ** exp
+    return boost * (1.0 - pivot_pa / (freq ** exp + pivot_pa))

@@ -185,9 +185,76 @@ def score_exhaustive(
             return docs, np.empty(0, np.float64)
         s = scorers[("mp", q.slots, boost)].score(freqs, seg.norms_for_term(q.slots[0][0])[docs])
         return docs, s.astype(np.float64)
+    if isinstance(q, ast.IntervalQuery):
+        return _interval_docs_scores(seg, q, dtype, boost)
     if isinstance(q, ast.BooleanQuery):
         return _score_bool_exhaustive(seg, q, scorers, dtype, boost)
     raise TypeError(f"unsupported query {q!r}")
+
+
+def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost=1.0):
+    """IntervalQuery evaluation over one segment (IntervalWeight /
+    IntervalScorer): doc candidates from the source's vectorized
+    approximation over per-term doc sets, then the per-doc minimal
+    interval enumeration and the saturation/sigmoid score
+    (``IntervalScorer.java`` + ``IntervalScoreFunction.java``; see
+    ``lucene_spark/search/intervals.py``). Docs whose enumeration is
+    empty (filtered sources) are non-matches, like the reference's
+    two-phase ``matches()``."""
+    from lucene_spark.search import intervals as iv
+
+    src = q.source
+    terms = sorted(src.terms())
+    docs_of: dict = {}
+    tbs: dict = {}
+    for t in terms:
+        tb = seg.term_blocks(ast.fielded(q.field, t))
+        if tb is None:
+            docs_of[t] = np.empty(0, np.int64)
+            continue
+        d, _ = tb.decode_all()
+        d = d[seg.live_mask(d)]
+        docs_of[t] = d
+        tbs[t] = tb
+    cand = np.asarray(iv.approx_docs(src, docs_of), dtype=np.int64)
+    if cand.size == 0:
+        return cand, np.empty(0, np.float64)
+    # positions only for (term, candidate∩term) — block-grouped decode
+    per_doc: dict = {int(d): {} for d in cand}
+    for t, tb in tbs.items():
+        mine = np.intersect1d(cand, docs_of[t], assume_unique=True)
+        if mine.size == 0:
+            continue
+        for d, pl in zip(mine, _positions_for_docs(tb, mine)):
+            per_doc[int(d)][t] = pl
+    out_docs: list = []
+    out_scores: list = []
+    for d in cand:
+        pos_of = per_doc[int(d)]
+        if dtype == "f32":
+            f = iv.interval_freq(src, pos_of)
+            if f <= 0.0:
+                continue
+            s = (
+                iv.saturation_score(f, boost, q.pivot)
+                if q.exp is None
+                else iv.sigmoid_score(f, boost, q.pivot, q.exp)
+            )
+        else:
+            f = iv.interval_freq64(src, pos_of)
+            if f <= 0.0:
+                continue
+            s = (
+                iv.saturation_score64(f, boost, q.pivot)
+                if q.exp is None
+                else iv.sigmoid_score64(f, boost, q.pivot, q.exp)
+            )
+        out_docs.append(int(d))
+        out_scores.append(s)
+    return (
+        np.asarray(out_docs, dtype=np.int64),
+        np.asarray(out_scores, dtype=np.float64),
+    )
 
 
 def _clause_score32(seg, q, scorers, dtype, boost=1.0):
@@ -1233,6 +1300,59 @@ class _DocsLeaf:
         return pres, np.where(pres, self.const, 0.0)
 
 
+class _ScoredDocsLeaf:
+    """A precomputed sorted (docs, scores) set as a window leaf —
+    IntervalQuery inside the pruned boolean kernels: the interval
+    enumeration is not windowable, so the leaf evaluates once (same
+    cost the exhaustive branch pays) and serves windows/probes off the
+    arrays; the WAND window bound is the slice max (a true bound, so
+    tree pruning around the leaf stays rank-safe)."""
+
+    __slots__ = ("docs", "scores", "doc_freq")
+
+    def __init__(self, docs: np.ndarray, scores: np.ndarray):
+        self.docs = docs
+        self.scores = scores.astype(np.float64)
+        self.doc_freq = int(docs.size)
+
+    def _slice(self, lo, hi):
+        i0 = int(np.searchsorted(self.docs, lo))
+        i1 = int(np.searchsorted(self.docs, hi, side="right"))
+        return i0, i1
+
+    def overlaps(self, lo, hi) -> bool:
+        i0, i1 = self._slice(lo, hi)
+        return i0 < i1
+
+    def window_bound(self, lo, hi) -> float:
+        i0, i1 = self._slice(lo, hi)
+        return float(self.scores[i0:i1].max()) if i0 < i1 else 0.0
+
+    def windows(self, nwin: int) -> np.ndarray:
+        return np.unique(self.docs // WINDOW)
+
+    def window_postings(self, seg, lo, hi):
+        i0, i1 = self._slice(lo, hi)
+        return self.docs[i0:i1], self.scores[i0:i1]
+
+    def window_docs(self, seg, lo, hi) -> np.ndarray:
+        i0, i1 = self._slice(lo, hi)
+        return self.docs[i0:i1]
+
+    def probe(self, seg, docs):
+        idx = np.searchsorted(self.docs, docs)
+        idx_c = np.minimum(idx, max(self.docs.size - 1, 0))
+        pres = (
+            (idx < self.docs.size) & (self.docs[idx_c] == docs)
+            if self.docs.size
+            else np.zeros(docs.size, dtype=bool)
+        )
+        sc = np.zeros(docs.size, np.float64)
+        if self.docs.size:
+            sc[pres] = self.scores[idx_c[pres]]
+        return pres, sc
+
+
 class _BoolLeaf:
     """A NESTED BooleanQuery as a window-scorable leaf — the reference
     nests WANDScorer/BooleanScorer inside boolean trees
@@ -1515,6 +1635,11 @@ def _make_leaf(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost:
         if docs.size == 0:
             return _EMPTY_LEAF
         return _DocsLeaf(docs, boost, dtype)
+    if isinstance(q, ast.IntervalQuery):
+        docs, scores = _interval_docs_scores(seg, q, dtype, boost)
+        if docs.size == 0:
+            return _EMPTY_LEAF
+        return _ScoredDocsLeaf(docs, scores)
     return None
 
 
@@ -1748,6 +1873,7 @@ def search_segment(
                 ast.PhraseQuery,
                 ast.MultiPhraseQuery,
                 ast.TermQuery,
+                ast.IntervalQuery,
             ),
         ):
             leaf = _make_leaf(seg, q, scorers, dtype)

@@ -722,3 +722,61 @@ JOIN span s ON s.doc_id = t.doc_id
 JOIN ncnt c ON c.doc_id = t.doc_id
 JOIN {table} d ON d.doc_id = t.doc_id
 ORDER BY t.score DESC, t.doc_id ASC"""
+
+
+def interval_ordered_topk_sql(
+    t1: str, t2: str, k: int = 10, pivot: float = 1.0,
+    table: str = "documents",
+) -> str:
+    """Top-k for IntervalQuery(ordered(t1, t2)) in the engine's f64
+    mirror. For two single-position terms the reference's lazy
+    minimization enumerates exactly the minimal pairs (a, b) with
+    b = min{p2 > a} and no other t1 position inside (a, b)
+    (``OrderedIntervalsSource.java`` nextInterval; pinned by the
+    golden enumeration tests in tests/test_intervals.py), so
+    freq = sum over minimal pairs of 1/max((b - a + 1) - minExtent + 1,
+    1) = 1/max(b - a, 1) and score = pivot saturation
+    (``IntervalScorer.java:43-52`` + ``IntervalScoreFunction.java``).
+    Positions are RAW token indices (stopword holes consume positions),
+    matching the indexed position space; pair differences are
+    1-base-invariant."""
+    p = "list_filter(range(1, len(raw) + 1), i -> raw[i] = '{t}')"
+    p1, p2 = p.format(t=t1), p.format(t=t2)
+    minb = "list_min(list_filter(p2, b -> b > a))"
+    minimal = (
+        f"len(list_filter(p2, b -> b > a)) > 0 AND "
+        f"len(list_filter(p1, a2 -> a2 > a AND a2 < {minb})) = 0"
+    )
+    freq = (
+        f"list_sum(list_transform(list_filter(p1, a -> {minimal}), "
+        f"a -> 1.0 / greatest({minb} - a, 1)))"
+    )
+    return f"""WITH {base_ctes(table)},
+pos AS (SELECT doc_id, {p1} AS p1, {p2} AS p2 FROM docs),
+freqs AS (SELECT doc_id, {freq} AS freq FROM pos)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       1.0 - CAST('{pivot}' AS DOUBLE) / (CAST('{pivot}' AS DOUBLE) + freq) AS score
+FROM freqs WHERE freq IS NOT NULL AND freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def interval_unordered_match_sql(
+    t1: str, t2: str, max_gaps: int, table: str = "documents"
+) -> str:
+    """Match set of IntervalQuery(maxgaps(g, unordered(t1, t2))): a doc
+    matches iff SOME pair of positions satisfies |a - b| - 1 <= g —
+    equivalent to some minimal interval passing the gaps filter, since
+    any within-range pair contains a minimal interval at most as wide
+    (``UnorderedIntervalsSource.java`` + FilteredIntervalsSource
+    MAXGAPS; gaps of a two-term interval = width - 2)."""
+    p = "list_filter(range(1, len(raw) + 1), i -> raw[i] = '{t}')"
+    p1, p2 = p.format(t=t1), p.format(t=t2)
+    hit = (
+        f"len(list_filter({p1}, a -> len(list_filter({p2}, "
+        f"b -> abs(a - b) <= {max_gaps} + 1)) > 0)) > 0"
+    )
+    return f"""WITH {base_ctes(table)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM docs WHERE {hit}
+ORDER BY doc_id"""

@@ -1,0 +1,181 @@
+"""IntervalQuery through the engine planes: Spark pruned == Spark
+exhaustive == serving plane, scores pinned by an independent
+text-derived oracle, boolean composition, deletes, and the f64 mirror
+vs the DuckDB-shaped minimal-pair formula (the gate entry's shape)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis.analyzer import ENGLISH
+from lucene_spark.fixtures import make_pages
+from lucene_spark.index.builder import IndexConfig, build_index
+from lucene_spark.search import ast
+from lucene_spark.search import intervals as iv
+from lucene_spark.search.searcher import Searcher
+from lucene_spark.search.serve import LocalSearcher
+
+
+@pytest.fixture(scope="module")
+def iq_idx(spark, tmp_path_factory):
+    corpus = make_pages(200)
+    d = str(tmp_path_factory.mktemp("iq_idx"))
+    build_index(
+        spark,
+        spark.createDataFrame(
+            [(r["url"], r["text"]) for r in corpus], ["url", "text"]
+        ),
+        d,
+        IndexConfig(num_segments=3, analyzer=ENGLISH),
+    )
+    return spark, d, corpus
+
+
+QUERY_ZOO = [
+    ast.IntervalQuery("", iv.ordered(iv.term("w0007"), iv.term("w0042"))),
+    ast.IntervalQuery("", iv.unordered(iv.term("w0007"), iv.term("w0042"))),
+    ast.IntervalQuery(
+        "", iv.maxgaps(3, iv.unordered(iv.term("w0007"), iv.term("w0042")))
+    ),
+    ast.IntervalQuery(
+        "", iv.or_(iv.term("w0007"), iv.phrase("w0042", "w0100"))
+    ),
+    ast.IntervalQuery(
+        "",
+        iv.not_containing(
+            iv.unordered(iv.term("w0007"), iv.term("w0042")), iv.term("w0100")
+        ),
+    ),
+    ast.IntervalQuery(
+        "", iv.ordered(iv.term("w0007"), iv.term("w0042")), pivot=2.5
+    ),
+    ast.IntervalQuery(
+        "", iv.ordered(iv.term("w0007"), iv.term("w0042")), pivot=1.5, exp=2.0
+    ),
+    ast.BoostQuery(
+        ast.IntervalQuery("", iv.unordered(iv.term("w0007"), iv.term("w0042"))),
+        3.0,
+    ),
+    ast.BooleanQuery(
+        must=(
+            ast.TermQuery("w0012"),
+            ast.IntervalQuery(
+                "", iv.unordered(iv.term("w0007"), iv.term("w0042"))
+            ),
+        )
+    ),
+    ast.BooleanQuery(
+        should=(
+            ast.TermQuery("w0100"),
+            ast.IntervalQuery(
+                "", iv.maxgaps(5, iv.ordered(iv.term("w0007"), iv.term("w0042")))
+            ),
+        ),
+        min_should_match=1,
+    ),
+]
+
+
+def test_planes_and_pruning_identical(iq_idx):
+    spark, d, _ = iq_idx
+    s = Searcher(spark, d)
+    ls = LocalSearcher(d)
+    for q in QUERY_ZOO:
+        a = [(r["doc_id"], r["score"]) for r in s.search(q, k=12, pruned=True).collect()]
+        b = [(r["doc_id"], r["score"]) for r in s.search(q, k=12, pruned=False).collect()]
+        c = [(doc, sc) for doc, sc, _ in ls.search(q, k=12)]
+        assert a == b == c, q
+        assert len(a) > 0, f"zoo query matched nothing: {q}"
+
+
+def _expected_scores(corpus, source, pivot=1.0, exp=None, boost=1.0):
+    """Independent per-doc oracle straight from the fixture TEXT (not
+    the index): tokenize, build term->positions, run the golden-pinned
+    enumerator, apply the f32 scoring contract."""
+    out = {}
+    for r in corpus:
+        terms, positions = ENGLISH.tokenize_one(r["text"])
+        pos_of: dict = {}
+        for t, p in zip(terms, positions):
+            pos_of.setdefault(t, []).append(p)
+        f = iv.interval_freq(source, pos_of)
+        if f > 0:
+            out[r["url"]] = (
+                iv.saturation_score(f, boost, pivot)
+                if exp is None
+                else iv.sigmoid_score(f, boost, pivot, exp)
+            )
+    return out
+
+
+def test_scores_match_text_oracle(iq_idx):
+    spark, d, corpus = iq_idx
+    s = Searcher(spark, d)
+    src = iv.maxgaps(4, iv.ordered(iv.term("w0007"), iv.term("w0042")))
+    q = ast.IntervalQuery("", src, pivot=1.0)
+    got = {
+        r["url"]: r["score"]
+        for r in s.score_docs_df(q, dtype="f32").collect()
+    }
+    want = _expected_scores(corpus, src)
+    assert got == want and len(got) > 0
+
+
+def test_deletes_respected(spark, tmp_path):
+    from lucene_spark.index.deletes import delete_docs
+
+    corpus = make_pages(120)
+    d = str(tmp_path / "iq_del")
+    build_index(
+        spark,
+        spark.createDataFrame(
+            [(r["url"], r["text"]) for r in corpus], ["url", "text"]
+        ),
+        d,
+        IndexConfig(num_segments=2, analyzer=ENGLISH),
+    )
+    s0 = Searcher(spark, d)
+    q = ast.IntervalQuery("", iv.unordered(iv.term("w0007"), iv.term("w0042")))
+    before = {r["url"] for r in s0.match_docs(q).collect()}
+    assert before
+    dead = sorted(before)[:2]
+    delete_docs(spark, d, keys=dead)
+    after = {r["url"] for r in Searcher(spark, d).match_docs(q).collect()}
+    assert after == before - set(dead)
+
+
+def test_f64_mirror_matches_minimal_pair_formula(iq_idx):
+    """The gate-entry shape: for ordered(t1, t2) the f64 score equals
+    the closed-form minimal-pair sum (b = min p2 > a, no p1 inside)."""
+    spark, d, corpus = iq_idx
+    s = Searcher(spark, d)
+    q = ast.IntervalQuery("", iv.ordered(iv.term("w0007"), iv.term("w0042")))
+    got = {
+        r["url"]: r["score"]
+        for r in s.score_docs_df(q, dtype="f64").collect()
+    }
+    want = {}
+    for r in corpus:
+        terms, positions = ENGLISH.tokenize_one(r["text"])
+        p1 = [p for t, p in zip(terms, positions) if t == "w0007"]
+        p2 = [p for t, p in zip(terms, positions) if t == "w0042"]
+        f = 0.0
+        for a in p1:
+            later = [b for b in p2 if b > a]
+            if not later:
+                continue
+            b = min(later)
+            if any(a < a2 < b for a2 in p1):
+                continue
+            f += 1.0 / max(b - a, 1)
+        if f > 0:
+            want[r["url"]] = 1.0 - 1.0 / (1.0 + f)
+    assert got == want and len(got) > 0
+
+
+def test_empty_and_missing_terms(iq_idx):
+    spark, d, _ = iq_idx
+    s = Searcher(spark, d)
+    q = ast.IntervalQuery("", iv.ordered(iv.term("zzznope"), iv.term("w0042")))
+    assert s.search(q, k=5).collect() == []
+    q2 = ast.IntervalQuery("", iv.no_intervals("nothing"))
+    assert s.search(q2, k=5).collect() == []
