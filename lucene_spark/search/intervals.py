@@ -1430,6 +1430,79 @@ def interval_freq64(source: IntervalsSource, pos_of: dict) -> float:
     return f
 
 
+def two_term_shape(source: IntervalsSource):
+    """(kind, t1, t2, max_gaps) when ``source`` is Ordered/Unordered over
+    exactly two DISTINCT Term subs, optionally wrapped in MaxGaps —
+    the shapes the engine evaluates with the vectorized fast path
+    (``fast_freq_fn``). None otherwise."""
+    mg = None
+    if isinstance(source, MaxGaps):
+        mg = source.max_gaps
+        source = source.sub
+    if isinstance(source, (Ordered, Unordered)) and len(source.subs) == 2:
+        a, b = source.subs
+        if isinstance(a, Term) and isinstance(b, Term) and a.term != b.term:
+            kind = "ordered" if isinstance(source, Ordered) else "unordered"
+            return kind, a.term, b.term, mg
+    return None
+
+
+def fast_freq_fn(source: IntervalsSource, dtype: str):
+    """Vectorized per-doc freq for the two-term shapes, or None.
+
+    For two distinct single-position terms, the lazy minimization
+    enumerates EXACTLY the cross-adjacent pairs of the merged position
+    sequence (consecutive positions owned by different terms; ordered
+    additionally requires the left element to be the first term) — see
+    the golden tables in tests/test_intervals.py and the differential
+    in tests/test_interval_query.py. Each interval contributes
+    1/max(b - a, 1) (minExtent 2), accumulated in the enumeration
+    order with the same f32/f64 stepping as ``interval_freq`` /
+    ``interval_freq64`` — the fast path is bit-identical, it only
+    replaces the per-interval iterator objects with numpy."""
+    import numpy as np
+
+    shape = two_term_shape(source)
+    if shape is None:
+        return None
+    kind, t1, t2, mg = shape
+
+    def fn(pos_of: dict) -> float:
+        p1 = np.asarray(pos_of.get(t1, ()), dtype=np.int64)
+        p2 = np.asarray(pos_of.get(t2, ()), dtype=np.int64)
+        if p1.size == 0 or p2.size == 0:
+            return 0.0
+        merged = np.concatenate((p1, p2))
+        owner = np.concatenate(
+            (np.zeros(p1.size, np.int8), np.ones(p2.size, np.int8))
+        )
+        order = np.argsort(merged, kind="stable")
+        m = merged[order]
+        o = owner[order]
+        cross = o[1:] != o[:-1]
+        if kind == "ordered":
+            cross &= o[:-1] == 0
+        a = m[:-1][cross]
+        b = m[1:][cross]
+        if mg is not None:
+            keep = (b - a - 1) <= mg
+            a, b = a[keep], b[keep]
+        if a.size == 0:
+            return 0.0
+        terms = 1.0 / np.maximum(b - a, 1).astype(np.float64)
+        if dtype == "f32":
+            f = np.float32(0.0)
+            for t in terms:
+                f = np.float32(np.float64(f) + t)
+            return float(f)
+        f64 = 0.0
+        for t in terms:
+            f64 += t
+        return f64
+
+    return fn
+
+
 def saturation_score(freq: float, boost: float, pivot: float) -> float:
     """IntervalScoreFunction.SaturationFunction (float32 contract):
     weight * (1 - pivot / (pivot + freq))."""

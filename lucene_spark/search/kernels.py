@@ -192,6 +192,10 @@ def score_exhaustive(
     raise TypeError(f"unsupported query {q!r}")
 
 
+# test hook: force the generic iterator path (differential tests)
+_INTERVAL_FAST_OFF = False
+
+
 def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost=1.0):
     """IntervalQuery evaluation over one segment (IntervalWeight /
     IntervalScorer): doc candidates from the source's vectorized
@@ -227,10 +231,30 @@ def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost
             continue
         for d, pl in zip(mine, _positions_for_docs(tb, mine)):
             per_doc[int(d)][t] = pl
+    fast = None if _INTERVAL_FAST_OFF else iv.fast_freq_fn(src, dtype)
     out_docs: list = []
     out_scores: list = []
     for d in cand:
         pos_of = per_doc[int(d)]
+        if fast is not None:
+            f = fast(pos_of)
+            if f <= 0.0:
+                continue
+            if dtype == "f32":
+                s = (
+                    iv.saturation_score(f, boost, q.pivot)
+                    if q.exp is None
+                    else iv.sigmoid_score(f, boost, q.pivot, q.exp)
+                )
+            else:
+                s = (
+                    iv.saturation_score64(f, boost, q.pivot)
+                    if q.exp is None
+                    else iv.sigmoid_score64(f, boost, q.pivot, q.exp)
+                )
+            out_docs.append(int(d))
+            out_scores.append(s)
+            continue
         if dtype == "f32":
             f = iv.interval_freq(src, pos_of)
             if f <= 0.0:

@@ -422,3 +422,58 @@ def test_brute_force_match_parity():
                     got_u = bool(iv.enumerate_intervals(src_u, pos_of))
                     assert got_o == want_o
                     assert got_u == want_u
+
+
+def test_two_term_fast_path_bit_identical():
+    """The vectorized two-term fast path (cross-adjacent merged pairs)
+    must be BIT-identical to the ported iterator enumeration on random
+    position lists, for ordered/unordered with and without maxgaps,
+    in both dtypes."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(300):
+        n1 = rng.randint(1, 12)
+        n2 = rng.randint(1, 12)
+        universe = list(range(40))
+        rng.shuffle(universe)
+        p1 = sorted(universe[:n1])
+        p2 = sorted(universe[n1 : n1 + n2])
+        pos_of = {"a": p1, "b": p2}
+        for base in (
+            iv.ordered(iv.term("a"), iv.term("b")),
+            iv.unordered(iv.term("a"), iv.term("b")),
+        ):
+            for src in (base, iv.maxgaps(rng.randint(0, 6), base)):
+                for dtype, ref in (
+                    ("f32", iv.interval_freq),
+                    ("f64", iv.interval_freq64),
+                ):
+                    fast = iv.fast_freq_fn(src, dtype)
+                    assert fast is not None
+                    assert fast(pos_of) == ref(src, pos_of), (
+                        trial, src, dtype, p1, p2
+                    )
+
+
+def test_fast_path_shape_detection():
+    assert iv.two_term_shape(iv.ordered(iv.term("a"), iv.term("b"))) == (
+        "ordered", "a", "b", None
+    )
+    assert iv.two_term_shape(
+        iv.maxgaps(2, iv.unordered(iv.term("a"), iv.term("b")))
+    ) == ("unordered", "a", "b", 2)
+    # repeats, 3 terms, nested sources: no fast path
+    assert iv.two_term_shape(iv.ordered(iv.term("a"), iv.term("a"))) is None
+    assert (
+        iv.two_term_shape(
+            iv.ordered(iv.term("a"), iv.term("b"), iv.term("c"))
+        )
+        is None
+    )
+    assert (
+        iv.two_term_shape(
+            iv.ordered(iv.phrase("a", "b"), iv.term("c"))
+        )
+        is None
+    )
