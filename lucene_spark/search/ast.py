@@ -366,6 +366,13 @@ def multi_term_leaves(q: Query) -> tuple:
     evaluated where the data is)."""
     if isinstance(q, MultiTermQuery):
         return (q,)
+    if isinstance(q, IntervalQuery):
+        from lucene_spark.search import intervals as iv
+
+        return tuple(
+            MultiTermQuery(s.mode, s.args, q.field)
+            for s in iv.multi_terms(q.source)
+        )
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
         return multi_term_leaves(q.query)
     if isinstance(q, BooleanQuery):

@@ -815,6 +815,92 @@ class NoMatch(IntervalsSource):
         return _EXHAUSTED
 
 
+@dataclass(frozen=True)
+class MultiTerm(IntervalsSource):
+    """``MultiTermIntervalsSource``: a term-predicate leaf (prefix /
+    wildcard / regexp / fuzzy / range — one matcher source with the
+    MultiTermQuery family, ``search/multiterm.py``) that the ENGINE
+    expands per segment against the term dictionary into a raw
+    disjunction over the matching terms, erroring past
+    ``max_expansions`` exactly like the reference's TermsEnum loop
+    (``MultiTermIntervalsSource.java:18-43``). Evaluating it without
+    expansion is a usage error."""
+
+    mode: str
+    args: tuple
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS
+    pattern: str = ""
+
+    def min_extent(self) -> int:
+        return 1
+
+    def terms(self) -> set:
+        return set()
+
+    def matches_approx(self, pos_of: dict) -> bool:
+        raise RuntimeError(
+            "MultiTerm interval source must be expanded against a term "
+            "dictionary first (kernels.expand_interval_source)"
+        )
+
+    def iterator(self, pos_of: dict) -> _It:
+        raise RuntimeError(
+            "MultiTerm interval source must be expanded against a term "
+            "dictionary first (kernels.expand_interval_source)"
+        )
+
+
+def multi_terms(source: IntervalsSource) -> list:
+    """All MultiTerm leaves of a source tree, in walk order."""
+    if isinstance(source, MultiTerm):
+        return [source]
+    if isinstance(source, _Conjunction) or isinstance(source, Or):
+        out: list = []
+        for s in source.subs:
+            out.extend(multi_terms(s))
+        return out
+    if isinstance(source, _Difference):
+        return multi_terms(source.minuend) + multi_terms(source.subtrahend)
+    if isinstance(source, (MaxGaps, MaxWidth, Extended, Offset, Repeating)):
+        return multi_terms(source.sub)
+    return []
+
+
+def map_multi_terms(source: IntervalsSource, fn) -> IntervalsSource:
+    """Rebuild a source tree with ``fn`` applied to every MultiTerm
+    leaf (the per-segment dictionary-expansion walk)."""
+    if isinstance(source, MultiTerm):
+        return fn(source)
+    if isinstance(source, (Block, Ordered, Unordered, Containing,
+                           ContainedBy, Overlapping)):
+        return type(source)(
+            tuple(map_multi_terms(s, fn) for s in source.subs)
+        )
+    if isinstance(source, Or):
+        return Or(
+            tuple(map_multi_terms(s, fn) for s in source.subs),
+            source.rewrite,
+        )
+    if isinstance(source, (NotContaining, NotContainedBy, NonOverlapping)):
+        return type(source)(
+            map_multi_terms(source.minuend, fn),
+            map_multi_terms(source.subtrahend, fn),
+        )
+    if isinstance(source, MaxGaps):
+        return MaxGaps(map_multi_terms(source.sub, fn), source.max_gaps)
+    if isinstance(source, MaxWidth):
+        return MaxWidth(map_multi_terms(source.sub, fn), source.max_width)
+    if isinstance(source, Extended):
+        return Extended(
+            map_multi_terms(source.sub, fn), source.before, source.after
+        )
+    if isinstance(source, Offset):
+        return Offset(map_multi_terms(source.sub, fn), source.preceding)
+    if isinstance(source, Repeating):
+        return Repeating(map_multi_terms(source.sub, fn), source.count)
+    return source
+
+
 class _Conjunction(IntervalsSource):
     """Shared doc approximation for conjunction-combined sources
     (ConjunctionIntervalsSource: ConjunctionUtils.intersectIterators)."""
@@ -1339,6 +1425,54 @@ def not_within(minuend, positions: int, subtrahend) -> IntervalsSource:
 
 def no_intervals(reason: str = "") -> IntervalsSource:
     return NoMatch(reason)
+
+
+def prefix(p: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS) -> IntervalsSource:
+    """Intervals.prefix: terms starting with ``p``."""
+    return MultiTerm("prefix", (str(p),), max_expansions, f"{p}*")
+
+
+def wildcard(pattern: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS) -> IntervalsSource:
+    """Intervals.wildcard: ``*``/``?`` pattern over the dictionary."""
+    return MultiTerm("wildcard", (str(pattern),), max_expansions, str(pattern))
+
+
+def regexp(pattern: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS) -> IntervalsSource:
+    """Intervals.regexp: the reference RegExp dialect (anchored,
+    ``util/automaton/RegExp.java`` grammar via ``search/lregexp.py``)."""
+    return MultiTerm("lregexp", (str(pattern),), max_expansions, str(pattern))
+
+
+def fuzzy_term(
+    term_: str,
+    max_edits: int = 2,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    transpositions: bool = True,
+) -> IntervalsSource:
+    """Intervals.fuzzyTerm: Damerau-Levenshtein by default like
+    FuzzyQuery (``FuzzyQuery.java:73-76``)."""
+    return MultiTerm(
+        "fuzzy",
+        (str(term_), int(max_edits), bool(transpositions)),
+        max_expansions,
+        f"{term_}~{max_edits}",
+    )
+
+
+def term_range(
+    lo: "str | None",
+    hi: "str | None",
+    include_lo: bool = True,
+    include_hi: bool = False,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> IntervalsSource:
+    """Intervals.range over dictionary order."""
+    return MultiTerm(
+        "range",
+        (lo, hi, bool(include_lo), bool(include_hi)),
+        max_expansions,
+        f"[{lo} TO {hi}]",
+    )
 
 
 def _as_source(s) -> IntervalsSource:

@@ -196,6 +196,39 @@ def score_exhaustive(
 _INTERVAL_FAST_OFF = False
 
 
+def expand_interval_source(term_keys, src, field: str):
+    """Per-segment dictionary expansion of MultiTerm interval leaves
+    (``MultiTermIntervalsSource.java``): each leaf becomes a raw
+    disjunction over the segment's matching terms in term order
+    (rewrite=False — the reference expands at iterator build, AFTER
+    disjunction pull-up), erroring past max_expansions; an empty
+    expansion becomes NoMatch (the reference's null iterator).
+    ``term_keys``: iterable of FIELDED term keys (a segment's scanned
+    dictionary superset)."""
+    from lucene_spark.search import intervals as iv
+    from lucene_spark.search.multiterm import term_key_matcher
+
+    if not iv.multi_terms(src):
+        return src
+    keys = sorted(term_keys)
+
+    def leaf(mt: "iv.MultiTerm"):
+        pred = term_key_matcher(mt.mode, mt.args, field)
+        hits = [ast.bare_term(t) for t in keys if pred(t)]
+        if len(hits) > mt.max_expansions:
+            raise ValueError(
+                f"Automaton [{mt.pattern}] expanded to too many terms "
+                f"(limit {mt.max_expansions})"
+            )
+        if not hits:
+            return iv.NoMatch(mt.pattern)
+        if len(hits) == 1:
+            return iv.Term(hits[0])
+        return iv.Or(tuple(iv.Term(t) for t in hits), rewrite=False)
+
+    return iv.map_multi_terms(src, leaf)
+
+
 def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost=1.0):
     """IntervalQuery evaluation over one segment (IntervalWeight /
     IntervalScorer): doc candidates from the source's vectorized
@@ -207,7 +240,7 @@ def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost
     two-phase ``matches()``."""
     from lucene_spark.search import intervals as iv
 
-    src = q.source
+    src = expand_interval_source(seg.terms.keys(), q.source, q.field)
     terms = sorted(src.terms())
     docs_of: dict = {}
     tbs: dict = {}

@@ -179,3 +179,54 @@ def test_empty_and_missing_terms(iq_idx):
     assert s.search(q, k=5).collect() == []
     q2 = ast.IntervalQuery("", iv.no_intervals("nothing"))
     assert s.search(q2, k=5).collect() == []
+
+
+def test_multiterm_interval_sources_through_planes(iq_idx):
+    """MultiTerm interval leaves expand per segment against the scanned
+    dictionary (the scan predicate comes from the multi_term_leaves
+    hook) — identical across pruned/exhaustive/serving."""
+    spark, d, corpus = iq_idx
+    s = Searcher(spark, d)
+    ls = LocalSearcher(d)
+    zoo = [
+        ast.IntervalQuery(
+            "", iv.ordered(iv.prefix("w004"), iv.term("w0007"))
+        ),
+        ast.IntervalQuery(
+            "", iv.maxgaps(4, iv.unordered(iv.fuzzy_term("w0042", 1),
+                                           iv.term("w0007")))
+        ),
+        ast.IntervalQuery("", iv.wildcard("w004?")),
+    ]
+    for q in zoo:
+        a = [(r["doc_id"], r["score"]) for r in s.search(q, k=10, pruned=True).collect()]
+        b = [(r["doc_id"], r["score"]) for r in s.search(q, k=10, pruned=False).collect()]
+        c = [(doc, sc) for doc, sc, _ in ls.search(q, k=10)]
+        assert a == b == c, q
+        assert a, f"matched nothing: {q}"
+    # text-derived oracle for the wildcard disjunction: expand against
+    # the corpus vocabulary by the same matcher, then score
+    from lucene_spark.search.kernels import expand_interval_source
+
+    vocab: set = set()
+    pos_by_url = {}
+    for r in corpus:
+        terms, positions = ENGLISH.tokenize_one(r["text"])
+        po: dict = {}
+        for t, p in zip(terms, positions):
+            po.setdefault(t, []).append(p)
+        pos_by_url[r["url"]] = po
+        vocab |= set(po)
+    src = expand_interval_source(sorted(vocab), iv.wildcard("w004?"), "")
+    want = {
+        url: iv.saturation_score(f, 1.0, 1.0)
+        for url, po in pos_by_url.items()
+        if (f := iv.interval_freq(src, po)) > 0
+    }
+    got = {
+        r["url"]: r["score"]
+        for r in s.score_docs_df(
+            ast.IntervalQuery("", iv.wildcard("w004?")), dtype="f32"
+        ).collect()
+    }
+    assert got == want and got

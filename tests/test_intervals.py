@@ -477,3 +477,73 @@ def test_fast_path_shape_detection():
         )
         is None
     )
+
+
+# ------------------------- multi-term sources (dictionary expansion)
+
+
+def _vocab(docs):
+    v: set = set()
+    for pos_of in docs:
+        v |= set(pos_of)
+    return sorted(v)  # bare == fielded for the default field
+
+
+def _expand(src, docs, field=""):
+    from lucene_spark.search.kernels import expand_interval_source
+
+    return expand_interval_source(_vocab(docs), src, field)
+
+
+def test_multiterm_prefix():
+    src = _expand(iv.prefix("p"), _F1)
+    check(
+        src, _F1,
+        [[], [0, 0, 1, 1, 3, 3, 4, 4, 6, 6, 7, 7, 10, 10, 27, 27],
+         [0, 0, 1, 1, 3, 3, 4, 4, 6, 6, 7, 7, 10, 10], [7, 7],
+         [0, 0, 1, 1, 3, 3, 4, 4, 6, 6, 7, 7, 10, 10], [0, 0]],
+        match_count=5,
+    )
+    assert iv.enumerate_intervals(_expand(iv.prefix("qqq"), _F1), _F1[1]) == []
+
+
+def test_multiterm_wildcard_and_regexp():
+    exp = [[], [2, 2, 10, 10, 17, 17, 27, 27], [5, 5, 10, 10, 21, 21],
+           [3, 3], [2, 2, 10, 10, 17, 17], []]
+    check(_expand(iv.wildcard("?ot"), _F1), _F1, exp, match_count=4)
+    # Intervals.regexp is the ANCHORED reference dialect
+    check(_expand(iv.regexp(".ot"), _F1), _F1, exp, match_count=4)
+
+
+def test_multiterm_fuzzy():
+    src = _expand(iv.fuzzy_term("kot", 1), _F1)
+    check(
+        src, _F1,
+        [[], [2, 2, 10, 10, 17, 17, 27, 27], [5, 5, 10, 10, 21, 21],
+         [3, 3], [2, 2, 10, 10, 17, 17], []],
+        match_count=4,
+    )
+
+
+def test_multiterm_range():
+    src = _expand(iv.term_range("cold", "hot", True, True), _F1)
+    check(
+        src, _F1,
+        [[5, 5], [2, 2, 5, 5, 12, 12, 17, 17, 21, 21, 29, 29],
+         [2, 2, 5, 5, 12, 12, 17, 17, 21, 21, 27, 27], [1, 1, 3, 3, 4, 4],
+         [2, 2, 5, 5, 17, 17], [2, 2]],
+        match_count=6,
+    )
+
+
+def test_multiterm_expansion_cap_and_usage_errors():
+    with pytest.raises(ValueError, match="too many terms"):
+        _expand(iv.prefix("p", max_expansions=1), _F1)
+    with pytest.raises(RuntimeError, match="expanded against a term"):
+        iv.enumerate_intervals(iv.prefix("p"), _F1[1])
+    # nested under combinators: expansion rebuilds the tree
+    src = _expand(
+        iv.maxgaps(2, iv.unordered(iv.prefix("peas"), iv.term("hot"))), _F1
+    )
+    assert not iv.multi_terms(src)
+    assert iv.enumerate_intervals(src, _F1[1])
