@@ -200,6 +200,45 @@ def explain_node(seg, q, scorers, stats, dtype: str, doc: int,
         return _node(
             True, value, "sum of matching clause scores:", details
         )
+    if isinstance(q, ast.IntervalQuery):
+        if not matched:
+            return _node(False, 0.0, "no matching intervals")
+        from lucene_spark.search import intervals as iv
+        from lucene_spark.search.kernels import expand_interval_source
+
+        src = expand_interval_source(seg.terms.keys(), q.source, q.field)
+        pos_of: dict = {}
+        for t in sorted(src.terms()):
+            tb = seg.term_blocks(ast.fielded(q.field, t))
+            if tb is None:
+                continue
+            d, _ = tb.decode_all()
+            j = int(np.searchsorted(d, doc))
+            if j < d.size and d[j] == doc:
+                pos_of[t] = kernels._positions_for_docs(
+                    tb, np.asarray([doc], dtype=np.int64)
+                )[0]
+        freq = (
+            iv.interval_freq(src, pos_of)
+            if dtype == "f32"
+            else iv.interval_freq64(src, pos_of)
+        )
+        # IntervalScoreFunction.explain wording
+        fn = "Saturation" if q.exp is None else "Sigmoid"
+        return _node(
+            True, value,
+            f"{fn} function on interval frequency, computed as "
+            "w * S / (S + k) from:",
+            [
+                _node(True, float(np.float32(boost)) if dtype == "f32" else boost,
+                      "w, weight of this function"),
+                _node(True, float(q.pivot),
+                      "k, pivot feature value that would give a score "
+                      "contribution equal to w/2"),
+                _node(True, freq,
+                      "S, the sloppy frequency of the interval query"),
+            ],
+        )
     if isinstance(q, (ast.MatchAllDocsQuery, ast.FieldExistsQuery)):
         return _node(matched, value, f"{type(q).__name__}")
     return _node(matched, value, f"{type(q).__name__} (no detail)")

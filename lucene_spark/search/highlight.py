@@ -37,16 +37,21 @@ from lucene_spark.search import ast
 
 
 def _collect_match_specs(q, field: str):
-    """(terms, phrases, matchers): terms = set of bare analyzed terms of
-    ``field`` to highlight; phrases = list of (terms tuple, positions
-    tuple) for slop=0 position-verified highlighting; matchers = bare
-    token predicates from MultiTermQuery leaves (the UnifiedHighlighter
-    automata-over-the-token-stream model,
+    """(terms, phrases, matchers, intervals): terms = set of bare
+    analyzed terms of ``field`` to highlight; phrases = list of (terms
+    tuple, positions tuple) for slop=0 position-verified highlighting;
+    matchers = bare token predicates from MultiTermQuery leaves (the
+    UnifiedHighlighter automata-over-the-token-stream model,
     ``uhighlight/MultiTermHighlighting.java`` extractAutomata — every
-    re-analyzed token matching the leaf's pattern highlights)."""
+    re-analyzed token matching the leaf's pattern highlights);
+    intervals = IntervalQuery sources of ``field`` — their enumerated
+    spans gate which source-term occurrences highlight (the matches-API
+    model; source-term occurrences INSIDE a matched span highlight, a
+    documented superset of the reference's exact sub-matches)."""
     terms: set = set()
     phrases: list = []
     matchers: list = []
+    intervals: list = []
 
     def walk(node):
         if isinstance(node, ast.TermQuery):
@@ -72,6 +77,9 @@ def _collect_match_specs(q, field: str):
                 from lucene_spark.search.multiterm import bare_matcher
 
                 matchers.append(bare_matcher(node.mode, node.args))
+        elif isinstance(node, ast.IntervalQuery):
+            if node.field == field:
+                intervals.append(node.source)
         elif isinstance(node, ast.BooleanQuery):
             for c in node.must + node.should + node.filter:
                 walk(c)  # must_not intentionally skipped
@@ -79,7 +87,7 @@ def _collect_match_specs(q, field: str):
             walk(node.query)
 
     walk(ast.rewrite(q))
-    return terms, phrases, matchers
+    return terms, phrases, matchers, intervals
 
 
 def _match_token_indices(toks, positions, terms: set, phrases: list,
@@ -131,6 +139,32 @@ def _match_token_indices(toks, positions, terms: set, phrases: list,
     return hit
 
 
+def _interval_token_indices(toks, positions, source) -> set:
+    """Token indices highlighted by one IntervalQuery source: expand
+    MultiTerm leaves against THIS doc's distinct tokens (the
+    automata-over-the-token-stream model), enumerate the matched
+    spans, and wrap every source-term occurrence inside a span (the
+    matches-API sub-match model, widened to all in-span occurrences —
+    documented derivation)."""
+    from lucene_spark.search.kernels import expand_interval_source
+
+    hit: set = set()
+    src = expand_interval_source(set(toks), source, "")
+    pos_of: dict = {}
+    for t, p in zip(toks, positions):
+        pos_of.setdefault(t, []).append(p)
+    from lucene_spark.search.intervals import enumerate_intervals
+
+    spans = enumerate_intervals(src, pos_of)
+    if not spans:
+        return hit
+    src_terms = src.terms()
+    for i, (t, p) in enumerate(zip(toks, positions)):
+        if t in src_terms and any(s <= p <= e for s, e, _ in spans):
+            hit.add(i)
+    return hit
+
+
 def highlight_text(
     text: str,
     q,
@@ -176,12 +210,14 @@ def highlight_stream(
     index time (``index/TermVectorsFormat`` analog — see
     ``IndexConfig.vector_fields``). The two are byte-identical by
     construction because the vector store IS the analysis-time stream."""
-    terms, phrases, matchers = _collect_match_specs(q, field)
-    if not terms and not phrases and not matchers:
+    terms, phrases, matchers, intervals = _collect_match_specs(q, field)
+    if not terms and not phrases and not matchers and not intervals:
         return None
     if not len(toks):
         return None
     hit = _match_token_indices(toks, positions, terms, phrases, matchers)
+    for src in intervals:
+        hit |= _interval_token_indices(toks, positions, src)
     if not hit:
         return None
     # fixed token windows -> (unique terms, occurrences, -start) score

@@ -66,6 +66,8 @@ class _Heap:
         return self.heap[1]
 
     def pop(self):
+        if self.size == 0:
+            return None  # PriorityQueue.pop null contract
         heap = self.heap
         result = heap[1]
         heap[1] = heap[self.size]
@@ -73,6 +75,10 @@ class _Heap:
         self.size -= 1
         self._down_heap(1)
         return result
+
+    def members(self):
+        """Heap-array iteration order (Java PriorityQueue.iterator())."""
+        return self.heap[1 : self.size + 1]
 
     def _up_heap(self, orig: int) -> None:
         heap, less = self.heap, self.less
@@ -406,6 +412,80 @@ class _DisjunctionIt(_It):
             and end >= it.start()
             and end <= it.end()
         )
+
+
+class _AtLeastIt(_It):
+    """MinimumShouldMatchIntervalsSource.MinimumShouldMatchIntervalIterator
+    — unordered-AND over the best ``msm`` of the subs, with a background
+    (end asc, start desc) queue feeding the proximity (start asc, end
+    desc) queue (``MinimumShouldMatchIntervalsSource.java:160-290``)."""
+
+    def __init__(self, subs, msm: int):
+        self.msm = msm
+        self._start = self._end = -1
+        self._slop = 0
+        self.queue_end = -1
+        self.proximity = _Heap(msm, _UnorderedIt._less)
+        self.background = _Heap(len(subs), _DisjunctionIt._less)
+        # reset(): background <- positioned subs, then pop msm into
+        # proximity
+        for it in subs:
+            if it.next_interval() != NO_MORE:
+                self.background.add(it)
+        for _ in range(msm):
+            it = self.background.pop()
+            if it is None:
+                break
+            self.proximity.add(it)
+            self._update_right_extreme(it)
+
+    def _update_right_extreme(self, it) -> None:
+        e = it.end()
+        if e > self.queue_end:
+            self.queue_end = e
+
+    def start(self) -> int:
+        return self._start
+
+    def end(self) -> int:
+        return self._end
+
+    def gaps(self) -> int:
+        return self._slop
+
+    def next_interval(self) -> int:
+        pq, bq, msm = self.proximity, self.background, self.msm
+        # first, find a matching interval beyond the current start
+        while pq.size == msm and pq.top().start() == self._start:
+            it = pq.pop()
+            if it is not None and it.next_interval() != NO_MORE:
+                bq.add(it)
+                nxt = bq.pop()
+                pq.add(nxt)
+                self._update_right_extreme(nxt)
+        if pq.size < msm:
+            self._start = self._end = NO_MORE
+            return NO_MORE
+        # then, minimize it
+        while True:
+            self._start = pq.top().start()
+            self._end = self.queue_end
+            slop = self.width()
+            for it in pq.members():
+                slop -= it.width()
+            self._slop = slop
+            if pq.top().end() == self._end:
+                return self._start
+            lead = pq.pop()
+            if lead is not None:
+                if lead.next_interval() != NO_MORE:
+                    bq.add(lead)
+                nxt = bq.pop()
+                if nxt is not None:
+                    pq.add(nxt)
+                    self._update_right_extreme(nxt)
+            if not (pq.size == msm and self._end == self.queue_end):
+                return self._start
 
 
 class _FilterIt(_It):
@@ -854,7 +934,7 @@ def multi_terms(source: IntervalsSource) -> list:
     """All MultiTerm leaves of a source tree, in walk order."""
     if isinstance(source, MultiTerm):
         return [source]
-    if isinstance(source, _Conjunction) or isinstance(source, Or):
+    if isinstance(source, (_Conjunction, Or, AtLeast)):
         out: list = []
         for s in source.subs:
             out.extend(multi_terms(s))
@@ -880,6 +960,10 @@ def map_multi_terms(source: IntervalsSource, fn) -> IntervalsSource:
         return Or(
             tuple(map_multi_terms(s, fn) for s in source.subs),
             source.rewrite,
+        )
+    if isinstance(source, AtLeast):
+        return AtLeast(
+            tuple(map_multi_terms(s, fn) for s in source.subs), source.msm
         )
     if isinstance(source, (NotContaining, NotContainedBy, NonOverlapping)):
         return type(source)(
@@ -1162,6 +1246,34 @@ class NotContaining(_Difference):
 
 
 @dataclass(frozen=True)
+class AtLeast(IntervalsSource):
+    """MinimumShouldMatchIntervalsSource: spans covering intervals from
+    at least ``msm`` of the subs (disjunctive doc approximation)."""
+
+    subs: tuple
+    msm: int
+
+    def min_extent(self) -> int:
+        extents = sorted(s.min_extent() for s in self.subs)
+        return sum(extents[: self.msm])
+
+    def terms(self) -> set:
+        out: set = set()
+        for s in self.subs:
+            out |= s.terms()
+        return out
+
+    def matches_approx(self, pos_of: dict) -> bool:
+        return any(s.matches_approx(pos_of) for s in self.subs)
+
+    def iterator(self, pos_of: dict) -> _It:
+        return _AtLeastIt(
+            [s.iterator(pos_of) for s in self.subs if s.matches_approx(pos_of)],
+            self.msm,
+        )
+
+
+@dataclass(frozen=True)
 class Overlapping(_Conjunction):
     """OverlappingIntervalsSource: source intervals overlapping at
     least one reference interval."""
@@ -1423,6 +1535,17 @@ def not_within(minuend, positions: int, subtrahend) -> IntervalsSource:
     )
 
 
+def at_least(min_should_match: int, *subs) -> IntervalsSource:
+    """Intervals.atLeast: msm == len -> unordered; msm > len -> no
+    match (``Intervals.java:566-578``)."""
+    subs = [_as_source(s) for s in subs]
+    if min_should_match == len(subs):
+        return unordered(*subs)
+    if min_should_match > len(subs):
+        return NoMatch(f"Too few sources to match minimum of [{min_should_match}]")
+    return AtLeast(tuple(subs), min_should_match)
+
+
 def no_intervals(reason: str = "") -> IntervalsSource:
     return NoMatch(reason)
 
@@ -1505,7 +1628,7 @@ def approx_docs(source: IntervalsSource, docs_of: dict):
         for d in subs[1:]:
             out = np.intersect1d(out, d, assume_unique=True)
         return out
-    if isinstance(source, Or):
+    if isinstance(source, (Or, AtLeast)):
         subs = [approx_docs(s, docs_of) for s in source.subs]
         return np.unique(np.concatenate(subs)) if subs else np.empty(0, np.int64)
     if isinstance(source, _Difference):

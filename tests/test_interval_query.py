@@ -230,3 +230,59 @@ def test_multiterm_interval_sources_through_planes(iq_idx):
         ).collect()
     }
     assert got == want and got
+
+
+def test_interval_highlighting():
+    """Interval sources highlight their in-span term occurrences
+    (matches-API model): only occurrences inside an enumerated span
+    wrap."""
+    import re
+
+    from lucene_spark.analysis.analyzer import Analyzer
+    from lucene_spark.search.highlight import highlight_text
+
+    a = Analyzer(stopwords=frozenset())
+    text = "alpha gap gap gap gap beta alpha beta gamma"
+    q = ast.IntervalQuery(
+        "", iv.maxgaps(2, iv.ordered(iv.term("alpha"), iv.term("beta")))
+    )
+    snip = highlight_text(text, q, a, passage_tokens=50)
+    # only the adjacent pair is in a surviving span; the leading alpha
+    # (gaps 4 to its beta) stays unwrapped
+    assert snip.count("<b>alpha</b>") == 1
+    assert snip.count("<b>beta</b>") == 1
+    assert re.sub("</?b>", "", snip).strip(".") in text
+    # no span at all -> no snippet
+    q2 = ast.IntervalQuery(
+        "", iv.maxgaps(0, iv.ordered(iv.term("beta"), iv.term("gamma")))
+    )
+    assert highlight_text("beta gap gamma", q2, a) is None
+    # multi-term interval source highlights via doc-vocab expansion
+    q3 = ast.IntervalQuery(
+        "", iv.maxgaps(1, iv.ordered(iv.prefix("alp"), iv.term("gamma")))
+    )
+    snip3 = highlight_text(text, q3, a, passage_tokens=50)
+    assert "<b>alpha</b>" in snip3 and "<b>gamma</b>" in snip3
+
+
+def test_interval_explain_root_matches_search(iq_idx):
+    _, d, _ = iq_idx
+    ls = LocalSearcher(d)
+    q = ast.IntervalQuery(
+        "", iv.maxgaps(4, iv.unordered(iv.term("w0007"), iv.term("w0042")))
+    )
+    top = ls.search(q, k=5)
+    assert top
+    for doc, score, _ in top:
+        ex = ls.explain(q, doc)
+        assert ex["match"] is True or ex["match"] == 1
+        assert ex["value"] == score
+        descs = [c["description"] for c in ex["details"]]
+        assert any(d0.startswith("S, the sloppy frequency") for d0 in descs)
+    # non-matching doc explains as no match
+    all_docs = {doc for doc, _, _ in ls.search(q, k=1000)}
+    probe = 0
+    while probe in all_docs:
+        probe += 1
+    ex = ls.explain(q, probe)
+    assert not ex["match"] and ex["value"] == 0.0

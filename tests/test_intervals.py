@@ -547,3 +547,33 @@ def test_multiterm_expansion_cap_and_usage_errors():
     )
     assert not iv.multi_terms(src)
     assert iv.enumerate_intervals(src, _F1[1])
+
+
+def test_at_least():
+    src = iv.at_least(
+        3, iv.term("porridge"), iv.term("hot"), iv.term("twelve"),
+        iv.term("nine"), iv.term("pease"),
+    )
+    check(
+        src, _F1,
+        [[], [0, 2, 1, 3, 2, 4, 6, 11, 7, 17],
+         [3, 5, 4, 6, 5, 7, 6, 11, 7, 21], [],
+         [0, 2, 1, 3, 2, 4, 6, 11, 7, 17, 11, 21], []],
+        match_count=3,
+    )
+    assert gaps_of(src, _F1[1]) == [0, 0, 0, 3, 8]
+    assert src.min_extent() == 3
+
+
+def test_at_least_degenerate_and_no_match():
+    # msm == len -> unordered; over a single source -> the source
+    src = iv.ordered(
+        iv.at_least(1, iv.term("interest")), iv.at_least(1, iv.term("anyone"))
+    )
+    assert [
+        (s, e) for s, e, _ in iv.enumerate_intervals(src, _F1[0])
+    ] == [(2, 4)]
+    # msm > len -> never matches
+    nm = iv.at_least(4, iv.term("a"), iv.term("b"))
+    for pos_of in _F1 + _F2:
+        assert iv.enumerate_intervals(nm, pos_of) == []
