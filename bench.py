@@ -97,6 +97,18 @@ def main() -> None:
             searcher.search(q, k=10, pruned=True, dtype="f32").collect()
             queries[name] = round(time.time() - t0, 4)
 
+        # interval query (queries/intervals): maxgaps-filtered ordered
+        # pair through the same pruned kernel path
+        from lucene_spark.search import ast as ast_mod
+        from lucene_spark.search import intervals as iv
+
+        q_iv = ast_mod.IntervalQuery(
+            "", iv.maxgaps(4, iv.ordered(iv.term("merge"), iv.term("window")))
+        )
+        t0 = time.time()
+        searcher.search(q_iv, k=10, pruned=True, dtype="f32").collect()
+        queries["q_interval"] = round(time.time() - t0, 4)
+
         # batched evaluation: the whole set in one scan
         t0 = time.time()
         searcher.search_many([q for _, q in QUERY_SET], k=10).collect()

@@ -217,3 +217,42 @@ def test_sharded_highlight_vectors_parity(vec_idx):
             assert v == ls.highlight(q, k=6, offset_source="vectors")
     finally:
         ss.close()
+
+
+def test_vectors_through_nrt_appends(spark, tmp_path):
+    """NRT appends write vectors for the new segments (config fields
+    carried by dataclasses.replace; commit key by the splice) and the
+    vectors offset source stays byte-identical across generations."""
+    from lucene_spark.streaming.nrt import append_batch
+
+    corpus = make_pages(90)
+    d = str(tmp_path / "vec_nrt")
+    cfg = IndexConfig(
+        num_segments=2, analyzer=ENGLISH,
+        stored_cols=("text",), vector_fields=("",),
+    )
+    df0 = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in corpus[:60]], ["url", "text"]
+    )
+    build_index(spark, df0, d, cfg)
+    df1 = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in corpus[60:]], ["url", "text"]
+    )
+    append_batch(spark, df1, d, cfg)
+    s = Searcher(spark, d)
+    texts = {r["url"]: r["text"] for r in corpus}
+    # vectors exist for hit docs of BOTH generations, equal re-analysis
+    hits = s.search("w0007", k=30).collect()
+    appended_urls = {r["url"] for r in corpus[60:]}
+    assert {r["url"] for r in hits} & appended_urls, "no appended-gen hit"
+    ids = [r["doc_id"] for r in hits]
+    url_of = {r["doc_id"]: r["url"] for r in hits}
+    got = {r["doc_id"]: r for r in s.term_vectors(ids).collect()}
+    assert set(got) == set(ids)
+    for did in ids:
+        toks, poss, st, en = ENGLISH.tokenize_offsets(texts[url_of[did]])
+        assert list(got[did]["terms"]) == toks
+    for q in QUERIES[:3]:
+        a = s.highlight(q, k=8, offset_source="analysis").collect()
+        v = s.highlight(q, k=8, offset_source="vectors").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in v]
