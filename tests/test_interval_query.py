@@ -286,3 +286,24 @@ def test_interval_explain_root_matches_search(iq_idx):
         probe += 1
     ex = ls.explain(q, probe)
     assert not ex["match"] and ex["value"] == 0.0
+
+
+def test_interval_direct_executor_identity(iq_idx):
+    """The one-stage direct executor (task-side pyarrow reads) returns
+    the same hits for interval queries — its term fetch covers both the
+    concrete source terms (query_terms) and multi-term leaf expansions
+    (multi_term_leaves)."""
+    spark, d, _ = iq_idx
+    s = Searcher(spark, d)
+    for q in [
+        ast.IntervalQuery("", iv.ordered(iv.term("w0007"), iv.term("w0042"))),
+        ast.IntervalQuery(
+            "", iv.maxgaps(3, iv.unordered(iv.prefix("w004"), iv.term("w0007")))
+        ),
+    ]:
+        a = [(r["doc_id"], r["score"]) for r in s.search(q, k=8).collect()]
+        b = [
+            (r["doc_id"], r["score"])
+            for r in s.search(q, k=8, direct=True).collect()
+        ]
+        assert a == b and a
