@@ -307,3 +307,26 @@ def test_interval_direct_executor_identity(iq_idx):
             for r in s.search(q, k=8, direct=True).collect()
         ]
         assert a == b and a
+
+
+def test_interval_sharded_batch_parity(iq_idx):
+    """Interval ASTs through the sharded serving batch path (pickled to
+    pool workers) match the single-process searcher."""
+    from lucene_spark.search.serve import ShardedSearcher
+
+    _, d, _ = iq_idx
+    queries = {
+        "o": ast.IntervalQuery("", iv.ordered(iv.term("w0007"), iv.term("w0042"))),
+        "m": ast.IntervalQuery(
+            "", iv.maxgaps(3, iv.unordered(iv.prefix("w004"), iv.term("w0007")))
+        ),
+    }
+    ss = ShardedSearcher(d, shards=2)
+    try:
+        got = ss.search_many(queries, k=8)
+    finally:
+        ss.close()
+    ls = LocalSearcher(d)
+    for qid, q in queries.items():
+        assert got[qid] == ls.search(q, k=8)
+        assert got[qid]

@@ -577,3 +577,47 @@ def test_at_least_degenerate_and_no_match():
     nm = iv.at_least(4, iv.term("a"), iv.term("b"))
     for pos_of in _F1 + _F2:
         assert iv.enumerate_intervals(nm, pos_of) == []
+
+
+def test_open_ended_ranges():
+    src = _expand(iv.term_range("porridge", None, False, False), _F1)
+    check(
+        src, _F1,
+        [[3, 3], [9, 9, 10, 10, 14, 14, 18, 18, 22, 22, 26, 26, 27, 27],
+         [9, 9, 10, 10, 11, 11, 14, 14, 18, 18, 22, 22, 26, 26], [8, 8],
+         [9, 9, 10, 10, 12, 12, 14, 14, 18, 18, 21, 21], []],
+        match_count=5,
+    )
+    src2 = _expand(iv.term_range(None, "anyone", False, True), _F1)
+    check(src2, _F1, [[4, 4], [], [], [], [], []], match_count=1)
+
+
+def test_wrapped_filters():
+    src = iv.or_(
+        iv.term("nine"),
+        iv.maxgaps(
+            1,
+            iv.or_(
+                iv.ordered(iv.term("pease"), iv.term("hot")),
+                iv.ordered(iv.term("pease"), iv.term("cold")),
+            ),
+        ),
+    )
+    check(
+        src, _F1,
+        [[], [0, 2, 3, 5, 11, 11, 28, 28], [0, 2, 3, 5], [],
+         [0, 2, 3, 5, 11, 11], []],
+        match_count=3,
+    )
+
+
+def test_multiterm_lregexp_automaton():
+    # Intervals.multiterm over the dialect automaton p.*e
+    src = _expand(iv.regexp("p.*e"), _F1)
+    check(
+        src, _F1,
+        [[], [0, 0, 1, 1, 3, 3, 4, 4, 6, 6, 7, 7],
+         [0, 0, 1, 1, 3, 3, 4, 4, 6, 6, 7, 7], [7, 7],
+         [0, 0, 1, 1, 3, 3, 4, 4, 6, 6, 7, 7], [0, 0]],
+        match_count=5,
+    )
