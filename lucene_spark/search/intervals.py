@@ -1704,6 +1704,28 @@ def two_term_shape(source: IntervalsSource):
     return None
 
 
+def unordered_terms_shape(source: IntervalsSource):
+    """(terms tuple, max_gaps) when ``source`` is Unordered over k >= 2
+    DISTINCT Term subs (optionally MaxGaps-wrapped) — the shapes the
+    engine evaluates with the across-docs sweep: for distinct
+    single-position terms the queue enumeration emits exactly the FIRST
+    window (smallest end) per distinct left extreme, where the left
+    extreme at stream index i is min over terms of the latest
+    occurrence <= i (verified against the golden tables incl. the
+    3-term nesting case). None otherwise."""
+    mg = None
+    if isinstance(source, MaxGaps):
+        mg = source.max_gaps
+        source = source.sub
+    if isinstance(source, Unordered) and all(
+        isinstance(s, Term) for s in source.subs
+    ):
+        terms = tuple(s.term for s in source.subs)
+        if len(set(terms)) == len(terms) >= 2:
+            return terms, mg
+    return None
+
+
 def fast_freq_fn(source: IntervalsSource, dtype: str):
     """Vectorized per-doc freq for the two-term shapes, or None.
 

@@ -229,6 +229,158 @@ def expand_interval_source(term_keys, src, field: str):
     return iv.map_multi_terms(src, leaf)
 
 
+def _flat_positions_for_docs(tb: TermBlocks, docs: np.ndarray):
+    """(doc_rep, pos_flat) for the requested docs — every position of
+    every requested doc, doc-major, WITHOUT per-doc slicing (the
+    across-docs sibling of ``_positions_for_docs``: one boolean-repeat
+    mask per block instead of a Python loop per doc)."""
+    out_docs: list = []
+    out_pos: list = []
+    bidx = np.searchsorted(tb.last_doc, docs, side="left")
+    for b in np.unique(bidx):
+        sel = docs[bidx == b]
+        bd, _ = tb.decode(int(b))
+        flat, bounds = tb.decode_positions(int(b))
+        tfs = np.diff(bounds)
+        j = np.searchsorted(bd, sel)
+        want = np.zeros(bd.size, dtype=bool)
+        want[j] = True
+        out_pos.append(flat[np.repeat(want, tfs)])
+        out_docs.append(np.repeat(bd[j], tfs[j]))
+    if not out_docs:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_docs), np.concatenate(out_pos)
+
+
+def _interval_two_term_batch(
+    shape, d1, p1, d2, p2, q: "ast.IntervalQuery", dtype, boost
+):
+    """Across-docs vectorization of the two-term interval shapes: the
+    per-doc cross-adjacent-pair enumeration (see
+    ``intervals.fast_freq_fn``) over packed ``doc << 32 | pos`` keys —
+    ONE argsort for the whole candidate set, grouped mixed-precision
+    accumulation (step k adds every doc's k-th interval term:
+    f32 <- f32(f64(f32) + term), exactly the scalar stepping), and
+    vectorized float32 saturation/sigmoid. Bit-identical to the per-doc
+    paths (differential-tested); removes all per-doc Python for the
+    most common interval query shape."""
+    kind, _, _, mg = shape
+    k1 = (d1.astype(np.int64) << 32) | p1.astype(np.int64)
+    k2 = (d2.astype(np.int64) << 32) | p2.astype(np.int64)
+    merged = np.concatenate((k1, k2))
+    owner = np.concatenate(
+        (np.zeros(k1.size, np.int8), np.ones(k2.size, np.int8))
+    )
+    order = np.argsort(merged, kind="stable")  # keys unique: no ties
+    m = merged[order]
+    o = owner[order]
+    if m.size < 2:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    cross = ((m[1:] >> 32) == (m[:-1] >> 32)) & (o[1:] != o[:-1])
+    if kind == "ordered":
+        cross &= o[:-1] == 0
+    a = (m[:-1] & 0xFFFFFFFF)[cross]
+    b = (m[1:] & 0xFFFFFFFF)[cross]
+    doc = (m[:-1] >> 32)[cross]
+    if mg is not None:
+        keep = (b - a - 1) <= mg
+        a, b, doc = a[keep], b[keep], doc[keep]
+    if doc.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    terms64 = 1.0 / np.maximum(b - a, 1).astype(np.float64)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(doc)) + 1))
+    counts = np.diff(np.concatenate((starts, [doc.size])))
+    return _interval_score_batch(
+        doc[starts], starts, counts, terms64, q, dtype, boost
+    )
+
+
+def _interval_score_batch(gdocs, starts, counts, terms64, q, dtype, boost):
+    """Grouped interval scoring shared by the batch fast paths: per-doc
+    mixed-precision accumulation in enumeration order (step k adds
+    every doc's k-th interval: f32 <- f32(f64(f32) + term), exactly the
+    scalar stepping) + vectorized saturation/sigmoid."""
+    if dtype == "f32":
+        acc = np.zeros(gdocs.size, np.float32)
+        for k in range(int(counts.max())):
+            sel = counts > k
+            acc[sel] = (
+                acc[sel].astype(np.float64) + terms64[starts[sel] + k]
+            ).astype(np.float32)
+        b32 = np.float32(boost)
+        p32 = np.float32(q.pivot)
+        if q.exp is None:
+            scores = b32 * (np.float32(1.0) - p32 / (p32 + acc))
+        else:
+            pivot_pa = float(q.pivot) ** float(q.exp)
+            v = float(b32) * (
+                1.0 - pivot_pa / (acc.astype(np.float64) ** float(q.exp) + pivot_pa)
+            )
+            scores = v.astype(np.float32)
+        return gdocs, scores.astype(np.float64)
+    acc64 = np.zeros(gdocs.size, np.float64)
+    for k in range(int(counts.max())):
+        sel = counts > k
+        acc64[sel] += terms64[starts[sel] + k]
+    if q.exp is None:
+        scores = boost * (1.0 - q.pivot / (q.pivot + acc64))
+    else:
+        pivot_pa = q.pivot ** q.exp
+        scores = boost * (1.0 - pivot_pa / (acc64 ** q.exp + pivot_pa))
+    return gdocs, scores
+
+
+def _interval_unordered_batch(
+    term_keys, plists, min_extent, mg, q, dtype, boost
+):
+    """Across-docs sweep for UNORDERED over k distinct terms: packed
+    ``doc << 32 | pos`` events sorted once; per-term latest-occurrence
+    via running maxima; left extreme = min over terms (its doc bits
+    also encode coverage — a term unseen in the current doc leaves the
+    minimum in an earlier doc); the enumeration keeps the FIRST window
+    per distinct left extreme (see intervals.unordered_terms_shape).
+    ``plists``: [(doc_rep, pos_flat)] per term."""
+    events = []
+    codes = []
+    for ci, (dd, pp) in enumerate(plists):
+        events.append((dd.astype(np.int64) << 32) | pp.astype(np.int64))
+        codes.append(np.full(dd.size, ci, np.int8))
+    key = np.concatenate(events)
+    code = np.concatenate(codes)
+    order = np.argsort(key, kind="stable")  # unique keys: no ties
+    key = key[order]
+    code = code[order]
+    n = key.size
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    k_terms = len(plists)
+    # per-term running latest occurrence (packed; -1 = never seen)
+    lpk = np.full(n, np.iinfo(np.int64).max, np.int64)
+    for ci in range(k_terms):
+        last_c = np.maximum.accumulate(np.where(code == ci, key, -1))
+        np.minimum(lpk, last_c, out=lpk)
+    covered = (lpk >> 32) == (key >> 32)  # min's doc == current doc
+    # first window per distinct left extreme
+    first = np.ones(n, dtype=bool)
+    first[1:] = lpk[1:] != lpk[:-1]
+    keep = covered & first
+    start = (lpk & 0xFFFFFFFF)[keep]
+    end = (key & 0xFFFFFFFF)[keep]
+    doc = (key >> 32)[keep]
+    width = end - start + 1
+    if mg is not None:
+        m = (width - min_extent) <= mg  # gaps = width - sum(sub widths)
+        start, end, doc, width = start[m], end[m], doc[m], width[m]
+    if doc.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    terms64 = 1.0 / np.maximum(width - min_extent + 1, 1).astype(np.float64)
+    gstarts = np.concatenate(([0], np.flatnonzero(np.diff(doc)) + 1))
+    counts = np.diff(np.concatenate((gstarts, [doc.size])))
+    return _interval_score_batch(
+        doc[gstarts], gstarts, counts, terms64, q, dtype, boost
+    )
+
+
 def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost=1.0):
     """IntervalQuery evaluation over one segment (IntervalWeight /
     IntervalScorer): doc candidates from the source's vectorized
@@ -256,6 +408,34 @@ def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost
     cand = np.asarray(iv.approx_docs(src, docs_of), dtype=np.int64)
     if cand.size == 0:
         return cand, np.empty(0, np.float64)
+    # all-Term ordered-pair / unordered shapes: across-docs vectorized
+    # evaluation (no per-doc Python at all — one packed argsort +
+    # grouped accumulation)
+    if not _INTERVAL_FAST_OFF:
+        ushape = iv.unordered_terms_shape(src)
+        if ushape is not None:
+            uterms, mg = ushape
+            plists = [
+                _flat_positions_for_docs(
+                    tbs[t], np.intersect1d(cand, docs_of[t], assume_unique=True)
+                )
+                for t in uterms
+            ]
+            return _interval_unordered_batch(
+                uterms, plists, len(uterms), mg, q, dtype, boost
+            )
+        shape = iv.two_term_shape(src)
+        if shape is not None and shape[0] == "ordered":
+            _, t1, t2, _ = shape
+            d1, p1 = _flat_positions_for_docs(
+                tbs[t1], np.intersect1d(cand, docs_of[t1], assume_unique=True)
+            )
+            d2, p2 = _flat_positions_for_docs(
+                tbs[t2], np.intersect1d(cand, docs_of[t2], assume_unique=True)
+            )
+            return _interval_two_term_batch(
+                shape, d1, p1, d2, p2, q, dtype, boost
+            )
     # positions only for (term, candidate∩term) — block-grouped decode
     per_doc: dict = {int(d): {} for d in cand}
     for t, tb in tbs.items():
@@ -264,30 +444,10 @@ def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost
             continue
         for d, pl in zip(mine, _positions_for_docs(tb, mine)):
             per_doc[int(d)][t] = pl
-    fast = None if _INTERVAL_FAST_OFF else iv.fast_freq_fn(src, dtype)
     out_docs: list = []
     out_scores: list = []
     for d in cand:
         pos_of = per_doc[int(d)]
-        if fast is not None:
-            f = fast(pos_of)
-            if f <= 0.0:
-                continue
-            if dtype == "f32":
-                s = (
-                    iv.saturation_score(f, boost, q.pivot)
-                    if q.exp is None
-                    else iv.sigmoid_score(f, boost, q.pivot, q.exp)
-                )
-            else:
-                s = (
-                    iv.saturation_score64(f, boost, q.pivot)
-                    if q.exp is None
-                    else iv.sigmoid_score64(f, boost, q.pivot, q.exp)
-                )
-            out_docs.append(int(d))
-            out_scores.append(s)
-            continue
         if dtype == "f32":
             f = iv.interval_freq(src, pos_of)
             if f <= 0.0:

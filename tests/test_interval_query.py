@@ -330,3 +330,43 @@ def test_interval_sharded_batch_parity(iq_idx):
     for qid, q in queries.items():
         assert got[qid] == ls.search(q, k=8)
         assert got[qid]
+
+
+def test_two_term_batch_equals_generic_path(iq_idx, monkeypatch):
+    """Force the generic iterator path and compare against the
+    across-docs batch path over the whole match set in both dtypes —
+    bit identity, not approximation. Runs through LocalSearcher: the
+    kernels execute IN-PROCESS there, so the module flag is effective
+    (a driver-side flag would not reach Spark's Python workers)."""
+    import lucene_spark.search.kernels as K
+
+    _, d, _ = iq_idx
+    ls = LocalSearcher(d)
+    zoo = [
+        ast.IntervalQuery("", iv.ordered(iv.term("w0007"), iv.term("w0042"))),
+        ast.IntervalQuery(
+            "", iv.maxgaps(2, iv.unordered(iv.term("w0007"), iv.term("w0042"))),
+            pivot=1.5,
+        ),
+        ast.IntervalQuery(
+            "", iv.ordered(iv.term("w0012"), iv.term("w0100")), pivot=2.0,
+            exp=1.5,
+        ),
+        ast.IntervalQuery(
+            "",
+            iv.unordered(iv.term("w0007"), iv.term("w0042"), iv.term("w0012")),
+        ),
+        ast.IntervalQuery(
+            "",
+            iv.maxgaps(6, iv.unordered(iv.term("w0007"), iv.term("w0042"),
+                                       iv.term("w0100"))),
+        ),
+    ]
+    for q in zoo:
+        for dtype in ("f32", "f64"):
+            assert not K._INTERVAL_FAST_OFF
+            fast = ls.search(q, k=100000, dtype=dtype)
+            monkeypatch.setattr(K, "_INTERVAL_FAST_OFF", True)
+            slow = ls.search(q, k=100000, dtype=dtype)
+            monkeypatch.setattr(K, "_INTERVAL_FAST_OFF", False)
+            assert fast == slow and fast, (q, dtype)

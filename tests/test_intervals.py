@@ -621,3 +621,42 @@ def test_multiterm_lregexp_automaton():
          [0, 0, 1, 1, 3, 3, 4, 4, 6, 6, 7, 7], [0, 0]],
         match_count=5,
     )
+
+
+def test_unordered_sweep_enumeration_equivalence():
+    """The across-docs sweep's window rule (first window per distinct
+    left extreme = min over terms of latest occurrence) must enumerate
+    exactly the queue iterator's intervals for k distinct terms —
+    random differential over k in 2..4."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(300):
+        k = rng.randint(2, 4)
+        names = [chr(97 + i) for i in range(k)]
+        universe = list(range(50))
+        rng.shuffle(universe)
+        pos_of = {}
+        lo = 0
+        for nm in names:
+            n = rng.randint(1, 10)
+            pos_of[nm] = sorted(universe[lo : lo + n])
+            lo += n
+        src = iv.unordered(*[iv.term(nm) for nm in names])
+        ref = [(s, e) for s, e, _ in iv.enumerate_intervals(src, pos_of)]
+        # sweep rule
+        events = sorted(
+            (p, nm) for nm in names for p in pos_of[nm]
+        )
+        last = {nm: None for nm in names}
+        got = []
+        prev_l = None
+        for p, nm in events:
+            last[nm] = p
+            if any(v is None for v in last.values()):
+                continue
+            l = min(last.values())
+            if l != prev_l:
+                got.append((l, p))
+                prev_l = l
+        assert got == ref, (trial, pos_of, got, ref)
