@@ -1726,6 +1726,27 @@ def unordered_terms_shape(source: IntervalsSource):
     return None
 
 
+def ordered_terms_shape(source: IntervalsSource):
+    """(terms tuple, max_gaps) when ``source`` is Ordered over k >= 2
+    DISTINCT Term subs (optionally MaxGaps-wrapped) — evaluated with
+    the composed-next sweep: END(a) composes "next occurrence after"
+    through the terms; minimality = the LAST chain start per distinct
+    end (ends are non-decreasing in the start, so equal-end chains
+    nest). None otherwise (repeats collapse into Repeating or keep
+    duplicate Term nodes — both excluded)."""
+    mg = None
+    if isinstance(source, MaxGaps):
+        mg = source.max_gaps
+        source = source.sub
+    if isinstance(source, Ordered) and all(
+        isinstance(s, Term) for s in source.subs
+    ):
+        terms = tuple(s.term for s in source.subs)
+        if len(set(terms)) == len(terms) >= 2:
+            return terms, mg
+    return None
+
+
 def fast_freq_fn(source: IntervalsSource, dtype: str):
     """Vectorized per-doc freq for the two-term shapes, or None.
 

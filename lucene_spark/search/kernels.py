@@ -251,50 +251,6 @@ def _flat_positions_for_docs(tb: TermBlocks, docs: np.ndarray):
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(out_docs), np.concatenate(out_pos)
 
-
-def _interval_two_term_batch(
-    shape, d1, p1, d2, p2, q: "ast.IntervalQuery", dtype, boost
-):
-    """Across-docs vectorization of the two-term interval shapes: the
-    per-doc cross-adjacent-pair enumeration (see
-    ``intervals.fast_freq_fn``) over packed ``doc << 32 | pos`` keys —
-    ONE argsort for the whole candidate set, grouped mixed-precision
-    accumulation (step k adds every doc's k-th interval term:
-    f32 <- f32(f64(f32) + term), exactly the scalar stepping), and
-    vectorized float32 saturation/sigmoid. Bit-identical to the per-doc
-    paths (differential-tested); removes all per-doc Python for the
-    most common interval query shape."""
-    kind, _, _, mg = shape
-    k1 = (d1.astype(np.int64) << 32) | p1.astype(np.int64)
-    k2 = (d2.astype(np.int64) << 32) | p2.astype(np.int64)
-    merged = np.concatenate((k1, k2))
-    owner = np.concatenate(
-        (np.zeros(k1.size, np.int8), np.ones(k2.size, np.int8))
-    )
-    order = np.argsort(merged, kind="stable")  # keys unique: no ties
-    m = merged[order]
-    o = owner[order]
-    if m.size < 2:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    cross = ((m[1:] >> 32) == (m[:-1] >> 32)) & (o[1:] != o[:-1])
-    if kind == "ordered":
-        cross &= o[:-1] == 0
-    a = (m[:-1] & 0xFFFFFFFF)[cross]
-    b = (m[1:] & 0xFFFFFFFF)[cross]
-    doc = (m[:-1] >> 32)[cross]
-    if mg is not None:
-        keep = (b - a - 1) <= mg
-        a, b, doc = a[keep], b[keep], doc[keep]
-    if doc.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    terms64 = 1.0 / np.maximum(b - a, 1).astype(np.float64)
-    starts = np.concatenate(([0], np.flatnonzero(np.diff(doc)) + 1))
-    counts = np.diff(np.concatenate((starts, [doc.size])))
-    return _interval_score_batch(
-        doc[starts], starts, counts, terms64, q, dtype, boost
-    )
-
-
 def _interval_score_batch(gdocs, starts, counts, terms64, q, dtype, boost):
     """Grouped interval scoring shared by the batch fast paths: per-doc
     mixed-precision accumulation in enumeration order (step k adds
@@ -381,6 +337,55 @@ def _interval_unordered_batch(
     )
 
 
+def _interval_ordered_batch(plists, min_extent, mg, q, dtype, boost):
+    """Across-docs sweep for ORDERED over k distinct terms: chains are
+    END(a) = next_k(...next_2(a)) composed with packed-key searchsorted
+    (one vectorized pass per term); a chain is live while every hop
+    exists and the end stays in the start's doc; minimality keeps the
+    LAST start per distinct end (ends are non-decreasing in the start,
+    so equal-end chains nest — see intervals.ordered_terms_shape).
+    ``plists``: [(doc_rep, pos_flat)] per term, in phrase order."""
+    keys = [
+        (dd.astype(np.int64) << 32) | pp.astype(np.int64)
+        for dd, pp in plists
+    ]
+    cur = keys[0]
+    if cur.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    valid = np.ones(cur.size, dtype=bool)
+    end = cur
+    for nxt in keys[1:]:
+        if nxt.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        idx = np.searchsorted(nxt, end, side="right")
+        ok = idx < nxt.size
+        end = np.where(ok, nxt[np.minimum(idx, nxt.size - 1)], -1)
+        valid &= ok
+    valid &= (cur >> 32) == (end >> 32)
+    a_pk = cur[valid]
+    e_pk = end[valid]
+    if a_pk.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    keep = np.ones(e_pk.size, dtype=bool)
+    keep[:-1] = e_pk[:-1] != e_pk[1:]  # last start per distinct end
+    a_pk, e_pk = a_pk[keep], e_pk[keep]
+    start = a_pk & 0xFFFFFFFF
+    endp = e_pk & 0xFFFFFFFF
+    doc = a_pk >> 32
+    width = endp - start + 1
+    if mg is not None:
+        m = (width - min_extent) <= mg
+        start, endp, doc, width = start[m], endp[m], doc[m], width[m]
+    if doc.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    terms64 = 1.0 / np.maximum(width - min_extent + 1, 1).astype(np.float64)
+    gstarts = np.concatenate(([0], np.flatnonzero(np.diff(doc)) + 1))
+    counts = np.diff(np.concatenate((gstarts, [doc.size])))
+    return _interval_score_batch(
+        doc[gstarts], gstarts, counts, terms64, q, dtype, boost
+    )
+
+
 def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost=1.0):
     """IntervalQuery evaluation over one segment (IntervalWeight /
     IntervalScorer): doc candidates from the source's vectorized
@@ -424,17 +429,17 @@ def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost
             return _interval_unordered_batch(
                 uterms, plists, len(uterms), mg, q, dtype, boost
             )
-        shape = iv.two_term_shape(src)
-        if shape is not None and shape[0] == "ordered":
-            _, t1, t2, _ = shape
-            d1, p1 = _flat_positions_for_docs(
-                tbs[t1], np.intersect1d(cand, docs_of[t1], assume_unique=True)
-            )
-            d2, p2 = _flat_positions_for_docs(
-                tbs[t2], np.intersect1d(cand, docs_of[t2], assume_unique=True)
-            )
-            return _interval_two_term_batch(
-                shape, d1, p1, d2, p2, q, dtype, boost
+        oshape = iv.ordered_terms_shape(src)
+        if oshape is not None:
+            oterms, mg = oshape
+            plists = [
+                _flat_positions_for_docs(
+                    tbs[t], np.intersect1d(cand, docs_of[t], assume_unique=True)
+                )
+                for t in oterms
+            ]
+            return _interval_ordered_batch(
+                plists, len(oterms), mg, q, dtype, boost
             )
     # positions only for (term, candidate∩term) — block-grouped decode
     per_doc: dict = {int(d): {} for d in cand}

@@ -361,6 +361,15 @@ def test_two_term_batch_equals_generic_path(iq_idx, monkeypatch):
             iv.maxgaps(6, iv.unordered(iv.term("w0007"), iv.term("w0042"),
                                        iv.term("w0100"))),
         ),
+        ast.IntervalQuery(
+            "",
+            iv.ordered(iv.term("w0007"), iv.term("w0042"), iv.term("w0012")),
+        ),
+        ast.IntervalQuery(
+            "",
+            iv.maxgaps(40, iv.ordered(iv.term("w0007"), iv.term("w0012"),
+                                     iv.term("w0100"))),
+        ),
     ]
     for q in zoo:
         for dtype in ("f32", "f64"):

@@ -660,3 +660,43 @@ def test_unordered_sweep_enumeration_equivalence():
                 got.append((l, p))
                 prev_l = l
         assert got == ref, (trial, pos_of, got, ref)
+
+
+def test_ordered_sweep_enumeration_equivalence():
+    """The ordered sweep rule (END(a) via composed next-occurrence,
+    minimality = last start per distinct end) must enumerate exactly
+    the lazy-minimizing iterator's intervals for k distinct terms."""
+    import bisect
+    import random
+
+    rng = random.Random(23)
+    for trial in range(300):
+        k = rng.randint(2, 4)
+        names = [chr(97 + i) for i in range(k)]
+        universe = list(range(50))
+        rng.shuffle(universe)
+        pos_of = {}
+        lo = 0
+        for nm in names:
+            n = rng.randint(1, 10)
+            pos_of[nm] = sorted(universe[lo : lo + n])
+            lo += n
+        src = iv.ordered(*[iv.term(nm) for nm in names])
+        ref = [(s, e) for s, e, _ in iv.enumerate_intervals(src, pos_of)]
+        chains = []
+        for a in pos_of[names[0]]:
+            end = a
+            ok = True
+            for nm in names[1:]:
+                i = bisect.bisect_right(pos_of[nm], end)
+                if i >= len(pos_of[nm]):
+                    ok = False
+                    break
+                end = pos_of[nm][i]
+            if ok:
+                chains.append((a, end))
+        got = [
+            c for i, c in enumerate(chains)
+            if i + 1 == len(chains) or chains[i + 1][1] != c[1]
+        ]
+        assert got == ref, (trial, pos_of, got, ref)
