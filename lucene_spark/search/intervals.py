@@ -1747,6 +1747,25 @@ def ordered_terms_shape(source: IntervalsSource):
     return None
 
 
+def block_terms_shape(source: IntervalsSource):
+    """(terms tuple, max_gaps) when ``source`` is Block over k >= 2
+    DISTINCT Term subs (optionally MaxGaps-wrapped — gaps are always 0
+    for a block, so max_gaps only gates on >= 0). The enumeration is
+    every exact-adjacency occurrence ascending (equal-width intervals
+    cannot nest)."""
+    mg = None
+    if isinstance(source, MaxGaps):
+        mg = source.max_gaps
+        source = source.sub
+    if isinstance(source, Block) and all(
+        isinstance(s, Term) for s in source.subs
+    ):
+        terms = tuple(s.term for s in source.subs)
+        if len(set(terms)) == len(terms) >= 2:
+            return terms, mg
+    return None
+
+
 def fast_freq_fn(source: IntervalsSource, dtype: str):
     """Vectorized per-doc freq for the two-term shapes, or None.
 

@@ -386,6 +386,38 @@ def _interval_ordered_batch(plists, min_extent, mg, q, dtype, boost):
     )
 
 
+def _interval_block_batch(plists, min_extent, mg, q, dtype, boost):
+    """Across-docs evaluation for BLOCK (exact adjacency) over k
+    distinct terms: keep starts a whose a+i exists in term i's packed
+    keys for every i — one searchsorted-equality pass per term. Every
+    occurrence is an interval of width k (gaps 0; a MaxGaps wrap only
+    gates on max_gaps >= 0), so freq = occurrence count."""
+    keys = [
+        (dd.astype(np.int64) << 32) | pp.astype(np.int64)
+        for dd, pp in plists
+    ]
+    a = keys[0]
+    if a.size == 0 or (mg is not None and mg < 0):
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    valid = np.ones(a.size, dtype=bool)
+    for i, nxt in enumerate(keys[1:], start=1):
+        want = a + i  # same doc: position arithmetic stays in low bits
+        idx = np.searchsorted(nxt, want)
+        ok = idx < nxt.size
+        idx_c = np.minimum(idx, max(nxt.size - 1, 0))
+        valid &= ok & (nxt[idx_c] == want)
+    a = a[valid]
+    if a.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    doc = a >> 32
+    terms64 = np.ones(doc.size, np.float64)  # 1/max(k - k + 1, 1)
+    gstarts = np.concatenate(([0], np.flatnonzero(np.diff(doc)) + 1))
+    counts = np.diff(np.concatenate((gstarts, [doc.size])))
+    return _interval_score_batch(
+        doc[gstarts], gstarts, counts, terms64, q, dtype, boost
+    )
+
+
 def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost=1.0):
     """IntervalQuery evaluation over one segment (IntervalWeight /
     IntervalScorer): doc candidates from the source's vectorized
@@ -428,6 +460,18 @@ def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost
             ]
             return _interval_unordered_batch(
                 uterms, plists, len(uterms), mg, q, dtype, boost
+            )
+        bshape = iv.block_terms_shape(src)
+        if bshape is not None:
+            bterms, mg = bshape
+            plists = [
+                _flat_positions_for_docs(
+                    tbs[t], np.intersect1d(cand, docs_of[t], assume_unique=True)
+                )
+                for t in bterms
+            ]
+            return _interval_block_batch(
+                plists, len(bterms), mg, q, dtype, boost
             )
         oshape = iv.ordered_terms_shape(src)
         if oshape is not None:

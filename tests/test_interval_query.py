@@ -370,6 +370,7 @@ def test_two_term_batch_equals_generic_path(iq_idx, monkeypatch):
             iv.maxgaps(40, iv.ordered(iv.term("w0007"), iv.term("w0012"),
                                      iv.term("w0100"))),
         ),
+        ast.IntervalQuery("", iv.phrase("w0007", "w0042")),
     ]
     for q in zoo:
         for dtype in ("f32", "f64"):

@@ -700,3 +700,31 @@ def test_ordered_sweep_enumeration_equivalence():
             if i + 1 == len(chains) or chains[i + 1][1] != c[1]
         ]
         assert got == ref, (trial, pos_of, got, ref)
+
+
+def test_block_sweep_enumeration_equivalence():
+    """Block (exact adjacency) enumeration = every occurrence
+    ascending; random differential for the batch rule."""
+    import random
+
+    rng = random.Random(31)
+    for trial in range(200):
+        k = rng.randint(2, 4)
+        names = [chr(97 + i) for i in range(k)]
+        # synthesize docs with planted adjacencies and noise
+        universe = list(range(60))
+        rng.shuffle(universe)
+        pos_of = {}
+        lo = 0
+        for nm in names:
+            n = rng.randint(1, 8)
+            pos_of[nm] = sorted(universe[lo : lo + n])
+            lo += n
+        src = iv.phrase(*[iv.term(nm) for nm in names])
+        ref = [(s, e) for s, e, _ in iv.enumerate_intervals(src, pos_of)]
+        got = [
+            (a, a + k - 1)
+            for a in pos_of[names[0]]
+            if all(a + i in pos_of[names[i]] for i in range(1, k))
+        ]
+        assert got == ref, (trial, pos_of, got, ref)
