@@ -1704,25 +1704,52 @@ def two_term_shape(source: IntervalsSource):
     return None
 
 
+def _single_position_sub(s) -> "tuple | None":
+    """The term set of a sub that behaves as ONE single-position
+    pseudo-term: a Term, or an Or whose disjuncts are all Terms (a
+    disjunction of width-1 intervals enumerates exactly the merged
+    position list — none can nest)."""
+    if isinstance(s, Term):
+        return (s.term,)
+    if isinstance(s, Or) and all(isinstance(x, Term) for x in s.subs):
+        return tuple(x.term for x in s.subs)
+    return None
+
+
+def _single_position_subs(source) -> "tuple | None":
+    """Per-sub term tuples when EVERY sub is single-position and the
+    term sets are pairwise DISJOINT (overlap would alias events in the
+    packed sweep); None otherwise."""
+    subs_terms = []
+    seen: set = set()
+    for s in source.subs:
+        ts = _single_position_sub(s)
+        if ts is None or seen & set(ts):
+            return None
+        seen |= set(ts)
+        subs_terms.append(ts)
+    return tuple(subs_terms)
+
+
 def unordered_terms_shape(source: IntervalsSource):
-    """(terms tuple, max_gaps) when ``source`` is Unordered over k >= 2
-    DISTINCT Term subs (optionally MaxGaps-wrapped) — the shapes the
-    engine evaluates with the across-docs sweep: for distinct
-    single-position terms the queue enumeration emits exactly the FIRST
+    """(per-sub term tuples, max_gaps) when ``source`` is Unordered
+    over k >= 2 single-position subs (Terms or Or-of-Terms with
+    pairwise-disjoint term sets), optionally MaxGaps-wrapped — the
+    shapes the engine evaluates with the across-docs sweep: for
+    single-position subs the queue enumeration emits exactly the FIRST
     window (smallest end) per distinct left extreme, where the left
-    extreme at stream index i is min over terms of the latest
+    extreme at stream index i is min over subs of the latest
     occurrence <= i (verified against the golden tables incl. the
-    3-term nesting case). None otherwise."""
+    3-term nesting case, whose third sub IS an Or-of-Terms). None
+    otherwise."""
     mg = None
     if isinstance(source, MaxGaps):
         mg = source.max_gaps
         source = source.sub
-    if isinstance(source, Unordered) and all(
-        isinstance(s, Term) for s in source.subs
-    ):
-        terms = tuple(s.term for s in source.subs)
-        if len(set(terms)) == len(terms) >= 2:
-            return terms, mg
+    if isinstance(source, Unordered) and len(source.subs) >= 2:
+        subs_terms = _single_position_subs(source)
+        if subs_terms is not None:
+            return subs_terms, mg
     return None
 
 
@@ -1738,12 +1765,10 @@ def ordered_terms_shape(source: IntervalsSource):
     if isinstance(source, MaxGaps):
         mg = source.max_gaps
         source = source.sub
-    if isinstance(source, Ordered) and all(
-        isinstance(s, Term) for s in source.subs
-    ):
-        terms = tuple(s.term for s in source.subs)
-        if len(set(terms)) == len(terms) >= 2:
-            return terms, mg
+    if isinstance(source, Ordered) and len(source.subs) >= 2:
+        subs_terms = _single_position_subs(source)
+        if subs_terms is not None:
+            return subs_terms, mg
     return None
 
 
@@ -1757,12 +1782,10 @@ def block_terms_shape(source: IntervalsSource):
     if isinstance(source, MaxGaps):
         mg = source.max_gaps
         source = source.sub
-    if isinstance(source, Block) and all(
-        isinstance(s, Term) for s in source.subs
-    ):
-        terms = tuple(s.term for s in source.subs)
-        if len(set(terms)) == len(terms) >= 2:
-            return terms, mg
+    if isinstance(source, Block) and len(source.subs) >= 2:
+        subs_terms = _single_position_subs(source)
+        if subs_terms is not None:
+            return subs_terms, mg
     return None
 
 

@@ -287,7 +287,7 @@ def _interval_score_batch(gdocs, starts, counts, terms64, q, dtype, boost):
 
 
 def _interval_unordered_batch(
-    term_keys, plists, min_extent, mg, q, dtype, boost
+    plists, min_extent, mg, q, dtype, boost
 ):
     """Across-docs sweep for UNORDERED over k distinct terms: packed
     ``doc << 32 | pos`` events sorted once; per-term latest-occurrence
@@ -445,45 +445,51 @@ def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost
     cand = np.asarray(iv.approx_docs(src, docs_of), dtype=np.int64)
     if cand.size == 0:
         return cand, np.empty(0, np.float64)
-    # all-Term ordered-pair / unordered shapes: across-docs vectorized
-    # evaluation (no per-doc Python at all — one packed argsort +
-    # grouped accumulation)
+    # single-position-sub shapes (Terms or disjoint Or-of-Terms under
+    # ordered/unordered/block, optional maxgaps): across-docs vectorized
+    # evaluation — no per-doc Python at all, one packed argsort +
+    # grouped accumulation
+
+    def _sub_plist(sub_terms):
+        """One sub's merged (doc, pos) arrays over the candidates —
+        an Or-of-Terms sub behaves as a single pseudo-term whose
+        positions are the union (width-1 intervals cannot nest)."""
+        parts = [
+            _flat_positions_for_docs(
+                tbs[t], np.intersect1d(cand, docs_of[t], assume_unique=True)
+            )
+            for t in sub_terms
+            if t in tbs
+        ]
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        dd = np.concatenate([a for a, _ in parts])
+        pp = np.concatenate([b for _, b in parts])
+        key = (dd << 32) | pp
+        o = np.argsort(key, kind="stable")
+        return dd[o], pp[o]
+
     if not _INTERVAL_FAST_OFF:
         ushape = iv.unordered_terms_shape(src)
         if ushape is not None:
-            uterms, mg = ushape
-            plists = [
-                _flat_positions_for_docs(
-                    tbs[t], np.intersect1d(cand, docs_of[t], assume_unique=True)
-                )
-                for t in uterms
-            ]
+            subs_terms, mg = ushape
+            plists = [_sub_plist(ts) for ts in subs_terms]
             return _interval_unordered_batch(
-                uterms, plists, len(uterms), mg, q, dtype, boost
+                plists, len(subs_terms), mg, q, dtype, boost
             )
         bshape = iv.block_terms_shape(src)
         if bshape is not None:
-            bterms, mg = bshape
-            plists = [
-                _flat_positions_for_docs(
-                    tbs[t], np.intersect1d(cand, docs_of[t], assume_unique=True)
-                )
-                for t in bterms
-            ]
+            subs_terms, mg = bshape
+            plists = [_sub_plist(ts) for ts in subs_terms]
             return _interval_block_batch(
-                plists, len(bterms), mg, q, dtype, boost
+                plists, len(subs_terms), mg, q, dtype, boost
             )
         oshape = iv.ordered_terms_shape(src)
         if oshape is not None:
-            oterms, mg = oshape
-            plists = [
-                _flat_positions_for_docs(
-                    tbs[t], np.intersect1d(cand, docs_of[t], assume_unique=True)
-                )
-                for t in oterms
-            ]
+            subs_terms, mg = oshape
+            plists = [_sub_plist(ts) for ts in subs_terms]
             return _interval_ordered_batch(
-                plists, len(oterms), mg, q, dtype, boost
+                plists, len(subs_terms), mg, q, dtype, boost
             )
     # positions only for (term, candidate∩term) — block-grouped decode
     per_doc: dict = {int(d): {} for d in cand}

@@ -371,6 +371,16 @@ def test_two_term_batch_equals_generic_path(iq_idx, monkeypatch):
                                      iv.term("w0100"))),
         ),
         ast.IntervalQuery("", iv.phrase("w0007", "w0042")),
+        ast.IntervalQuery(
+            "",
+            iv.maxgaps(8, iv.unordered(iv.or_(iv.term("w0007"), iv.term("w0012")),
+                                       iv.term("w0042"))),
+        ),
+        ast.IntervalQuery(
+            "",
+            iv.ordered(iv.or_(iv.term("w0007"), iv.term("w0100")),
+                       iv.term("w0042")),
+        ),
     ]
     for q in zoo:
         for dtype in ("f32", "f64"):

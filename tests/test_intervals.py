@@ -728,3 +728,80 @@ def test_block_sweep_enumeration_equivalence():
             if all(a + i in pos_of[names[i]] for i in range(1, k))
         ]
         assert got == ref, (trial, pos_of, got, ref)
+
+
+def test_or_of_terms_subs_sweep_equivalence():
+    """Or-of-Terms subs behave as single pseudo-terms with merged
+    positions — random differential of the sweep rules (ordered,
+    unordered, block) against the iterator enumeration with disjoint
+    synonym sets."""
+    import bisect
+    import random
+
+    rng = random.Random(47)
+    for trial in range(200):
+        k = rng.randint(2, 3)
+        universe = list(range(60))
+        rng.shuffle(universe)
+        subs = []
+        merged = []
+        lo = 0
+        ci = 0
+        for _ in range(k):
+            n_syn = rng.randint(1, 3)
+            group = []
+            gpos: list = []
+            for _ in range(n_syn):
+                nm = f"t{ci}"
+                ci += 1
+                n = rng.randint(1, 5)
+                group.append((nm, sorted(universe[lo : lo + n])))
+                gpos += universe[lo : lo + n]
+                lo += n
+            subs.append(group)
+            merged.append(sorted(gpos))
+        pos_of = {nm: ps for group in subs for nm, ps in group}
+
+        def mk(group):
+            return (
+                iv.term(group[0][0])
+                if len(group) == 1
+                else iv.or_(*[iv.term(nm) for nm, _ in group])
+            )
+
+        for ctor in (iv.ordered, iv.unordered):
+            src = ctor(*[mk(g) for g in subs])
+            ref = [(s, e) for s, e, _ in iv.enumerate_intervals(src, pos_of)]
+            if ctor is iv.unordered:
+                events = sorted(
+                    (p, i) for i, ps in enumerate(merged) for p in ps
+                )
+                last = [None] * k
+                got = []
+                prev_l = None
+                for p, i in events:
+                    last[i] = p
+                    if any(v is None for v in last):
+                        continue
+                    l = min(last)
+                    if l != prev_l:
+                        got.append((l, p))
+                        prev_l = l
+            else:
+                chains = []
+                for a in merged[0]:
+                    end = a
+                    ok = True
+                    for ps in merged[1:]:
+                        j = bisect.bisect_right(ps, end)
+                        if j >= len(ps):
+                            ok = False
+                            break
+                        end = ps[j]
+                    if ok:
+                        chains.append((a, end))
+                got = [
+                    c for i, c in enumerate(chains)
+                    if i + 1 == len(chains) or chains[i + 1][1] != c[1]
+                ]
+            assert got == ref, (trial, ctor, pos_of, got, ref)
