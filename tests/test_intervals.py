@@ -805,3 +805,59 @@ def test_or_of_terms_subs_sweep_equivalence():
                     if i + 1 == len(chains) or chains[i + 1][1] != c[1]
                 ]
             assert got == ref, (trial, ctor, pos_of, got, ref)
+
+
+def test_enumeration_is_the_minimal_interval_set():
+    """Mathematically independent oracle: for ordered/unordered over
+    distinct terms, the enumerated intervals must equal the set of
+    MINIMAL satisfying windows (no satisfying window nested inside),
+    brute-forced over all O(n^2) windows of small random docs. This
+    pins the semantics without reference to either the ported iterator
+    control flow or the sweep rules."""
+    import random
+
+    rng = random.Random(61)
+
+    def satisfies(window, merged_pos, kind):
+        s, e = window
+        if kind == "unordered":
+            return all(any(s <= p <= e for p in ps) for ps in merged_pos)
+        # ordered: an increasing chain inside [s, e] starting at s?
+        # (any chain inside the window suffices for satisfaction)
+        def chain(i, lo):
+            if i == len(merged_pos):
+                return True
+            return any(
+                lo < p <= e and chain(i + 1, p) for p in merged_pos[i]
+            )
+        return chain(0, s - 1)
+
+    for trial in range(120):
+        k = rng.randint(2, 3)
+        universe = list(range(24))
+        rng.shuffle(universe)
+        pos, lo = [], 0
+        for _ in range(k):
+            n = rng.randint(1, 5)
+            pos.append(sorted(universe[lo : lo + n]))
+            lo += n
+        pos_of = {f"t{i}": ps for i, ps in enumerate(pos)}
+        allp = sorted(p for ps in pos for p in ps)
+        for kind, ctor in (("ordered", iv.ordered), ("unordered", iv.unordered)):
+            src = ctor(*[iv.term(f"t{i}") for i in range(k)])
+            got = {(s, e) for s, e, _ in iv.enumerate_intervals(src, pos_of)}
+            sat = {
+                (s, e)
+                for s in allp
+                for e in allp
+                if s <= e and satisfies((s, e), pos, kind)
+            }
+            minimal = {
+                (s, e)
+                for (s, e) in sat
+                if not any(
+                    (s2, e2) != (s, e) and s <= s2 and e2 <= e
+                    for (s2, e2) in sat
+                )
+            }
+            assert got == minimal, (trial, kind, pos, got, minimal)
