@@ -56,6 +56,19 @@ for q in queries:
         print(f"    doc={r['doc_id']} score={r['score']:.6f} url={r['url']}")
     print(f"  count = {searcher.count(q)}")
 
+# interval query (API-only, like the reference): saturation-scored
+# maxgaps-ordered pair through the same pruned kernels
+from lucene_spark.search import ast as ast_mod
+from lucene_spark.search import intervals as iv
+
+q_iv = ast_mod.IntervalQuery(
+    "", iv.maxgaps(4, iv.ordered(iv.term("w0007"), iv.term("w0042")))
+)
+rows = searcher.search(q_iv, k=5).collect()
+print(f"QUERY intervals(maxgaps(4, ordered(w0007, w0042))) -> {len(rows)} hits")
+for r in rows:
+    print(f"    doc={r['doc_id']} score={r['score']:.6f} url={r['url']}")
+
 # --- probes ---
 print("PROBE zero-hit term:", searcher.search("zzznothing", k=5).collect())
 print("PROBE stopword-only query:", searcher.search("the of and", k=5).collect())

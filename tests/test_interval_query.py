@@ -390,3 +390,41 @@ def test_two_term_batch_equals_generic_path(iq_idx, monkeypatch):
             slow = ls.search(q, k=100000, dtype=dtype)
             monkeypatch.setattr(K, "_INTERVAL_FAST_OFF", False)
             assert fast == slow and fast, (q, dtype)
+
+
+def test_interval_results_stable_across_merges(spark, tmp_path):
+    """Interval scores are a pure function of the (live) postings —
+    concat merge and squeeze merge must not change them."""
+    from lucene_spark.index.deletes import delete_docs
+    from lucene_spark.index.merge import force_merge
+
+    corpus = make_pages(120)
+    d = str(tmp_path / "iq_merge")
+    build_index(
+        spark,
+        spark.createDataFrame(
+            [(r["url"], r["text"]) for r in corpus], ["url", "text"]
+        ),
+        d,
+        IndexConfig(num_segments=3, analyzer=ENGLISH),
+    )
+    q = ast.IntervalQuery(
+        "", iv.maxgaps(5, iv.unordered(iv.term("w0007"), iv.term("w0042")))
+    )
+    s0 = Searcher(spark, d)
+    base = {(r["url"], r["score"]) for r in s0.score_docs_df(q, dtype="f32").collect()}
+    assert base
+    dead = sorted({u for u, _ in base})[:2]
+    delete_docs(spark, d, keys=dead)
+    force_merge(spark, d)
+    after_concat = {
+        (r["url"], r["score"])
+        for r in Searcher(spark, d).score_docs_df(q, dtype="f32").collect()
+    }
+    assert after_concat == {(u, sc) for u, sc in base if u not in dead}
+    force_merge(spark, d, squeeze=True)
+    after_squeeze = {
+        (r["url"], r["score"])
+        for r in Searcher(spark, d).score_docs_df(q, dtype="f32").collect()
+    }
+    assert after_squeeze == after_concat
