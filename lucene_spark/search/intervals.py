@@ -1689,9 +1689,11 @@ def interval_freq64(source: IntervalsSource, pos_of: dict) -> float:
 
 def two_term_shape(source: IntervalsSource):
     """(kind, t1, t2, max_gaps) when ``source`` is Ordered/Unordered over
-    exactly two DISTINCT Term subs, optionally wrapped in MaxGaps —
-    the shapes the engine evaluates with the vectorized fast path
-    (``fast_freq_fn``). None otherwise."""
+    exactly two DISTINCT Term subs, optionally wrapped in MaxGaps.
+    Feeds ``fast_freq_fn`` — the PER-DOC reference implementation of
+    the sweep rules, retained for differential testing (the engine's
+    kernels use the across-docs batch sweeps, which generalize these
+    shapes to k terms and Or-of-Terms subs). None otherwise."""
     mg = None
     if isinstance(source, MaxGaps):
         mg = source.max_gaps
@@ -1790,7 +1792,10 @@ def block_terms_shape(source: IntervalsSource):
 
 
 def fast_freq_fn(source: IntervalsSource, dtype: str):
-    """Vectorized per-doc freq for the two-term shapes, or None.
+    """Per-doc freq for the two-term shapes, or None — the reference
+    implementation of the cross-adjacent sweep rule kept for
+    differential tests (the engine evaluates these shapes with the
+    across-docs batch sweeps in ``kernels``).
 
     For two distinct single-position terms, the lazy minimization
     enumerates EXACTLY the cross-adjacent pairs of the merged position
