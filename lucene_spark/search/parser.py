@@ -149,9 +149,21 @@ def _parse_unit(toks, i, analyzer):
     # queryparser/classic/QueryParser.jj Clause production) — the field
     # name is NOT analyzed; '' stays the default field
     qfield = ""
-    m = _FIELD_PREFIX.match(t)
-    if m:
-        qfield, t = m.group(1), m.group(2)
+    if not t.startswith("fn:"):  # 'fn' is the function prefix, not a field
+        m = _FIELD_PREFIX.match(t)
+        if m:
+            qfield, t = m.group(1), m.group(2)
+    # interval functions: fn:NAME(args...) — the StandardQueryParser
+    # enhancement syntax (flexible/standard/parser/StandardSyntaxParser.jj
+    # IntervalFun productions; nodes in .../nodes/intervalfn/)
+    if t.startswith("fn:"):
+        from lucene_spark.search.ast import IntervalQuery
+
+        source, i = _parse_interval_fn(t, toks, i, _an(analyzer, qfield))
+        q = IntervalQuery(qfield, source)
+        if boost is not None:
+            q = BoostQuery(q, boost)
+        return _apply_boost(q, toks, i)
     # multi-term syntax (classic QueryParser.jj Term production):
     # /regex/, wildcard patterns (* ?), fuzzy term~N, [a TO b] ranges —
     # intercepted BEFORE analysis (the reference analyzeMultitermTerm
@@ -236,6 +248,167 @@ def _multi_term(t: str, toks, i: int, field: str, an) -> "tuple | None":
             return TermQuery(fielded(field, base)), i + 1
         return MultiTermQuery("fuzzy", (base, max_edits), field), i + 1
     return None
+
+
+def _parse_interval_fn(t: str, toks, i: int, an) -> tuple:
+    """One ``fn:NAME(args...)`` interval function starting at token
+    ``i`` (whose field-stripped text is ``t``). Returns
+    (IntervalsSource, next_token_index). Grammar mirror of
+    ``StandardSyntaxParser.jj`` IntervalFun productions (function names
+    matched case-insensitively — a superset of the reference's
+    camelCase|lowercase token pairs); bare/quoted text arguments are
+    ANALYZED like ``Intervals.analyzedText`` (IntervalBuilder:
+    no tokens -> no-match, one -> term, many -> phrase with
+    stopword-hole extends)."""
+    from lucene_spark.search import intervals as iv
+
+    name = t[3:].lower()
+    i += 1
+    if i >= len(toks) or toks[i] != "(":
+        raise ValueError(f"fn:{name} expects '('")
+    i += 1
+
+    def number() -> int:
+        nonlocal i
+        if i >= len(toks):
+            raise ValueError(f"fn:{name}: unexpected end of query")
+        try:
+            n = int(toks[i])
+        except ValueError as e:
+            raise ValueError(f"fn:{name}: expected a number, got {toks[i]!r}") from e
+        i += 1
+        return n
+
+    def src():
+        nonlocal i
+        if i >= len(toks) or toks[i] == ")":
+            raise ValueError(f"fn:{name}: expected an interval source")
+        s, i2 = _parse_interval_source(toks, i, an)
+        i = i2
+        return s
+
+    def srcs_plus() -> list:
+        out = []
+        while i < len(toks) and toks[i] != ")":
+            out.append(src())
+        if not out:
+            raise ValueError(f"fn:{name}: needs at least one source")
+        return out
+
+    def text_arg() -> str:
+        nonlocal i
+        if i >= len(toks) or toks[i] in ("(", ")"):
+            raise ValueError(f"fn:{name}: expected a term argument")
+        arg = toks[i]
+        i += 1
+        return arg[1:-1] if arg.startswith('"') else arg
+
+    def opt_number() -> "int | None":
+        nonlocal i
+        if i < len(toks) and toks[i] != ")":
+            try:
+                n = int(toks[i])
+            except ValueError:
+                return None
+            i += 1
+            return n
+        return None
+
+    if name in ("ordered", "unordered", "or", "phrase"):
+        subs = srcs_plus()
+        ctor = {
+            "ordered": iv.ordered, "unordered": iv.unordered,
+            "or": iv.or_, "phrase": iv.phrase,
+        }[name]
+        source = ctor(*subs)
+    elif name == "atleast":
+        n = number()
+        source = iv.at_least(n, *srcs_plus())
+    elif name == "maxwidth":
+        n = number()
+        source = iv.maxwidth(n, src())
+    elif name == "maxgaps":
+        n = number()
+        source = iv.maxgaps(n, src())
+    elif name == "unorderednooverlaps":
+        source = iv.unordered_no_overlaps(src(), src())
+    elif name == "before":
+        source = iv.before(src(), src())
+    elif name == "after":
+        source = iv.after(src(), src())
+    elif name == "containing":
+        source = iv.containing(src(), src())
+    elif name == "notcontaining":
+        source = iv.not_containing(src(), src())
+    elif name == "containedby":
+        source = iv.contained_by(src(), src())
+    elif name == "notcontainedby":
+        source = iv.not_contained_by(src(), src())
+    elif name == "within":
+        a = src()
+        n = number()
+        source = iv.within(a, n, src())
+    elif name == "notwithin":
+        a = src()
+        n = number()
+        source = iv.not_within(a, n, src())
+    elif name == "overlapping":
+        source = iv.overlapping(src(), src())
+    elif name == "nonoverlapping":
+        source = iv.non_overlapping(src(), src())
+    elif name == "extend":
+        a = src()
+        nb = number()
+        na = number()
+        source = iv.extend(a, nb, na)
+    elif name == "wildcard":
+        pat = an.normalize(text_arg())
+        mx = opt_number()
+        source = iv.wildcard(pat, mx if mx else iv.DEFAULT_MAX_EXPANSIONS)
+    elif name == "fuzzyterm":
+        term_txt = an.normalize(text_arg())
+        me = opt_number()
+        mx = opt_number()
+        source = iv.fuzzy_term(
+            term_txt,
+            2 if me is None else me,
+            iv.DEFAULT_MAX_EXPANSIONS if mx is None else mx,
+        )
+    else:
+        raise ValueError(f"unknown interval function fn:{name}")
+    if i >= len(toks) or toks[i] != ")":
+        raise ValueError(f"fn:{name}: missing ')'")
+    return source, i + 1
+
+
+def _parse_interval_source(toks, i: int, an) -> tuple:
+    """One interval-source argument: a nested fn:..., a quoted string,
+    or a bare token — text arguments go through Intervals.analyzedText
+    (IntervalBuilder.analyzeText: 0 tokens -> no-match, 1 -> term,
+    many -> phrase; each term extended over preceding stopword holes,
+    IntervalBuilder.analyzeTerms precedingSpaces)."""
+    from lucene_spark.search import intervals as iv
+
+    t = toks[i]
+    if t.startswith("fn:"):
+        return _parse_interval_fn(t, toks, i, an)
+    if t == "(":
+        raise ValueError("interval sources do not take bare parentheses")
+    text = t[1:-1] if t.startswith('"') else t
+    terms, positions = an.tokenize_one(text)
+    if not terms:
+        return iv.no_intervals(text), i + 1
+    if len(terms) == 1:
+        return iv.term(terms[0]), i + 1
+    subs = []
+    prev = -1
+    for tt, p in zip(terms, positions):
+        preceding = p - prev - 1
+        subs.append(
+            iv.extend(iv.term(tt), preceding, 0) if preceding else iv.term(tt)
+        )
+        prev = p
+    return iv.phrase(*subs), i + 1
 
 
 def _an(analyzer, field: str = "") -> Analyzer:
