@@ -48,6 +48,7 @@ queries = [
     '"w0100 of w0200"',  # stopword-gap phrase
     "w0042 OR w010*",  # BM25 term + constant-score prefix leaf
     "w0042~1",  # fuzzy
+    "fn:maxgaps(4 fn:ordered(w0007 w0042))",  # interval function syntax
 ]
 for q in queries:
     rows = searcher.search(q, k=5).collect()
