@@ -20,13 +20,18 @@ disjunction / minuend-only), so iterator control flow sees exactly the
 sub-iterator states the reference would.
 
 Public factory surface mirrors ``Intervals.java``: term, phrase,
-ordered, unordered, or_, maxgaps, maxwidth, extend, before, after,
-containing, contained_by, not_containing, not_contained_by,
-no_intervals. Multi-term factories (prefix/wildcard/regexp/fuzzy) are
-provided by the engine layer, which expands them against the term
-dictionary into ``or_`` over concrete terms (the
-``MultiTermIntervalsSource`` role, capped at
-``DEFAULT_MAX_EXPANSIONS``).
+ordered, unordered, unordered_no_overlaps, or_, at_least, maxgaps,
+maxwidth, extend, before, after, within, not_within, overlapping,
+non_overlapping, containing, contained_by, not_containing,
+not_contained_by, no_intervals, plus the multi-term factories
+(prefix/wildcard/regexp/fuzzy_term/term_range), which the engine
+expands per segment against the term dictionary (the
+``MultiTermIntervalsSource`` role, capped at its max_expansions). The
+string parser accepts the ``fn:NAME(...)`` grammar
+(``StandardSyntaxParser.jj``). Deliberate scope cuts (documented, not
+hidden): ``fixField`` (cross-field intervals — every source here reads
+the enclosing IntervalQuery's field) and payload-filtered terms
+(payloads are not indexed).
 """
 
 from __future__ import annotations

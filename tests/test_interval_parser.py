@@ -150,3 +150,23 @@ def test_fn_string_equals_api_query(fn_idx):
         b = [(r["doc_id"], r["score"]) for r in s.search(api, k=10).collect()]
         c = [(doc, sc) for doc, sc, _ in ls.search(text, k=10)]
         assert a == b == c and a, text
+
+
+def test_fn_strings_through_batched_executor(fn_idx):
+    """fn: strings ride the batched direct executor (search_many)
+    bit-identically to per-query search."""
+    spark, d = fn_idx
+    s = Searcher(spark, d)
+    qs = [
+        "w0042",
+        "fn:maxgaps(4 fn:ordered(w0007 w0042))",
+        "fn:unordered(w0007 fn:or(w0042 w0100))",
+    ]
+    batch = s.search_many(qs, k=8).collect()
+    for i, q in enumerate(qs):
+        single = [(r["doc_id"], r["score"]) for r in s.search(q, k=8).collect()]
+        got = sorted(
+            [(r["doc_id"], r["score"]) for r in batch if str(r["query_id"]) == str(i)],
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert single == got and single, q
