@@ -309,7 +309,11 @@ def query_terms(q: Query) -> set:
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
         return query_terms(q.query)
     if isinstance(q, IntervalQuery):
-        return {fielded(q.field, t) for t in q.source.terms()}
+        # fix_field terms arrive pre-qualified (contain the separator)
+        return {
+            t if FIELD_SEP in t else fielded(q.field, t)
+            for t in q.source.terms()
+        }
     if isinstance(q, BooleanQuery):
         out: set = set()
         for c in q.must + q.should + q.must_not + q.filter:

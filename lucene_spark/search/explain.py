@@ -209,7 +209,9 @@ def explain_node(seg, q, scorers, stats, dtype: str, doc: int,
         src = expand_interval_source(seg.terms.keys(), q.source, q.field)
         pos_of: dict = {}
         for t in sorted(src.terms()):
-            tb = seg.term_blocks(ast.fielded(q.field, t))
+            tb = seg.term_blocks(
+                t if ast.FIELD_SEP in t else ast.fielded(q.field, t)
+            )
             if tb is None:
                 continue
             d, _ = tb.decode_all()

@@ -28,10 +28,10 @@ not_contained_by, no_intervals, plus the multi-term factories
 expands per segment against the term dictionary (the
 ``MultiTermIntervalsSource`` role, capped at its max_expansions). The
 string parser accepts the ``fn:NAME(...)`` grammar
-(``StandardSyntaxParser.jj``). Deliberate scope cuts (documented, not
-hidden): ``fixField`` (cross-field intervals — every source here reads
-the enclosing IntervalQuery's field) and payload-filtered terms
-(payloads are not indexed).
+(``StandardSyntaxParser.jj``). ``fix_field`` supports cross-field
+intervals over concrete-term subtrees (field-qualified-key rewrite).
+Deliberate scope cut (documented, not hidden): payload-filtered terms
+(payloads are not indexed); fix_field over multi-term sources raises.
 """
 
 from __future__ import annotations
@@ -1553,6 +1553,52 @@ def at_least(min_should_match: int, *subs) -> IntervalsSource:
 
 def no_intervals(reason: str = "") -> IntervalsSource:
     return NoMatch(reason)
+
+
+def fix_field(field: str, source) -> IntervalsSource:
+    """Intervals.fixField (``FixedFieldIntervalsSource.java``): the
+    wrapped source reads ``field``'s positions regardless of the
+    enclosing IntervalQuery's field — useful for mixing analyzers
+    across parallel fields. Implemented as a BUILD-TIME rewrite: every
+    Term in the subtree becomes the FIELD-QUALIFIED term key, which the
+    engine resolves verbatim (an unqualified term resolves against the
+    query's field). Restricted to concrete-term subtrees (multi-term
+    sources under fixField would need per-field dictionary scoping —
+    out of scope, explicit error)."""
+    from lucene_spark.search.ast import fielded
+
+    source = _as_source(source)
+    if multi_terms(source):
+        raise NotImplementedError(
+            "fix_field over multi-term interval sources is not supported"
+        )
+
+    def walk(s):
+        if isinstance(s, Term):
+            return Term(fielded(field, s.term))
+        if isinstance(s, (Block, Ordered, Unordered, Containing,
+                          ContainedBy, Overlapping, AtLeast)):
+            rebuilt = tuple(walk(x) for x in s.subs)
+            if isinstance(s, AtLeast):
+                return AtLeast(rebuilt, s.msm)
+            return type(s)(rebuilt)
+        if isinstance(s, Or):
+            return Or(tuple(walk(x) for x in s.subs), s.rewrite)
+        if isinstance(s, (NotContaining, NotContainedBy, NonOverlapping)):
+            return type(s)(walk(s.minuend), walk(s.subtrahend))
+        if isinstance(s, MaxGaps):
+            return MaxGaps(walk(s.sub), s.max_gaps)
+        if isinstance(s, MaxWidth):
+            return MaxWidth(walk(s.sub), s.max_width)
+        if isinstance(s, Extended):
+            return Extended(walk(s.sub), s.before, s.after)
+        if isinstance(s, Offset):
+            return Offset(walk(s.sub), s.preceding)
+        if isinstance(s, Repeating):
+            return Repeating(walk(s.sub), s.count)
+        return s
+
+    return walk(source)
 
 
 def prefix(p: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS) -> IntervalsSource:

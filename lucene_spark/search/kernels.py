@@ -434,7 +434,11 @@ def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost
     docs_of: dict = {}
     tbs: dict = {}
     for t in terms:
-        tb = seg.term_blocks(ast.fielded(q.field, t))
+        # a term containing the field separator is already qualified
+        # (fix_field rewrite); bare terms resolve against q.field
+        tb = seg.term_blocks(
+            t if ast.FIELD_SEP in t else ast.fielded(q.field, t)
+        )
         if tb is None:
             docs_of[t] = np.empty(0, np.int64)
             continue

@@ -861,3 +861,70 @@ def test_enumeration_is_the_minimal_interval_set():
                 )
             }
             assert got == minimal, (trial, kind, pos, got, minimal)
+
+
+def test_fix_field():
+    """fixField: the wrapped source reads another field's positions
+    (``FixedFieldIntervalsSource``; golden from testFixedField: phrase
+    over field2 whose second slot reads field1). Implemented as the
+    field-qualified-key rewrite."""
+    from lucene_spark.search.ast import fielded
+
+    src = iv.phrase(iv.term("alph"), iv.fix_field("field1", iv.term("hot")))
+    # per-doc positions: field2 tokens bare + field1 tokens qualified
+    for i, exp in enumerate([[], [1, 2], [], [], [], [], []]):
+        pos_of = dict(_F2[i])
+        for t, ps in _F1[i].items():
+            pos_of[fielded("field1", t)] = ps
+        got = [
+            x for s, e, _ in iv.enumerate_intervals(src, pos_of)
+            for x in (s, e)
+        ]
+        assert got == exp, (i, got, exp)
+    # multi-term subtrees are an explicit error
+    with pytest.raises(NotImplementedError):
+        iv.fix_field("field1", iv.prefix("ho"))
+
+
+def test_fix_field_through_engine(spark, tmp_path):
+    from lucene_spark.analysis.analyzer import ENGLISH
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search import ast as ast_mod
+    from lucene_spark.search.searcher import Searcher
+    from lucene_spark.search.serve import LocalSearcher
+
+    rows = [
+        ("u0", "alpha beta", "hot stuff"),
+        ("u1", "alpha gamma", "cold stuff"),
+        ("u2", "beta alpha", "hot hot"),
+    ]
+    d = str(tmp_path / "ff_idx")
+    build_index(
+        spark,
+        spark.createDataFrame(rows, ["url", "text", "title"]),
+        d,
+        IndexConfig(
+            num_segments=1, analyzer=ENGLISH,
+            fields=(("", "text"), ("title", "title")),
+        ),
+    )
+    # body-field unordered pair whose second leg reads the TITLE field:
+    # matches docs where 'alpha' (body) and 'hot' (title) both occur
+    q = ast_mod.IntervalQuery(
+        "",
+        iv.unordered(iv.term("alpha"), iv.fix_field("title", iv.term("hot"))),
+    )
+    s = Searcher(spark, d)
+    got = sorted(r["url"] for r in s.match_docs(q).collect())
+    assert got == ["u0", "u2"]
+    ls = LocalSearcher(d)
+    a = [(doc, sc) for doc, sc, _ in ls.search(q, k=10)]
+    b = [
+        (r["doc_id"], r["score"])
+        for r in s.search(q, k=10, pruned=True).collect()
+    ]
+    c = [
+        (r["doc_id"], r["score"])
+        for r in s.search(q, k=10, pruned=False).collect()
+    ]
+    assert a == b == c and a
