@@ -1806,23 +1806,42 @@ def unordered_terms_shape(source: IntervalsSource):
     return None
 
 
-def ordered_terms_shape(source: IntervalsSource):
-    """(terms tuple, max_gaps) when ``source`` is Ordered over k >= 2
-    DISTINCT Term subs (optionally MaxGaps-wrapped) — evaluated with
-    the composed-next sweep: END(a) composes "next occurrence after"
-    through the terms; minimality = the LAST chain start per distinct
-    end (ends are non-decreasing in the start, so equal-end chains
-    nest). None otherwise (repeats collapse into Repeating or keep
-    duplicate Term nodes — both excluded)."""
+def ordered_subs_shape(source: IntervalsSource):
+    """(per-sub specs, max_gaps) when ``source`` is Ordered over k >= 2
+    subs that are each a Term, a disjoint Or-of-Terms, or a Block of
+    Terms (exact phrase) — optionally MaxGaps-wrapped. Each spec is
+    ("term"|"or", terms, 1) or ("block", terms, len(terms)): a fixed
+    WIDTH per sub is what lets the composed-next sweep work — END(a)
+    composes "first sub-interval starting after the previous end"
+    through the subs; minimality = the LAST chain start per distinct
+    end (next functions are monotone, so ends are non-decreasing in
+    the start and equal-end chains nest). All terms pairwise distinct
+    across subs (conservative: the differential-validated domain).
+    None otherwise."""
     mg = None
     if isinstance(source, MaxGaps):
         mg = source.max_gaps
         source = source.sub
-    if isinstance(source, Ordered) and len(source.subs) >= 2:
-        subs_terms = _single_position_subs(source)
-        if subs_terms is not None:
-            return subs_terms, mg
-    return None
+    if not (isinstance(source, Ordered) and len(source.subs) >= 2):
+        return None
+    specs = []
+    seen: set = set()
+    for s in source.subs:
+        ts = _single_position_sub(s)
+        if ts is not None:
+            kind, width = ("term" if isinstance(s, Term) else "or"), 1
+        elif isinstance(s, Block) and all(
+            isinstance(x, Term) for x in s.subs
+        ):
+            ts = tuple(x.term for x in s.subs)
+            kind, width = "block", len(ts)
+        else:
+            return None
+        if len(set(ts)) != len(ts) or (seen & set(ts)):
+            return None
+        seen |= set(ts)
+        specs.append((kind, ts, width))
+    return tuple(specs), mg
 
 
 def block_terms_shape(source: IntervalsSource):

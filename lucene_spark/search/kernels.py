@@ -337,29 +337,28 @@ def _interval_unordered_batch(
     )
 
 
-def _interval_ordered_batch(plists, min_extent, mg, q, dtype, boost):
-    """Across-docs sweep for ORDERED over k distinct terms: chains are
-    END(a) = next_k(...next_2(a)) composed with packed-key searchsorted
-    (one vectorized pass per term); a chain is live while every hop
-    exists and the end stays in the start's doc; minimality keeps the
-    LAST start per distinct end (ends are non-decreasing in the start,
-    so equal-end chains nest — see intervals.ordered_terms_shape).
-    ``plists``: [(doc_rep, pos_flat)] per term, in phrase order."""
-    keys = [
-        (dd.astype(np.int64) << 32) | pp.astype(np.int64)
-        for dd, pp in plists
-    ]
-    cur = keys[0]
+def _interval_ordered_batch(sub_starts, min_extent, mg, q, dtype, boost):
+    """Across-docs sweep for ORDERED over k fixed-width subs (terms,
+    Or-of-Terms, exact phrases): chains compose "first sub-interval
+    STARTING after the previous END" via packed-key searchsorted (one
+    vectorized pass per sub); a chain is live while every hop exists
+    and the end stays in the start's doc; minimality keeps the LAST
+    start per distinct end (next functions are monotone, so ends are
+    non-decreasing in the start and equal-end chains nest — see
+    intervals.ordered_subs_shape). ``sub_starts``: [(packed sorted
+    start keys, width)] per sub, in order."""
+    starts0, w0 = sub_starts[0]
+    cur = starts0
     if cur.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     valid = np.ones(cur.size, dtype=bool)
-    end = cur
-    for nxt in keys[1:]:
+    end = cur + (w0 - 1)  # low-bit position arithmetic, same doc
+    for nxt, w in sub_starts[1:]:
         if nxt.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         idx = np.searchsorted(nxt, end, side="right")
         ok = idx < nxt.size
-        end = np.where(ok, nxt[np.minimum(idx, nxt.size - 1)], -1)
+        end = np.where(ok, nxt[np.minimum(idx, nxt.size - 1)] + (w - 1), -1)
         valid &= ok
     valid &= (cur >> 32) == (end >> 32)
     a_pk = cur[valid]
@@ -386,27 +385,38 @@ def _interval_ordered_batch(plists, min_extent, mg, q, dtype, boost):
     )
 
 
+def _block_chain_starts(keys: list) -> np.ndarray:
+    """Packed start keys of exact-adjacency chains: starts a whose a+i
+    exists in term i's packed keys for every i — one
+    searchsorted-equality pass per term (same-doc by construction:
+    position arithmetic stays in the low bits)."""
+    a = keys[0]
+    if a.size == 0:
+        return np.empty(0, np.int64)
+    valid = np.ones(a.size, dtype=bool)
+    for i, nxt in enumerate(keys[1:], start=1):
+        if nxt.size == 0:
+            return np.empty(0, np.int64)
+        want = a + i
+        idx = np.searchsorted(nxt, want)
+        ok = idx < nxt.size
+        idx_c = np.minimum(idx, nxt.size - 1)
+        valid &= ok & (nxt[idx_c] == want)
+    return a[valid]
+
+
 def _interval_block_batch(plists, min_extent, mg, q, dtype, boost):
     """Across-docs evaluation for BLOCK (exact adjacency) over k
-    distinct terms: keep starts a whose a+i exists in term i's packed
-    keys for every i — one searchsorted-equality pass per term. Every
-    occurrence is an interval of width k (gaps 0; a MaxGaps wrap only
-    gates on max_gaps >= 0), so freq = occurrence count."""
+    distinct terms. Every occurrence is an interval of width k (gaps 0;
+    a MaxGaps wrap only gates on max_gaps >= 0), so freq = occurrence
+    count."""
     keys = [
         (dd.astype(np.int64) << 32) | pp.astype(np.int64)
         for dd, pp in plists
     ]
-    a = keys[0]
-    if a.size == 0 or (mg is not None and mg < 0):
+    if mg is not None and mg < 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    valid = np.ones(a.size, dtype=bool)
-    for i, nxt in enumerate(keys[1:], start=1):
-        want = a + i  # same doc: position arithmetic stays in low bits
-        idx = np.searchsorted(nxt, want)
-        ok = idx < nxt.size
-        idx_c = np.minimum(idx, max(nxt.size - 1, 0))
-        valid &= ok & (nxt[idx_c] == want)
-    a = a[valid]
+    a = _block_chain_starts(keys)
     if a.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     doc = a >> 32
@@ -488,12 +498,33 @@ def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost
             return _interval_block_batch(
                 plists, len(subs_terms), mg, q, dtype, boost
             )
-        oshape = iv.ordered_terms_shape(src)
+        oshape = iv.ordered_subs_shape(src)
         if oshape is not None:
-            subs_terms, mg = oshape
-            plists = [_sub_plist(ts) for ts in subs_terms]
+            specs, mg = oshape
+            sub_starts = []
+            for kind, ts, w in specs:
+                if kind == "block":
+                    term_keys = []
+                    for t in ts:
+                        dd, pp = _flat_positions_for_docs(
+                            tbs[t],
+                            np.intersect1d(
+                                cand, docs_of[t], assume_unique=True
+                            ),
+                        ) if t in tbs else (
+                            np.empty(0, np.int64), np.empty(0, np.int64)
+                        )
+                        term_keys.append(
+                            (dd.astype(np.int64) << 32) | pp.astype(np.int64)
+                        )
+                    sub_starts.append((_block_chain_starts(term_keys), w))
+                else:
+                    dd, pp = _sub_plist(ts)
+                    sub_starts.append(
+                        ((dd.astype(np.int64) << 32) | pp.astype(np.int64), w)
+                    )
             return _interval_ordered_batch(
-                plists, len(subs_terms), mg, q, dtype, boost
+                sub_starts, sum(w for _, _, w in specs), mg, q, dtype, boost
             )
     # positions only for (term, candidate∩term) — block-grouped decode
     per_doc: dict = {int(d): {} for d in cand}

@@ -373,6 +373,15 @@ def test_two_term_batch_equals_generic_path(iq_idx, monkeypatch):
         ast.IntervalQuery("", iv.phrase("w0007", "w0042")),
         ast.IntervalQuery(
             "",
+            iv.maxgaps(30, iv.ordered(iv.phrase("w0007", "w0042"),
+                                      iv.term("w0100"))),
+        ),
+        ast.IntervalQuery(
+            "",
+            iv.ordered(iv.term("w0012"), iv.phrase("w0007", "w0042")),
+        ),
+        ast.IntervalQuery(
+            "",
             iv.maxgaps(8, iv.unordered(iv.or_(iv.term("w0007"), iv.term("w0012")),
                                        iv.term("w0042"))),
         ),

@@ -928,3 +928,96 @@ def test_fix_field_through_engine(spark, tmp_path):
         for r in s.search(q, k=10, pruned=False).collect()
     ]
     assert a == b == c and a
+
+
+def test_ordered_with_phrase_subs_sweep_equivalence():
+    """Phrase (block) subs inside ordered: the fixed-width chain sweep
+    must match the iterator enumeration — random differential mixing
+    Term and 2-3-term Block subs."""
+    import bisect
+    import random
+
+    rng = random.Random(83)
+    for trial in range(250):
+        k = rng.randint(2, 3)
+        universe = list(range(40))
+        rng.shuffle(universe)
+        subs = []
+        lo = 0
+        ci = 0
+        for _ in range(k):
+            if rng.random() < 0.5:
+                # phrase sub: plant adjacencies
+                blk = rng.randint(2, 3)
+                names = []
+                base_positions = sorted(
+                    rng.sample(range(0, 40 - blk, 1), rng.randint(1, 3))
+                )
+                pos_lists = [[] for _ in range(blk)]
+                for b in base_positions:
+                    for j in range(blk):
+                        pos_lists[j].append(b + j)
+                for j in range(blk):
+                    names.append((f"t{ci}", sorted(set(pos_lists[j]))))
+                    ci += 1
+                subs.append(("block", names))
+            else:
+                n = rng.randint(1, 6)
+                subs.append((
+                    "term", [(f"t{ci}", sorted(rng.sample(range(40), n)))]
+                ))
+                ci += 1
+        # positions may overlap across subs/terms — the engine shape
+        # requires one token per position, so rebuild without collisions
+        used: set = set()
+        ok = True
+        for _, names in subs:
+            for _, ps in names:
+                for p in ps:
+                    if p in used:
+                        ok = False
+                    used.add(p)
+        if not ok:
+            continue
+        pos_of = {nm: ps for _, names in subs for nm, ps in names}
+
+        def mk(sub):
+            kind, names = sub
+            if kind == "block":
+                return iv.phrase(*[iv.term(nm) for nm, _ in names])
+            return iv.term(names[0][0])
+
+        src = iv.ordered(*[mk(s) for s in subs])
+        ref = [(s, e) for s, e, _ in iv.enumerate_intervals(src, pos_of)]
+
+        # sweep rule over per-sub (start, width) occurrence lists
+        def occurrences(sub):
+            kind, names = sub
+            if kind == "term":
+                return [(p, 1) for p in names[0][1]]
+            blk = len(names)
+            return [
+                (a, blk)
+                for a in names[0][1]
+                if all(a + j in set(names[j][1]) for j in range(1, blk))
+            ]
+
+        occs = [occurrences(s) for s in subs]
+        chains = []
+        for a, w0 in occs[0]:
+            end = a + w0 - 1
+            alive = True
+            for lst in occs[1:]:
+                starts = [st for st, _ in lst]
+                j = bisect.bisect_right(starts, end)
+                if j >= len(lst):
+                    alive = False
+                    break
+                end = lst[j][0] + lst[j][1] - 1
+            if alive:
+                chains.append((a, end))
+        got = [
+            c for i, c in enumerate(chains)
+            if i + 1 == len(chains) or chains[i + 1][1] != c[1]
+        ]
+        assert got == ref, (trial, pos_of, got, ref)
