@@ -101,3 +101,54 @@ def test_delete_idempotent_and_by_id(spark, idx):
     c1 = delete_docs(spark, d, doc_ids=[doc])
     c2 = delete_docs(spark, d, doc_ids=[doc])
     assert c1["deleted_docs"] == c2["deleted_docs"] == 1
+
+
+def test_delete_by_predicate_matches_delete_by_keys(spark, tmp_path):
+    """The distributed delete-by-query path (predicate over the docmap,
+    task-side tombstone unions, no id materialization on the driver)
+    produces commits and search results identical to key deletes."""
+    from lucene_spark.analysis.analyzer import ENGLISH
+    from lucene_spark.fixtures import make_pages
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.deletes import delete_docs
+    from lucene_spark.search.searcher import Searcher
+
+    corpus = make_pages(120)
+
+    def build(sub):
+        d = str(tmp_path / sub)
+        build_index(
+            spark,
+            spark.createDataFrame(
+                [(r["url"], r["text"]) for r in corpus], ["url", "text"]
+            ),
+            d,
+            IndexConfig(num_segments=3, analyzer=ENGLISH),
+        )
+        return d
+    d_pred = build("pred")
+    d_keys = build("keys")
+    victims = sorted(
+        r["url"]
+        for r in spark.read.parquet(d_pred + "/docmap")
+        .where("url like '%7'")
+        .collect()
+    )
+    assert victims
+    c1 = delete_docs(spark, d_pred, predicate="url LIKE '%7'")
+    c2 = delete_docs(spark, d_keys, keys=victims)
+    assert c1["deleted_docs"] == c2["deleted_docs"] > 0
+    assert (
+        {s["segment_id"]: s["del_count"] for s in c1["segments"]}
+        == {s["segment_id"]: s["del_count"] for s in c2["segments"]}
+    )
+    for q in ("w0042", "w0007 OR w0100", '"w0007 w0042"'):
+        a = [(r["url"], r["score"]) for r in Searcher(spark, d_pred).search(q, k=20).collect()]
+        b = [(r["url"], r["score"]) for r in Searcher(spark, d_keys).search(q, k=20).collect()]
+        assert a == b
+        assert not any(u in set(victims) for u, _ in a)
+    # idempotent re-delete; no-match predicate is a no-op commit
+    c3 = delete_docs(spark, d_pred, predicate="url LIKE '%7'")
+    assert c3["deleted_docs"] == c1["deleted_docs"]
+    c4 = delete_docs(spark, d_pred, predicate="url = 'zzz-no-such'")
+    assert c4["generation"] == c3["generation"]
