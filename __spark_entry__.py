@@ -334,13 +334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             build_index(spark, pages, index_dir, cfg)
             commit = read_latest_commit(index_dir)
             if not commit.get("deleted_docs") and commit["num_segments"] > 1:
-                dead = [
-                    r["url"]
-                    for r in pages.where(F.col("url").cast("long") % 5 == 0)
-                    .select("url")
-                    .collect()
-                ]
-                delete_docs(spark, index_dir, keys=dead)
+                # distributed delete-by-query: no driver key list
+                delete_docs(
+                    spark, index_dir,
+                    predicate="cast(url as bigint) % 5 = 0",
+                )
                 force_merge(spark, index_dir, squeeze=True)
             s = Searcher(spark, index_dir)
             _searchers[key] = s
