@@ -1784,26 +1784,43 @@ def _single_position_subs(source) -> "tuple | None":
     return tuple(subs_terms)
 
 
-def unordered_terms_shape(source: IntervalsSource):
-    """(per-sub term tuples, max_gaps) when ``source`` is Unordered
-    over k >= 2 single-position subs (Terms or Or-of-Terms with
-    pairwise-disjoint term sets), optionally MaxGaps-wrapped — the
-    shapes the engine evaluates with the across-docs sweep: for
-    single-position subs the queue enumeration emits exactly the FIRST
-    window (smallest end) per distinct left extreme, where the left
-    extreme at stream index i is min over subs of the latest
-    occurrence <= i (verified against the golden tables incl. the
-    3-term nesting case, whose third sub IS an Or-of-Terms). None
-    otherwise."""
+def unordered_subs_shape(source: IntervalsSource):
+    """(per-sub specs, max_gaps) when ``source`` is Unordered over
+    k >= 2 fixed-width subs (Terms, disjoint Or-of-Terms, or Blocks of
+    Terms), optionally MaxGaps-wrapped — the shapes the engine
+    evaluates with the across-docs sweep: processing sub occurrences
+    in ascending start order, the queue enumeration emits exactly the
+    FIRST window per distinct left extreme, where the left extreme is
+    the min over subs of the latest occurrence's start and the right
+    extreme the max of their ends (verified against the golden tables
+    — incl. the 3-term nesting case whose third sub IS an Or-of-Terms
+    — and a 400-trial random differential mixing term and phrase
+    subs). Specs are ("term"|"or"|"block", terms, width); all terms
+    pairwise distinct across subs. None otherwise."""
     mg = None
     if isinstance(source, MaxGaps):
         mg = source.max_gaps
         source = source.sub
-    if isinstance(source, Unordered) and len(source.subs) >= 2:
-        subs_terms = _single_position_subs(source)
-        if subs_terms is not None:
-            return subs_terms, mg
-    return None
+    if not (isinstance(source, Unordered) and len(source.subs) >= 2):
+        return None
+    specs = []
+    seen: set = set()
+    for s in source.subs:
+        ts = _single_position_sub(s)
+        if ts is not None:
+            kind, width = ("term" if isinstance(s, Term) else "or"), 1
+        elif isinstance(s, Block) and all(
+            isinstance(x, Term) for x in s.subs
+        ):
+            ts = tuple(x.term for x in s.subs)
+            kind, width = "block", len(ts)
+        else:
+            return None
+        if len(set(ts)) != len(ts) or (seen & set(ts)):
+            return None
+        seen |= set(ts)
+        specs.append((kind, ts, width))
+    return tuple(specs), mg
 
 
 def ordered_subs_shape(source: IntervalsSource):

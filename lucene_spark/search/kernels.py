@@ -287,41 +287,53 @@ def _interval_score_batch(gdocs, starts, counts, terms64, q, dtype, boost):
 
 
 def _interval_unordered_batch(
-    plists, min_extent, mg, q, dtype, boost
+    sub_starts, min_extent, mg, q, dtype, boost
 ):
-    """Across-docs sweep for UNORDERED over k distinct terms: packed
-    ``doc << 32 | pos`` events sorted once; per-term latest-occurrence
-    via running maxima; left extreme = min over terms (its doc bits
-    also encode coverage — a term unseen in the current doc leaves the
-    minimum in an earlier doc); the enumeration keeps the FIRST window
-    per distinct left extreme (see intervals.unordered_terms_shape).
-    ``plists``: [(doc_rep, pos_flat)] per term."""
-    events = []
+    """Across-docs sweep for UNORDERED over k fixed-width subs (terms,
+    Or-of-Terms, exact phrases): per-sub occurrence (start, end) events
+    sorted once by packed start; per-sub latest occurrence via running
+    maxima; left extreme = min over subs of the latest STARTS (its doc
+    bits also encode coverage — a sub unseen in the current doc leaves
+    the minimum in an earlier doc), right extreme = max over subs of
+    the latest ENDS; the enumeration keeps the FIRST window per
+    distinct left extreme (see intervals.unordered_subs_shape).
+    ``sub_starts``: [(packed sorted start keys, width)] per sub."""
+    starts = []
+    ends = []
     codes = []
-    for ci, (dd, pp) in enumerate(plists):
-        events.append((dd.astype(np.int64) << 32) | pp.astype(np.int64))
-        codes.append(np.full(dd.size, ci, np.int8))
-    key = np.concatenate(events)
+    for ci, (sk, w) in enumerate(sub_starts):
+        starts.append(sk)
+        ends.append(sk + (w - 1))  # low-bit position arithmetic
+        codes.append(np.full(sk.size, ci, np.int8))
+    key = np.concatenate(starts)
+    ekey = np.concatenate(ends)
     code = np.concatenate(codes)
-    order = np.argsort(key, kind="stable")  # unique keys: no ties
+    order = np.argsort(key, kind="stable")  # unique start keys: no ties
     key = key[order]
+    ekey = ekey[order]
     code = code[order]
     n = key.size
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    k_terms = len(plists)
-    # per-term running latest occurrence (packed; -1 = never seen)
+    k_subs = len(sub_starts)
+    # per-sub running latest occurrence (packed; -1 = never seen)
     lpk = np.full(n, np.iinfo(np.int64).max, np.int64)
-    for ci in range(k_terms):
-        last_c = np.maximum.accumulate(np.where(code == ci, key, -1))
-        np.minimum(lpk, last_c, out=lpk)
+    epk = np.full(n, -1, np.int64)
+    for ci in range(k_subs):
+        mask = code == ci
+        np.minimum(
+            lpk, np.maximum.accumulate(np.where(mask, key, -1)), out=lpk
+        )
+        np.maximum(
+            epk, np.maximum.accumulate(np.where(mask, ekey, -1)), out=epk
+        )
     covered = (lpk >> 32) == (key >> 32)  # min's doc == current doc
     # first window per distinct left extreme
     first = np.ones(n, dtype=bool)
     first[1:] = lpk[1:] != lpk[:-1]
     keep = covered & first
     start = (lpk & 0xFFFFFFFF)[keep]
-    end = (key & 0xFFFFFFFF)[keep]
+    end = (epk & 0xFFFFFFFF)[keep]
     doc = (key >> 32)[keep]
     width = end - start + 1
     if mg is not None:
@@ -483,13 +495,41 @@ def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost
         o = np.argsort(key, kind="stable")
         return dd[o], pp[o]
 
+    def _sub_start_keys(specs):
+        """[(packed sorted start keys, width)] per fixed-width sub —
+        shared by the ordered and unordered sweeps (block subs run the
+        adjacency-chain filter per term first)."""
+        out = []
+        for kind, ts, w in specs:
+            if kind == "block":
+                term_keys = []
+                for t in ts:
+                    dd, pp = _flat_positions_for_docs(
+                        tbs[t],
+                        np.intersect1d(
+                            cand, docs_of[t], assume_unique=True
+                        ),
+                    ) if t in tbs else (
+                        np.empty(0, np.int64), np.empty(0, np.int64)
+                    )
+                    term_keys.append(
+                        (dd.astype(np.int64) << 32) | pp.astype(np.int64)
+                    )
+                out.append((_block_chain_starts(term_keys), w))
+            else:
+                dd, pp = _sub_plist(ts)
+                out.append(
+                    ((dd.astype(np.int64) << 32) | pp.astype(np.int64), w)
+                )
+        return out
+
     if not _INTERVAL_FAST_OFF:
-        ushape = iv.unordered_terms_shape(src)
+        ushape = iv.unordered_subs_shape(src)
         if ushape is not None:
-            subs_terms, mg = ushape
-            plists = [_sub_plist(ts) for ts in subs_terms]
+            specs, mg = ushape
             return _interval_unordered_batch(
-                plists, len(subs_terms), mg, q, dtype, boost
+                _sub_start_keys(specs), sum(w for _, _, w in specs),
+                mg, q, dtype, boost,
             )
         bshape = iv.block_terms_shape(src)
         if bshape is not None:
@@ -501,30 +541,9 @@ def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost
         oshape = iv.ordered_subs_shape(src)
         if oshape is not None:
             specs, mg = oshape
-            sub_starts = []
-            for kind, ts, w in specs:
-                if kind == "block":
-                    term_keys = []
-                    for t in ts:
-                        dd, pp = _flat_positions_for_docs(
-                            tbs[t],
-                            np.intersect1d(
-                                cand, docs_of[t], assume_unique=True
-                            ),
-                        ) if t in tbs else (
-                            np.empty(0, np.int64), np.empty(0, np.int64)
-                        )
-                        term_keys.append(
-                            (dd.astype(np.int64) << 32) | pp.astype(np.int64)
-                        )
-                    sub_starts.append((_block_chain_starts(term_keys), w))
-                else:
-                    dd, pp = _sub_plist(ts)
-                    sub_starts.append(
-                        ((dd.astype(np.int64) << 32) | pp.astype(np.int64), w)
-                    )
             return _interval_ordered_batch(
-                sub_starts, sum(w for _, _, w in specs), mg, q, dtype, boost
+                _sub_start_keys(specs), sum(w for _, _, w in specs),
+                mg, q, dtype, boost,
             )
     # positions only for (term, candidate∩term) — block-grouped decode
     per_doc: dict = {int(d): {} for d in cand}

@@ -382,6 +382,11 @@ def test_two_term_batch_equals_generic_path(iq_idx, monkeypatch):
         ),
         ast.IntervalQuery(
             "",
+            iv.maxgaps(25, iv.unordered(iv.phrase("w0007", "w0042"),
+                                        iv.term("w0100"))),
+        ),
+        ast.IntervalQuery(
+            "",
             iv.maxgaps(8, iv.unordered(iv.or_(iv.term("w0007"), iv.term("w0012")),
                                        iv.term("w0042"))),
         ),

@@ -1021,3 +1021,82 @@ def test_ordered_with_phrase_subs_sweep_equivalence():
             if i + 1 == len(chains) or chains[i + 1][1] != c[1]
         ]
         assert got == ref, (trial, pos_of, got, ref)
+
+
+def test_unordered_with_phrase_subs_sweep_equivalence():
+    """Phrase (block) subs inside UNORDERED: left extreme = min latest
+    start, right extreme = max latest end, first window per distinct
+    left extreme — random differential mixing term and phrase subs."""
+    import random
+
+    rng = random.Random(97)
+    for trial in range(250):
+        k = rng.randint(2, 3)
+        subs = []
+        used: set = set()
+        ci = 0
+        ok_build = True
+        for _ in range(k):
+            if rng.random() < 0.5:
+                blk = rng.randint(2, 3)
+                bases = sorted(rng.sample(range(0, 37), rng.randint(1, 3)))
+                names = [
+                    (f"t{ci + j}", sorted({b + j for b in bases}))
+                    for j in range(blk)
+                ]
+                ci += blk
+                subs.append(("block", names))
+            else:
+                subs.append((
+                    "term",
+                    [(f"t{ci}", sorted(rng.sample(range(40), rng.randint(1, 6))))],
+                ))
+                ci += 1
+        for _, names in subs:
+            for _, ps in names:
+                for p in ps:
+                    if p in used:
+                        ok_build = False
+                    used.add(p)
+        if not ok_build:
+            continue
+        pos_of = {nm: ps for _, names in subs for nm, ps in names}
+
+        def mk(sub):
+            kind, names = sub
+            if kind == "block":
+                return iv.phrase(*[iv.term(nm) for nm, _ in names])
+            return iv.term(names[0][0])
+
+        src = iv.unordered(*[mk(s) for s in subs])
+        ref = [(s, e) for s, e, _ in iv.enumerate_intervals(src, pos_of)]
+
+        def occ(sub):
+            kind, names = sub
+            if kind == "term":
+                return [(p, p) for p in names[0][1]]
+            blk = len(names)
+            sets = [set(ps) for _, ps in names]
+            return [
+                (a, a + blk - 1)
+                for a in names[0][1]
+                if all(a + j in sets[j] for j in range(1, blk))
+            ]
+
+        occs = [occ(s) for s in subs]
+        events = sorted(
+            (st, en, i) for i, lst in enumerate(occs) for st, en in lst
+        )
+        last = [None] * k
+        got = []
+        prev_l = None
+        for st, en, i in events:
+            last[i] = (st, en)
+            if any(v is None for v in last):
+                continue
+            left = min(v[0] for v in last)
+            right = max(v[1] for v in last)
+            if left != prev_l:
+                got.append((left, right))
+                prev_l = left
+        assert got == ref, (trial, pos_of, got, ref)
