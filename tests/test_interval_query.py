@@ -442,3 +442,61 @@ def test_interval_results_stable_across_merges(spark, tmp_path):
         for r in Searcher(spark, d).score_docs_df(q, dtype="f32").collect()
     }
     assert after_squeeze == after_concat
+
+
+def test_random_nested_trees_plane_identity(iq_idx):
+    """Randomized DEEP interval trees (nested combinators that fall off
+    the sweep fast paths) stay identical across pruned/exhaustive/
+    serving — coverage for the generic per-doc iterator plane."""
+    import random
+
+    spark, d, _ = iq_idx
+    s = Searcher(spark, d)
+    ls = LocalSearcher(d)
+    rng = random.Random(101)
+    vocab = ["w0007", "w0012", "w0042", "w0100", "w0200", "w0001"]
+
+    def rand_source(depth):
+        if depth == 0 or rng.random() < 0.35:
+            return iv.term(rng.choice(vocab))
+        kind = rng.choice(
+            ["ordered", "unordered", "or", "maxgaps", "containing",
+             "not_containing", "within", "at_least"]
+        )
+        if kind == "ordered":
+            return iv.ordered(rand_source(depth - 1), rand_source(depth - 1))
+        if kind == "unordered":
+            return iv.unordered(rand_source(depth - 1), rand_source(depth - 1))
+        if kind == "or":
+            return iv.or_(rand_source(depth - 1), rand_source(depth - 1))
+        if kind == "maxgaps":
+            return iv.maxgaps(rng.randint(0, 12), rand_source(depth - 1))
+        if kind == "containing":
+            return iv.containing(
+                iv.unordered(rand_source(depth - 1), rand_source(depth - 1)),
+                rand_source(depth - 1),
+            )
+        if kind == "not_containing":
+            return iv.not_containing(
+                iv.unordered(rand_source(depth - 1), rand_source(depth - 1)),
+                rand_source(depth - 1),
+            )
+        if kind == "within":
+            return iv.within(
+                rand_source(depth - 1), rng.randint(1, 8),
+                rand_source(depth - 1),
+            )
+        return iv.at_least(
+            2, rand_source(depth - 1), rand_source(depth - 1),
+            rand_source(depth - 1),
+        )
+
+    matched = 0
+    for trial in range(12):
+        q = ast.IntervalQuery("", rand_source(2), pivot=1.0)
+        a = [(r["doc_id"], r["score"]) for r in s.search(q, k=15, pruned=True).collect()]
+        b = [(r["doc_id"], r["score"]) for r in s.search(q, k=15, pruned=False).collect()]
+        c = [(doc, sc) for doc, sc, _ in ls.search(q, k=15)]
+        assert a == b == c, (trial, q)
+        matched += bool(a)
+    assert matched >= 4  # the tree zoo is not degenerate
