@@ -440,15 +440,12 @@ def _interval_block_batch(plists, min_extent, mg, q, dtype, boost):
     )
 
 
-def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost=1.0):
-    """IntervalQuery evaluation over one segment (IntervalWeight /
-    IntervalScorer): doc candidates from the source's vectorized
-    approximation over per-term doc sets, then the per-doc minimal
-    interval enumeration and the saturation/sigmoid score
-    (``IntervalScorer.java`` + ``IntervalScoreFunction.java``; see
-    ``lucene_spark/search/intervals.py``). Docs whose enumeration is
-    empty (filtered sources) are non-matches, like the reference's
-    two-phase ``matches()``."""
+def _interval_prepare(seg: SegmentView, q: "ast.IntervalQuery"):
+    """(src, tbs, docs_of, cand) — the DOC-LEVEL half of IntervalQuery
+    evaluation: source expansion, per-term doc decode, and the
+    vectorized approximation.  No ``pos_bin`` is read here; position
+    decode happens in ``_interval_eval`` and only for the candidates it
+    is given (the impact-pruned leaf hands it per-window survivors)."""
     from lucene_spark.search import intervals as iv
 
     src = expand_interval_source(seg.terms.keys(), q.source, q.field)
@@ -469,6 +466,31 @@ def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost
         docs_of[t] = d
         tbs[t] = tb
     cand = np.asarray(iv.approx_docs(src, docs_of), dtype=np.int64)
+    return src, tbs, docs_of, cand
+
+
+def _interval_docs_scores(seg: SegmentView, q: "ast.IntervalQuery", dtype, boost=1.0):
+    """IntervalQuery evaluation over one segment (IntervalWeight /
+    IntervalScorer): doc candidates from the source's vectorized
+    approximation over per-term doc sets, then the per-doc minimal
+    interval enumeration and the saturation/sigmoid score
+    (``IntervalScorer.java`` + ``IntervalScoreFunction.java``; see
+    ``lucene_spark/search/intervals.py``). Docs whose enumeration is
+    empty (filtered sources) are non-matches, like the reference's
+    two-phase ``matches()``."""
+    src, tbs, docs_of, cand = _interval_prepare(seg, q)
+    if cand.size == 0:
+        return cand, np.empty(0, np.float64)
+    return _interval_eval(src, tbs, docs_of, cand, q, dtype, boost)
+
+
+def _interval_eval(src, tbs, docs_of, cand, q, dtype, boost):
+    """(docs, scores) of the candidate subset ``cand`` — per-doc
+    results are independent of the subset (each doc's enumeration sees
+    only its own positions), so windowed evaluation over partitions of
+    the candidate set is bit-identical to one whole-set pass."""
+    from lucene_spark.search import intervals as iv
+
     if cand.size == 0:
         return cand, np.empty(0, np.float64)
     # single-position-sub shapes (Terms or disjoint Or-of-Terms under
@@ -1104,14 +1126,22 @@ def _phrase_topk(seg, q: ast.PhraseQuery, scorers, k, threshold, dtype, seed=-np
             continue
         d, _ = lead.decode(b)
         cand = d[seg.live_mask(d)]
+        # per-candidate refinement of the range bound: min across
+        # members of the CONTAINING block's max phrase-scored impact
+        # (ImpactsDISI.java:28-123 at block granularity) — candidates
+        # that cannot beat theta never trigger a follower doc decode
+        # or a position read
+        theta = heap.theta
+        if cand.size and theta > -np.inf:
+            slots = [[(tb, bm)] for tb, bm in zip(tbs, bms)]
+            cand = cand[_cand_block_bounds(slots, cand, "min") > theta]
         for tb in tbs:
             if tb is lead:
                 continue
-            b0, b1 = tb.overlapping(lo, hi)
-            other = np.concatenate([tb.decode(i)[0] for i in range(b0, b1)])
-            cand = cand[np.isin(cand, other, assume_unique=True)]
             if cand.size == 0:
                 break
+            p, _ = _probe_blocks(tb, cand)
+            cand = cand[p]
         if cand.size == 0:
             continue
         docs, freqs = _verify_phrase(seg, q, tbs, cand)
@@ -1182,7 +1212,7 @@ class _TermLeaf:
     def windows(self, nwin: int) -> np.ndarray:
         return _block_windows(self.tb, nwin)
 
-    def window_postings(self, seg, lo, hi):
+    def window_postings(self, seg, lo, hi, theta=-np.inf):
         b0, b1 = self.tb.overlapping(lo, hi)
         ds, ss = [], []
         for b in range(b0, b1):
@@ -1198,7 +1228,7 @@ class _TermLeaf:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(ds), np.concatenate(ss)
 
-    def window_docs(self, seg, lo, hi) -> np.ndarray:
+    def window_docs(self, seg, lo, hi, theta=-np.inf) -> np.ndarray:
         d, _ = self.window_postings(seg, lo, hi)
         return d
 
@@ -1214,12 +1244,17 @@ class _TermLeaf:
         return pres, sc
 
 
-def _lead_window_docs(tbs, lo, hi):
+def _lead_window_docs(tbs, lo, hi, keep=None):
     """Docs in [lo, hi] present in EVERY member term: decode only the
     RAREST member's overlapping blocks; every other member is PROBED
     at the surviving candidates (``ConjunctionDISI.java`` follower
     advance — the probe decodes only blocks containing a candidate,
-    never a member's full overlapping range)."""
+    never a member's full overlapping range).
+
+    ``keep``: optional candidate filter applied to the LEAD docs before
+    any follower probe — the impact-pruning hook (block-bound vs theta)
+    that keeps non-competitive candidates from triggering follower doc
+    decodes and, downstream, position decodes."""
     lead = min(tbs, key=lambda tb: tb.doc_freq)
     b0, b1 = lead.overlapping(lo, hi)
     if b0 >= b1:
@@ -1228,6 +1263,8 @@ def _lead_window_docs(tbs, lo, hi):
     i0 = int(np.searchsorted(d, lo))
     i1 = int(np.searchsorted(d, hi, side="right"))
     cand = d[i0:i1]
+    if keep is not None and cand.size:
+        cand = keep(cand)
     for tb in tbs:
         if tb is lead:
             continue
@@ -1272,12 +1309,23 @@ class _PhraseLeaf:
         lead = min(self.tbs, key=lambda tb: tb.doc_freq)
         return _block_windows(lead, nwin)
 
-    def window_postings(self, seg, lo, hi):
+    def _keep(self, theta):
+        """Candidate filter for impact-pruned decode: when a theta is
+        active, drop lead candidates whose containing-block phrase
+        bound cannot beat it — their ``pos_bin`` is never read
+        (ImpactsDISI-behind-PhraseScorer at block granularity)."""
+        if theta == -np.inf:
+            return None
+        slots = [[(tb, bm)] for tb, bm in zip(self.tbs, self.bms)]
+        mode = "min" if self.q.slop == 0 else "sum"
+        return lambda c: c[_cand_block_bounds(slots, c, mode) > theta]
+
+    def window_postings(self, seg, lo, hi, theta=-np.inf):
         # leapfrog: decode only the RAREST member's blocks in the
         # window; every other member is PROBED at the surviving
         # candidates (ConjunctionDISI.java follower advance — probe
         # decodes only blocks that contain a candidate)
-        cand = _lead_window_docs(self.tbs, lo, hi)
+        cand = _lead_window_docs(self.tbs, lo, hi, keep=self._keep(theta))
         if cand.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         docs, freqs = _verify_phrase(seg, self.q, self.tbs, cand)
@@ -1285,8 +1333,8 @@ class _PhraseLeaf:
             return docs, np.empty(0, np.float64)
         return docs, self.psc.score(freqs, self.tbs[0].norms[docs]).astype(np.float64)
 
-    def window_docs(self, seg, lo, hi) -> np.ndarray:
-        d, _ = self.window_postings(seg, lo, hi)
+    def window_docs(self, seg, lo, hi, theta=-np.inf) -> np.ndarray:
+        d, _ = self.window_postings(seg, lo, hi, theta)
         return d
 
     def probe(self, seg, docs):
@@ -1319,6 +1367,45 @@ def _pad_bound(b: float) -> float:
     rounding drift while costing no measurable pruning power.  Bounds
     stay true upper bounds -> pruning stays rank-safe."""
     return b + abs(b) * 1e-5
+
+
+def _cand_block_bounds(slots, cand, combine):
+    """Per-candidate score upper bound from the CONTAINING BLOCK's
+    impact-derived maxima — the block granularity of
+    ``ImpactsDISI.java:28-123`` driving ``PhraseScorer.java:45-68``,
+    vectorized across candidates instead of iterated per doc.
+
+    ``slots``: [[(tb, bm), ...], ...] — one member list per phrase
+    slot (a plain phrase is one single-member slot per term).  A slot's
+    contribution at a candidate is the SUM of its members'
+    containing-block maxima (slot union tf <= sum of member tfs;
+    members whose doc range does not cover the candidate contribute 0).
+    ``combine``: "min" for exact phrases (phraseFreq <= every slot
+    count), "sum" for sloppy (sloppyFreq <= total tf, concavity).  A
+    candidate missing from ANY slot's doc ranges cannot match at all ->
+    bound 0.  Bounds are padded one relative epsilon (_pad_bound) so
+    float32 rounding keeps them true upper bounds."""
+    out = None
+    alive = np.ones(cand.size, dtype=bool)
+    for members in slots:
+        ssum = np.zeros(cand.size, dtype=np.float64)
+        for tb, bm in members:
+            if tb.nblocks == 0:
+                continue
+            bidx = np.searchsorted(tb.last_doc, cand, side="left")
+            inb = bidx < tb.nblocks
+            safe = np.minimum(bidx, tb.nblocks - 1)
+            inb &= tb.first_doc[safe] <= cand
+            ssum += np.where(inb, bm[safe], 0.0)
+        alive &= ssum > 0.0
+        if out is None:
+            out = ssum
+        elif combine == "min":
+            out = np.minimum(out, ssum)
+        else:
+            out = out + ssum
+    out = np.where(alive, out, 0.0)
+    return out + np.abs(out) * 1e-5
 
 
 class _SloppyLeaf:
@@ -1368,10 +1455,20 @@ class _SloppyLeaf:
         lead = min(self.tbs, key=lambda tb: tb.doc_freq)
         return _block_windows(lead, nwin)
 
-    def window_postings(self, seg, lo, hi):
+    def _keep(self, theta):
+        """Impact-pruning candidate filter (see _PhraseLeaf._keep);
+        sloppy bound = per-candidate SUM of member containing-block
+        maxima (the same concavity argument as window_bound, one block
+        instead of the whole window)."""
+        if theta == -np.inf:
+            return None
+        slots = [[(tb, bm)] for tb, bm in zip(self.tbs, self.bms)]
+        return lambda c: c[_cand_block_bounds(slots, c, "sum") > theta]
+
+    def window_postings(self, seg, lo, hi, theta=-np.inf):
         # same leapfrog as _PhraseLeaf: decode the rarest member only,
         # probe the rest at candidates
-        cand = _lead_window_docs(self.tbs, lo, hi)
+        cand = _lead_window_docs(self.tbs, lo, hi, keep=self._keep(theta))
         if cand.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         docs, freqs = _verify_sloppy(seg, self.q, self.tbs, cand)
@@ -1379,8 +1476,8 @@ class _SloppyLeaf:
             return docs, np.empty(0, np.float64)
         return docs, self.psc.score(freqs, self.tbs[0].norms[docs]).astype(np.float64)
 
-    def window_docs(self, seg, lo, hi) -> np.ndarray:
-        d, _ = self.window_postings(seg, lo, hi)
+    def window_docs(self, seg, lo, hi, theta=-np.inf) -> np.ndarray:
+        d, _ = self.window_postings(seg, lo, hi, theta)
         return d
 
     def probe(self, seg, docs):
@@ -1469,12 +1566,15 @@ class _MultiPhraseLeaf:
         parts = [_block_windows(tb, nwin) for tb in lead]
         return np.unique(np.concatenate(parts))
 
-    def _window_cand(self, lo, hi):
+    def _window_cand(self, lo, hi, theta=-np.inf):
         """Candidate docs in [lo, hi]: intersection over slots of the
         union of member docs — leapfrog-shaped: only the LEAD slot
         (smallest summed doc_freq) decodes its overlapping blocks;
         every other slot is PROBED (union of member probes) at the
-        surviving candidates."""
+        surviving candidates.  With an active theta, lead candidates
+        whose per-slot containing-block bound cannot beat it are
+        dropped BEFORE any follower probe or position decode
+        (_cand_block_bounds)."""
         lead = min(self.slot_tbs, key=lambda tbs: sum(tb.doc_freq for tb in tbs))
         spans = self._slot_overlap(lead, lo, hi)
         if not spans:
@@ -1489,6 +1589,13 @@ class _MultiPhraseLeaf:
         if not parts:
             return np.empty(0, np.int64)
         cand = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+        if theta > -np.inf and cand.size:
+            slots = [
+                list(zip(tbs, bms))
+                for tbs, bms in zip(self.slot_tbs, self.slot_bms)
+            ]
+            mode = "sum" if self.q.slop > 0 else "min"
+            cand = cand[_cand_block_bounds(slots, cand, mode) > theta]
         for tbs in self.slot_tbs:
             if tbs is lead:
                 continue
@@ -1509,8 +1616,8 @@ class _MultiPhraseLeaf:
             )
         return _verify_multi_exact(self.slot_tbs, rels, cand)
 
-    def window_postings(self, seg, lo, hi):
-        cand = self._window_cand(lo, hi)
+    def window_postings(self, seg, lo, hi, theta=-np.inf):
+        cand = self._window_cand(lo, hi, theta)
         if cand.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         docs, freqs = self._verify(cand)
@@ -1519,8 +1626,8 @@ class _MultiPhraseLeaf:
         norms = self.slot_tbs[0][0].norms
         return docs, self.psc.score(freqs, norms[docs]).astype(np.float64)
 
-    def window_docs(self, seg, lo, hi) -> np.ndarray:
-        d, _ = self.window_postings(seg, lo, hi)
+    def window_docs(self, seg, lo, hi, theta=-np.inf) -> np.ndarray:
+        d, _ = self.window_postings(seg, lo, hi, theta)
         return d
 
     def probe(self, seg, docs):
@@ -1565,11 +1672,11 @@ class _ConstLeaf:
     def windows(self, nwin: int) -> np.ndarray:
         return self.inner.windows(nwin)
 
-    def window_postings(self, seg, lo, hi):
+    def window_postings(self, seg, lo, hi, theta=-np.inf):
         d = self.inner.window_docs(seg, lo, hi)
         return d, np.full(d.size, self.const, np.float64)
 
-    def window_docs(self, seg, lo, hi) -> np.ndarray:
+    def window_docs(self, seg, lo, hi, theta=-np.inf) -> np.ndarray:
         return self.inner.window_docs(seg, lo, hi)
 
     def probe(self, seg, docs):
@@ -1606,12 +1713,12 @@ class _DocsLeaf:
     def windows(self, nwin: int) -> np.ndarray:
         return np.unique(self.docs // WINDOW)
 
-    def window_postings(self, seg, lo, hi):
+    def window_postings(self, seg, lo, hi, theta=-np.inf):
         i0, i1 = self._slice(lo, hi)
         d = self.docs[i0:i1]
         return d, np.full(d.size, self.const, np.float64)
 
-    def window_docs(self, seg, lo, hi) -> np.ndarray:
+    def window_docs(self, seg, lo, hi, theta=-np.inf) -> np.ndarray:
         i0, i1 = self._slice(lo, hi)
         return self.docs[i0:i1]
 
@@ -1626,24 +1733,72 @@ class _DocsLeaf:
         return pres, np.where(pres, self.const, 0.0)
 
 
-class _ScoredDocsLeaf:
-    """A precomputed sorted (docs, scores) set as a window leaf —
-    IntervalQuery inside the pruned boolean kernels: the interval
-    enumeration is not windowable, so the leaf evaluates once (same
-    cost the exhaustive branch pays) and serves windows/probes off the
-    arrays; the WAND window bound is the slice max (a true bound, so
-    tree pruning around the leaf stays rank-safe)."""
+class _IntervalLeaf:
+    """IntervalQuery as a LAZY window leaf (replaces the round-4 eager
+    precomputed-scores leaf): doc-level candidates and per-candidate
+    score UPPER BOUNDS are computed at build from impact metadata only;
+    ``pos_bin`` decode and the minimal-interval enumeration run per
+    WINDOW, and — when the leaf is the sole scoring clause — only for
+    candidates whose containing-block bound beats theta
+    (``ImpactsDISI.java:28-123`` driving the conjunction approximation,
+    as behind ``PhraseScorer.java:45-68``).
 
-    __slots__ = ("docs", "scores", "doc_freq")
+    Bound: per-doc freq sums 1/max(width - minExtent + 1, 1) <= 1 over
+    the enumerated minimal intervals; minimal intervals have strictly
+    increasing starts and every start is an occurrence of some source
+    term, so #intervals <= sum of source-term tfs <= sum of the
+    containing blocks' max competitive-impact tfs.  Both score curves
+    (saturation, sigmoid) are monotone increasing in freq with
+    score(0)=0, so score <= curve(sum of block-max tfs) — padded one
+    relative epsilon for the f32 contract (_pad_bound)."""
 
-    def __init__(self, docs: np.ndarray, scores: np.ndarray):
-        self.docs = docs
-        self.scores = scores.astype(np.float64)
-        self.doc_freq = int(docs.size)
+    __slots__ = (
+        "q", "src", "tbs", "docs_of", "cand", "ub", "dtype", "boost",
+        "doc_freq", "_done", "_scores",
+    )
+
+    def __init__(self, seg, q: "ast.IntervalQuery", dtype, boost):
+        from lucene_spark.search import intervals as iv
+
+        self.q, self.dtype, self.boost = q, dtype, float(boost)
+        self.src, self.tbs, self.docs_of, self.cand = _interval_prepare(
+            seg, q
+        )
+        cand = self.cand
+        fub = np.zeros(cand.size, dtype=np.float64)
+        for tb in self.tbs.values():
+            if tb.nblocks == 0:
+                continue
+            mtf = np.fromiter(
+                (max(x) if len(x) else 0 for x in tb.impact_tfs),
+                dtype=np.float64,
+                count=tb.nblocks,
+            )
+            bidx = np.searchsorted(tb.last_doc, cand, side="left")
+            inb = bidx < tb.nblocks
+            safe = np.minimum(bidx, tb.nblocks - 1)
+            inb &= tb.first_doc[safe] <= cand
+            fub += np.where(inb, mtf[safe], 0.0)
+        b, p = self.boost, float(q.pivot)
+        if q.exp is None:
+            ub = b * (1.0 - p / (p + fub))
+        else:
+            e = float(q.exp)
+            ppa = p ** e
+            with np.errstate(divide="ignore"):
+                ub = b * (1.0 - ppa / (fub ** e + ppa))
+        ub = np.where(fub > 0.0, ub, 0.0)
+        self.ub = ub + np.abs(ub) * 1e-5
+        self.doc_freq = int(cand.size)
+        # per-doc memo (sorted docs, score or NaN=non-match): the
+        # driver probes a leaf at the docs its own window_docs just
+        # verified — enumeration runs once per doc, not twice
+        self._done = np.empty(0, np.int64)
+        self._scores = np.empty(0, np.float64)
 
     def _slice(self, lo, hi):
-        i0 = int(np.searchsorted(self.docs, lo))
-        i1 = int(np.searchsorted(self.docs, hi, side="right"))
+        i0 = int(np.searchsorted(self.cand, lo))
+        i1 = int(np.searchsorted(self.cand, hi, side="right"))
         return i0, i1
 
     def overlaps(self, lo, hi) -> bool:
@@ -1652,30 +1807,54 @@ class _ScoredDocsLeaf:
 
     def window_bound(self, lo, hi) -> float:
         i0, i1 = self._slice(lo, hi)
-        return float(self.scores[i0:i1].max()) if i0 < i1 else 0.0
+        return float(self.ub[i0:i1].max()) if i0 < i1 else 0.0
 
     def windows(self, nwin: int) -> np.ndarray:
-        return np.unique(self.docs // WINDOW)
+        return np.unique(self.cand // WINDOW)
 
-    def window_postings(self, seg, lo, hi):
-        i0, i1 = self._slice(lo, hi)
-        return self.docs[i0:i1], self.scores[i0:i1]
+    def _eval(self, sub):
+        missing = np.setdiff1d(sub, self._done, assume_unique=True)
+        if missing.size:
+            dd, ss = _interval_eval(
+                self.src, self.tbs, self.docs_of, missing, self.q,
+                self.dtype, self.boost,
+            )
+            full = np.full(missing.size, np.nan, np.float64)
+            if dd.size:
+                full[np.searchsorted(missing, dd)] = ss
+            self._done = np.concatenate([self._done, missing])
+            self._scores = np.concatenate([self._scores, full])
+            order = np.argsort(self._done, kind="stable")
+            self._done = self._done[order]
+            self._scores = self._scores[order]
+        idx = np.searchsorted(self._done, sub)
+        sc = self._scores[idx]
+        hit = ~np.isnan(sc)
+        return sub[hit], sc[hit]
 
-    def window_docs(self, seg, lo, hi) -> np.ndarray:
+    def window_postings(self, seg, lo, hi, theta=-np.inf):
         i0, i1 = self._slice(lo, hi)
-        return self.docs[i0:i1]
+        sub = self.cand[i0:i1]
+        if theta > -np.inf and sub.size:
+            sub = sub[self.ub[i0:i1] > theta]
+        if sub.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return self._eval(sub)
+
+    def window_docs(self, seg, lo, hi, theta=-np.inf) -> np.ndarray:
+        d, _ = self.window_postings(seg, lo, hi, theta)
+        return d
 
     def probe(self, seg, docs):
-        idx = np.searchsorted(self.docs, docs)
-        idx_c = np.minimum(idx, max(self.docs.size - 1, 0))
-        pres = (
-            (idx < self.docs.size) & (self.docs[idx_c] == docs)
-            if self.docs.size
-            else np.zeros(docs.size, dtype=bool)
-        )
+        pres = np.zeros(docs.size, dtype=bool)
         sc = np.zeros(docs.size, np.float64)
-        if self.docs.size:
-            sc[pres] = self.scores[idx_c[pres]]
+        sub = np.intersect1d(docs, self.cand, assume_unique=True)
+        if sub.size:
+            dd, ss = self._eval(sub)
+            if dd.size:
+                idx = np.searchsorted(docs, dd)
+                pres[idx] = True
+                sc[idx] = ss
         return pres, sc
 
 
@@ -1749,7 +1928,7 @@ class _BoolLeaf:
             np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
         )
 
-    def window_postings(self, seg, lo, hi):
+    def window_postings(self, seg, lo, hi, theta=-np.inf):
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         acc = np.zeros(WINDOW, dtype=np.float64)
         reqc = np.zeros(WINDOW, dtype=np.int32)
@@ -1794,7 +1973,7 @@ class _BoolLeaf:
             s = s.astype(np.float32).astype(np.float64)
         return idx + lo, s
 
-    def window_docs(self, seg, lo, hi) -> np.ndarray:
+    def window_docs(self, seg, lo, hi, theta=-np.inf) -> np.ndarray:
         d, _ = self.window_postings(seg, lo, hi)
         return d
 
@@ -1844,10 +2023,10 @@ class _EmptyLeaf:
     def windows(self, nwin):
         return np.empty(0, np.int64)
 
-    def window_postings(self, seg, lo, hi):
+    def window_postings(self, seg, lo, hi, theta=-np.inf):
         return np.empty(0, np.int64), np.empty(0, np.float64)
 
-    def window_docs(self, seg, lo, hi):
+    def window_docs(self, seg, lo, hi, theta=-np.inf):
         return np.empty(0, np.int64)
 
     def probe(self, seg, docs):
@@ -1871,11 +2050,13 @@ def _block_windows(tb: TermBlocks, nwin: int) -> np.ndarray:
 
 def _make_leaf(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost: float = 1.0):
     """Leaf adapter for ``q``, or None when q is not leaf-adaptable
-    (termless leaves, multi-term-repeat sloppy multi-phrases — those
-    shapes fall back to the exhaustive kernel). Nested BooleanQuery
-    trees recurse into _BoolLeaf (WANDScorer-in-WANDScorer); sloppy
-    phrases and multi-phrases get concavity-bound leaves
-    (_SloppyLeaf/_MultiPhraseLeaf)."""
+    (termless leaves — those shapes fall back to the exhaustive
+    kernel). Nested BooleanQuery trees recurse into _BoolLeaf
+    (WANDScorer-in-WANDScorer); sloppy phrases and multi-phrases —
+    including multi-term-repeat (hasMultiTermRpts) shapes, whose
+    slot-sum concavity bound is equally valid with repeats — get
+    concavity-bound leaves (_SloppyLeaf/_MultiPhraseLeaf); interval
+    queries get the lazy impact-pruned _IntervalLeaf."""
     if isinstance(q, ast.BoostQuery):
         return _make_leaf(seg, q.query, scorers, dtype, boost * q.boost)
     if isinstance(q, ast.BooleanQuery):
@@ -1962,10 +2143,10 @@ def _make_leaf(seg: SegmentView, q: ast.Query, scorers: dict, dtype: str, boost:
             return _EMPTY_LEAF
         return _DocsLeaf(docs, boost, dtype)
     if isinstance(q, ast.IntervalQuery):
-        docs, scores = _interval_docs_scores(seg, q, dtype, boost)
-        if docs.size == 0:
+        leaf = _IntervalLeaf(seg, q, dtype, boost)
+        if leaf.cand.size == 0:
             return _EMPTY_LEAF
-        return _ScoredDocsLeaf(docs, scores)
+        return leaf
     return None
 
 
@@ -2049,7 +2230,14 @@ def _wand_topk(seg, q: ast.BooleanQuery, scorers, k, threshold, dtype, boost=1.0
             # advance of BlockMaxConjunctionBulkScorer.java:30-39 /
             # ConjunctionDISI leapfrog, never a full decode
             lead = min(required, key=lambda l: l.doc_freq)
-            cdocs = lead.window_docs(seg, lo, hi)
+            # when the lead is the SOLE scoring clause (one must, no
+            # shoulds — filters/excls only restrict membership), its
+            # score IS the doc score, so candidates whose
+            # containing-block bound cannot beat theta are dropped
+            # inside the leaf before any position decode
+            # (ImpactsDISI.java:28-123 behind PhraseScorer.java:45-68)
+            sole = len(must) == 1 and not opt and lead is must[0]
+            cdocs = lead.window_docs(seg, lo, hi, theta if sole else -np.inf)
             for leaf in required:
                 if leaf is lead or cdocs.size == 0:
                     continue
@@ -2087,9 +2275,12 @@ def _wand_topk(seg, q: ast.BooleanQuery, scorers, k, threshold, dtype, boost=1.0
                 else:
                     break
             ess_posts: dict = {}
+            # a lone optional clause is the sole scorer — its block
+            # bounds may prune against theta directly
+            th1 = theta if len(opt) == 1 and need <= 1 else -np.inf
             for i, leaf in enumerate(opt):
                 if i not in non_ess:
-                    ess_posts[i] = leaf.window_postings(seg, lo, hi)
+                    ess_posts[i] = leaf.window_postings(seg, lo, hi, th1)
             parts = [d for d, _ in ess_posts.values() if d.size]
             if not parts:
                 continue

@@ -20,13 +20,24 @@ from lucene_spark.codec import blocks as blk
 # blocks for identical results; bench reports it per query class)
 _DECODED_BLOCKS = [0]
 
+# position-block counter (round-5 impact-pruned positional decode:
+# the differentials assert that block-max pruning reads strictly fewer
+# ``pos_bin`` blocks — ImpactsDISI.java:28-123 behind
+# PhraseScorer.java:45-68 — for bit-identical results)
+_DECODED_POS_BLOCKS = [0]
+
 
 def reset_decode_count() -> None:
     _DECODED_BLOCKS[0] = 0
+    _DECODED_POS_BLOCKS[0] = 0
 
 
 def decode_count() -> int:
     return _DECODED_BLOCKS[0]
+
+
+def pos_decode_count() -> int:
+    return _DECODED_POS_BLOCKS[0]
 
 
 @dataclass
@@ -72,6 +83,7 @@ class TermBlocks:
             bounds = np.concatenate(([0], np.cumsum(t)))
             hit = (flat, bounds)
             self._cache[key] = hit
+            _DECODED_POS_BLOCKS[0] += 1
         return hit
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
