@@ -1861,6 +1861,69 @@ def ordered_subs_shape(source: IntervalsSource):
     return tuple(specs), mg
 
 
+def tree_shape(source: IntervalsSource):
+    """Nested spec for the across-docs TREE sweep
+    (``kernels._interval_tree_batch``) — the round-5 vectorization of
+    the previously-generic shapes (NOTES.md round-4 "remaining slow
+    shape"): combinator TREES of Ordered/Unordered nodes, each
+    optionally MaxGaps-wrapped, whose leaves are Terms, disjoint
+    Or-of-Terms, or Blocks of Terms.  Each node's minimal-interval
+    stream (packed start/end keys) is composed from its subs' streams
+    with one sweep per node; a MaxGaps wrap filters the node's stream
+    by gaps = width - sum of current sub widths
+    (``_OrderedIt``/``_UnorderedIt`` slop bookkeeping above;
+    ``FilteredIntervalsSource`` applies the filter to the enumerated
+    minimal intervals).  Leaf terms must be pairwise distinct across
+    the WHOLE tree (the differential-validated domain — shared terms
+    would alias packed events).  Returns the root spec
+    ``(kind, payload, max_gaps)`` with kind in
+    {"term", "block", "ordered", "unordered"} — payload is the term
+    tuple for leaves, the child-spec tuple for combinators — or None
+    when the source is outside this family.
+
+    The flat single-level shapes above are tried FIRST by the kernel
+    (their sweeps are the long-proven fast paths); this compiler only
+    serves what they decline."""
+    seen: set = set()
+
+    def compile_node(s):
+        mg = None
+        if isinstance(s, MaxGaps):
+            mg = s.max_gaps
+            s = s.sub
+            if isinstance(s, MaxGaps):
+                return None  # nested filters stay on the generic path
+        ts = _single_position_sub(s)
+        if ts is not None:
+            if len(set(ts)) != len(ts) or (seen & set(ts)):
+                return None
+            seen.update(ts)
+            return ("term", ts, mg)
+        if isinstance(s, Block) and len(s.subs) >= 2 and all(
+            isinstance(x, Term) for x in s.subs
+        ):
+            ts = tuple(x.term for x in s.subs)
+            if len(set(ts)) != len(ts) or (seen & set(ts)):
+                return None
+            seen.update(ts)
+            return ("block", ts, mg)
+        if isinstance(s, (Ordered, Unordered)) and len(s.subs) >= 2:
+            kids = []
+            for c in s.subs:
+                k = compile_node(c)
+                if k is None:
+                    return None
+                kids.append(k)
+            kind = "ordered" if isinstance(s, Ordered) else "unordered"
+            return (kind, tuple(kids), mg)
+        return None
+
+    spec = compile_node(source)
+    if spec is None or spec[0] in ("term", "block"):
+        return None  # leaf-only roots are already flat-path territory
+    return spec
+
+
 def block_terms_shape(source: IntervalsSource):
     """(terms tuple, max_gaps) when ``source`` is Block over k >= 2
     DISTINCT Term subs (optionally MaxGaps-wrapped — gaps are always 0

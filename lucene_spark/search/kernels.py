@@ -440,6 +440,165 @@ def _interval_block_batch(plists, min_extent, mg, q, dtype, boost):
     )
 
 
+def _sweep_ordered_stream(subs, mg):
+    """Minimal-interval STREAM of ORDERED over sub streams — the
+    stream-valued generalization of ``_interval_ordered_batch``'s
+    composed-next sweep to VARIABLE-width subs: each sub is a packed
+    (start keys, end keys) minimal stream (starts and ends both
+    strictly increasing — minimality forbids containment), so "first
+    sub-interval starting after the previous end" is also the one with
+    the smallest end, found by one searchsorted per sub.  Minimality of
+    the composed stream keeps the LAST chain start per distinct end;
+    a MaxGaps wrap then filters by gaps = width - sum of the chain's
+    sub widths (``_OrderedIt`` slop bookkeeping).  Returns (start
+    keys, end keys)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    cur, end = subs[0]
+    if cur.size == 0:
+        return empty
+    wsum = end - cur + 1  # same-doc packed keys: low-bit diff
+    valid = np.ones(cur.size, dtype=bool)
+    for sj, ej in subs[1:]:
+        if sj.size == 0:
+            return empty
+        idx = np.searchsorted(sj, end, side="right")
+        ok = idx < sj.size
+        idxc = np.minimum(idx, sj.size - 1)
+        wsum = wsum + np.where(ok, ej[idxc] - sj[idxc] + 1, 0)
+        end = np.where(ok, ej[idxc], -1)
+        valid &= ok
+    valid &= (cur >> 32) == (end >> 32)
+    cur, end, wsum = cur[valid], end[valid], wsum[valid]
+    if cur.size == 0:
+        return empty
+    keep = np.ones(end.size, dtype=bool)
+    keep[:-1] = end[:-1] != end[1:]  # last start per distinct end
+    cur, end, wsum = cur[keep], end[keep], wsum[keep]
+    if mg is not None:
+        width = (end & 0xFFFFFFFF) - (cur & 0xFFFFFFFF) + 1
+        m = (width - wsum) <= mg
+        cur, end = cur[m], end[m]
+    return cur, end
+
+
+def _sweep_unordered_stream(subs, mg):
+    """Enumerated STREAM of UNORDERED over sub streams — the
+    stream-valued generalization of ``_interval_unordered_batch``'s
+    sweep to VARIABLE-width subs, replicating ``_UnorderedIt``'s
+    queue physics exactly (the freq contract sums over the ITERATOR's
+    emissions, lazy-minimization warts included):
+
+    The queue pops intervals in ascending start order, so at interval
+    X's pop every other sub's CURRENT interval is its first with start
+    > X.start (all earlier ones were popped), and — because each sub
+    stream is minimal, ends increasing — the queue's right extreme is
+    the max of the current ends.  Candidate window at X:
+    W_X = (X.start, max(X.end, other subs' current ends)), valid only
+    when every other sub still has a same-doc current.  The minimize
+    loop then SKIPS W_i exactly when the next candidate keeps the same
+    right extreme and X_i does not itself define it
+    (``UnorderedIntervalsSource.java:86-170``): emit W_i unless
+    (W_{i+1} valid and r_{i+1} == r_i and X_i.end != r_i).
+
+    For width-1 subs every candidate's right extreme is the new event
+    itself (strictly increasing), the skip never fires, and this
+    degenerates to the proven flat sweep.  A MaxGaps wrap filters the
+    emissions by gaps = width - sum of current sub widths.  Returns
+    (start keys, end keys)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    key = np.concatenate([s for s, _ in subs])
+    ekey = np.concatenate([e for _, e in subs])
+    code = np.concatenate(
+        [np.full(s.size, ci, np.int8) for ci, (s, _) in enumerate(subs)]
+    )
+    order = np.argsort(key, kind="stable")  # disjoint leaf terms: no ties
+    key, ekey, code = key[order], ekey[order], code[order]
+    n = key.size
+    if n == 0:
+        return empty
+    r = ekey.copy()  # right extreme, seeded with X's own end
+    wsum = ekey - key + 1  # X's own width
+    valid = np.ones(n, dtype=bool)
+    for ci, (sj, ej) in enumerate(subs):
+        other = code != ci
+        idx = np.searchsorted(sj, key, side="right")
+        ok = idx < sj.size
+        idxc = np.minimum(idx, sj.size - 1)
+        ns, ne = sj[idxc], ej[idxc]
+        avail = ok & ((ns >> 32) == (key >> 32))  # same-doc current
+        valid &= avail | ~other
+        add = other & avail
+        np.maximum(r, np.where(add, ne, -1), out=r)
+        wsum += np.where(add, ne - ns + 1, 0)
+    # emission: skip W_i when the NEXT candidate (same doc, valid)
+    # keeps the right extreme and X_i does not define it
+    nxt_valid = np.zeros(n, dtype=bool)
+    nxt_valid[:-1] = valid[1:] & ((key[1:] >> 32) == (key[:-1] >> 32))
+    nxt_r = np.empty(n, np.int64)
+    nxt_r[:-1] = r[1:]
+    nxt_r[-1] = -1
+    skip = nxt_valid & (nxt_r == r) & (ekey != r)
+    emit = valid & ~skip
+    start, end, wsum = key[emit], r[emit], wsum[emit]
+    if mg is not None:
+        width = (end & 0xFFFFFFFF) - (start & 0xFFFFFFFF) + 1
+        m = (width - wsum) <= mg
+        start, end = start[m], end[m]
+    return start, end
+
+
+def _tree_stream(node, sub_plist):
+    """Packed (start keys, end keys) minimal stream of a tree-shape
+    node, composed bottom-up (``intervals.tree_shape`` spec grammar).
+    ``sub_plist(terms) -> (doc array, pos array)`` supplies the merged
+    occurrence list of a leaf's term set, doc-major sorted."""
+    kind, payload, mg = node
+    if kind == "term":
+        dd, pp = sub_plist(payload)
+        k = (dd.astype(np.int64) << 32) | pp.astype(np.int64)
+        if mg is not None and mg < 0:
+            k = k[:0]  # width-1 gaps are 0
+        return k, k
+    if kind == "block":
+        term_keys = []
+        for t in payload:
+            dd, pp = sub_plist((t,))
+            term_keys.append(
+                (dd.astype(np.int64) << 32) | pp.astype(np.int64)
+            )
+        a = _block_chain_starts(term_keys)
+        if mg is not None and mg < 0:
+            a = a[:0]
+        return a, a + (len(payload) - 1)
+    kids = [_tree_stream(c, sub_plist) for c in payload]
+    if any(s.size == 0 for s, _ in kids):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if kind == "ordered":
+        return _sweep_ordered_stream(kids, mg)
+    return _sweep_unordered_stream(kids, mg)
+
+
+def _interval_tree_batch(spec, sub_plist, min_extent, q, dtype, boost):
+    """Across-docs evaluation of a combinator TREE
+    (``intervals.tree_shape``): compose each node's minimal stream
+    bottom-up with the stream sweeps, then score the root stream —
+    freq per doc sums 1/max(width - minExtent + 1, 1) in enumeration
+    order (ascending starts), the same mixed-precision stepping as the
+    flat paths."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    s_pk, e_pk = _tree_stream(spec, sub_plist)
+    if s_pk.size == 0:
+        return empty
+    doc = s_pk >> 32
+    width = (e_pk & 0xFFFFFFFF) - (s_pk & 0xFFFFFFFF) + 1
+    terms64 = 1.0 / np.maximum(width - min_extent + 1, 1).astype(np.float64)
+    gstarts = np.concatenate(([0], np.flatnonzero(np.diff(doc)) + 1))
+    counts = np.diff(np.concatenate((gstarts, [doc.size])))
+    return _interval_score_batch(
+        doc[gstarts], gstarts, counts, terms64, q, dtype, boost
+    )
+
+
 def _interval_prepare(seg: SegmentView, q: "ast.IntervalQuery"):
     """(src, tbs, docs_of, cand) — the DOC-LEVEL half of IntervalQuery
     evaluation: source expansion, per-term doc decode, and the
@@ -566,6 +725,11 @@ def _interval_eval(src, tbs, docs_of, cand, q, dtype, boost):
             return _interval_ordered_batch(
                 _sub_start_keys(specs), sum(w for _, _, w in specs),
                 mg, q, dtype, boost,
+            )
+        tshape = iv.tree_shape(src)
+        if tshape is not None:
+            return _interval_tree_batch(
+                tshape, _sub_plist, src.min_extent(), q, dtype, boost
             )
     # positions only for (term, candidate∩term) — block-grouped decode
     per_doc: dict = {int(d): {} for d in cand}
