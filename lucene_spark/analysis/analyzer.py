@@ -382,6 +382,16 @@ class Analyzer:
                 (setd(t, len(code_of)) for t in flat), dtype=np.int64, count=n
             )
             uniq = np.array(list(code_of.keys()), dtype=object)
+        out = self._coded_tail(doc_idx, codes, uniq, counts_raw, ndocs)
+        return out[:5]
+
+    def _coded_tail(self, doc_idx, codes, uniq, counts_raw, ndocs,
+                    starts=None, ends=None):
+        """Shared tail of the coded tokenizers: per-unique-term masks
+        (word-ness, length cap, stopwords), position assignment, keep
+        filter, sorted code compaction.  ``starts``/``ends`` (optional
+        char spans aligned with the raw token stream) are filtered with
+        the same keep mask — the single-pass offsets path."""
         nu = uniq.size
         # pure-underscore runs are not UAX#29 words: no position consumed
         is_word_u = np.fromiter(
@@ -428,6 +438,73 @@ class Analyzer:
             used_terms[order],
             positions,
             token_counts,
+            starts[keep] if starts is not None else None,
+            ends[keep] if ends is not None else None,
+        )
+
+    def tokenize_batch_coded_offsets(self, texts: "list[str] | np.ndarray"):
+        """``tokenize_batch_coded`` PLUS per-token character spans, in
+        ONE tokenization pass (the round-5 single-pass offsets
+        tokenizer: a vector-field build no longer re-tokenizes).
+
+        Returns ``(doc_idx, codes, uniq_terms, positions,
+        doc_token_counts, starts int32, ends int32)`` where the first
+        five are bit-identical to ``tokenize_batch_coded`` and
+        starts/ends are the OffsetAttribute spans of the kept tokens in
+        the ORIGINAL text (ASCII docs are lowered whole — ASCII case
+        never changes length or word-break classes, so spans carry
+        over; non-ASCII docs match on the original text and lowercase
+        per token, exactly like ``tokenize_offsets``)."""
+        texts = ["" if t is None else t for t in texts]
+        ndocs = len(texts)
+        flat: list = []
+        st: list = []
+        en: list = []
+        counts_raw = np.zeros(ndocs, dtype=np.int64)
+        for i, text in enumerate(texts):
+            k = 0
+            if text.isascii():
+                low = text.lower() if self.lowercase else text
+                for m in _ASCII_TOKEN_RE.finditer(low):
+                    flat.append(m.group())
+                    st.append(m.start())
+                    en.append(m.end())
+                    k += 1
+            else:
+                for m in _TOKEN_RE.finditer(text):
+                    tok = m.group()
+                    flat.append(java_lower(tok) if self.lowercase else tok)
+                    st.append(m.start())
+                    en.append(m.end())
+                    k += 1
+            counts_raw[i] = k
+        n = len(flat)
+        if n == 0:
+            z32 = np.empty(0, np.int32)
+            return (
+                z32,
+                np.empty(0, np.int64),
+                np.empty(0, object),
+                z32,
+                np.zeros(ndocs, np.int64),
+                z32,
+                z32,
+            )
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int32), counts_raw)
+        code_of: dict = {}
+        setd = code_of.setdefault
+        codes = np.fromiter(
+            (setd(t, len(code_of)) for t in flat), dtype=np.int64, count=n
+        )
+        uniq = np.array(list(code_of.keys()), dtype=object)
+        return self._coded_tail(
+            doc_idx,
+            codes,
+            uniq,
+            counts_raw,
+            ndocs,
+            starts=np.asarray(st, dtype=np.int32),
+            ends=np.asarray(en, dtype=np.int32),
         )
 
     def tokenize_batch(

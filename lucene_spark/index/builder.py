@@ -133,7 +133,8 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 
 
 def invert_field(
-    field: str, texts, analyzer: Analyzer, store_positions: bool = True
+    field: str, texts, analyzer: Analyzer, store_positions: bool = True,
+    coded=None,
 ):
     """Pure function: one segment's one FIELD (docs url-sorted) ->
     encoded postings under the fielded term namespace.
@@ -143,12 +144,19 @@ def invert_field(
     of docs with >=1 token of this field (Terms.getDocCount semantics).
     All heavy lifting is vectorized numpy over the batch tokenization
     (the IndexingChain.processDocument/invert analog, SURVEY §2.1).
+
+    ``coded``: optional precomputed ``tokenize_batch_coded``-shaped
+    tuple (doc_idx, codes, uniq, positions, counts) — the single-pass
+    vector-field build tokenizes once with offsets and shares the
+    stream here instead of re-tokenizing.
     """
     from lucene_spark.codec.blocks import encode_partition
     from lucene_spark.search.ast import fielded
     from lucene_spark.util.smallfloat import int_to_byte4_np
 
-    doc_idx, codes, uniq, positions, counts = analyzer.tokenize_batch_coded(texts)
+    doc_idx, codes, uniq, positions, counts = (
+        coded if coded is not None else analyzer.tokenize_batch_coded(texts)
+    )
     norms = int_to_byte4_np(counts)
     block_rows: list = []
     term_stats: list = []
@@ -416,9 +424,45 @@ def build_segment_pdf(
     term_stats: list = []
     norms_rows: list = []
     field_stats: dict = {}
+    vectors: list = []
+    vec_fields = set(config.vector_fields or ())
+    unknown = vec_fields - {fname for fname, _ in specs}
+    if unknown:
+        raise KeyError(
+            f"vector field {sorted(unknown)[0]!r} is not an indexed field"
+        )
     for fname, texts in texts_by_field:
+        an = analyzer_for(config, fname)
+        coded = None
+        if fname in vec_fields:
+            # SINGLE-PASS offsets tokenization: the same stream feeds
+            # the inverted index (as the coded tuple) and the term
+            # vectors (terms/positions/char spans) — no second
+            # tokenization per vector field
+            di, codes, uniq, poss, cnts, st, en = (
+                an.tokenize_batch_coded_offsets(texts)
+            )
+            coded = (di, codes, uniq, poss, cnts)
+            if codes.size:
+                terms_t = uniq[codes]
+                bounds = np.searchsorted(di, np.arange(len(texts) + 1))
+                for i in range(len(texts)):
+                    a, b = int(bounds[i]), int(bounds[i + 1])
+                    if a == b:
+                        continue  # empty stream: no row (reader: empty)
+                    vectors.append(
+                        {
+                            "doc_id": doc_base + i,
+                            "url": urls[i],
+                            "field": fname,
+                            "terms": [str(t) for t in terms_t[a:b]],
+                            "positions": poss[a:b].tolist(),
+                            "starts": st[a:b].tolist(),
+                            "ends": en[a:b].tolist(),
+                        }
+                    )
         br, ts, norms, stf, fdc = invert_field(
-            fname, texts, analyzer_for(config, fname), config.store_positions
+            fname, texts, an, config.store_positions, coded=coded
         )
         block_rows.extend(br)
         term_stats.extend(ts)
@@ -445,37 +489,6 @@ def build_segment_pdf(
         if config.stored_cols
         else None
     )
-    vectors: list = []
-    if config.vector_fields:
-        # term vectors: persist the analyzed (term, position, offsets)
-        # stream per (doc, field) — EXACTLY the stream the inverted index
-        # was built from (same analyzer, same stop/length/position
-        # rules), which is what makes the TERM_VECTORS highlight source
-        # byte-identical to re-analysis. Docs with an empty stream write
-        # no row (readers treat a missing row as an empty vector).
-        specs_map = dict(specs)
-        for fname in config.vector_fields:
-            if fname not in specs_map:
-                raise KeyError(
-                    f"vector field {fname!r} is not an indexed field"
-                )
-            an = analyzer_for(config, fname)
-            texts = pdf[specs_map[fname]].fillna("").astype(str).tolist()
-            for i, text in enumerate(texts):
-                toks, poss, st, en = an.tokenize_offsets(text)
-                if not toks:
-                    continue
-                vectors.append(
-                    {
-                        "doc_id": doc_base + i,
-                        "url": urls[i],
-                        "field": fname,
-                        "terms": toks,
-                        "positions": poss,
-                        "starts": st,
-                        "ends": en,
-                    }
-                )
     extra = _write_segment_files(
         index_dir, sid, block_rows, term_stats, norms_rows, doc_base, urls,
         stored=stored, vectors=vectors,
