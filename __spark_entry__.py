@@ -286,7 +286,7 @@ def _ast():
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import pyspark.sql.functions as F
 
-    from lucene_spark.ops import ann, dedup, media, text, windows
+    from lucene_spark.ops import ann, dedup, langid, media, text, windows
     from lucene_spark.ops.dialect import SPARK
 
     q: dict[str, Callable] = {}
@@ -796,7 +796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sort_by_field=sort_by_field,
         token_count=_sql_docs(text.token_count_sql),
         quality_score=_sql_docs(text.quality_sql),
-        lang_id=_sql_docs(text.lang_id_sql),
+        # round 5: lang_id upgraded from the marker-word stub to the
+        # trained char-trigram classifier (ops/langid.py) — integer
+        # micro-logit sums, bitwise vs the DuckDB oracle
+        lang_id=_sql_docs(langid.lang_id_ngram_sql),
         fingerprint=_sql_docs(text.fingerprint_sql),
         dedup_exact=_sql_docs(dedup.exact_groups_sql),
         dedup_jaccard_capped=_sql_docs(
@@ -825,7 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from lucene_spark.ops import ann, dedup, media, text, windows
+    from lucene_spark.ops import ann, dedup, langid, media, text, windows
     from lucene_spark.ops.dialect import DUCK
     from lucene_spark.search import oracle_sql as osql
 
@@ -907,7 +910,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "highlight_topk": osql.highlight_topk_sql(TERM, K, 24),
         "token_count": text.token_count_sql(DUCK),
         "quality_score": text.quality_sql(DUCK),
-        "lang_id": text.lang_id_sql(DUCK),
+        "lang_id": langid.lang_id_ngram_sql(DUCK),
         "fingerprint": text.fingerprint_sql(DUCK),
         "dedup_exact": dedup.exact_groups_sql(DUCK),
         "dedup_jaccard_capped": dedup.jaccard_pairs_sql(
