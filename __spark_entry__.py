@@ -558,9 +558,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fuzzy_match(spark, sf_dir):
         # "sacn"~1: a TRANSPOSITION case — matches "scan" only under
         # the Damerau default (FuzzyQuery.java:73-76); plain
-        # Levenshtein distance is 2
+        # Levenshtein distance is 2 (restricted and full Damerau agree
+        # at max_edits=1, so DuckDB damerau_levenshtein stays exact)
         return _out_docs(
             _searcher(spark, sf_dir).multi_term_docs("fuzzy", "sacn", 1)
+        )
+
+    def fuzzy_restricted_match(spark, sf_dir):
+        # "osrw"~2 separates ALL THREE variants on this vocabulary:
+        # restricted Damerau (the LevenshteinAutomata-parity engine
+        # default) matches {sort}; full DL would also match {row}
+        # (transpose rw + insert INSIDE the pair — not a primitive-edit
+        # alignment); plain Levenshtein would MISS sort (distance 3).
+        # Oracle: an independent recursive-CTE OSA DP in DuckDB
+        # (oracle_sql.fuzzy_restricted_match_sql).
+        return _out_docs(
+            _searcher(spark, sf_dir).multi_term_docs("fuzzy", "osrw", 2)
         )
 
     def wildcard_match(spark, sf_dir):
@@ -757,7 +770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_sessionize=_sql_events(windows.sessionize_sql),
         emb_cosine_topk=emb_cosine_topk,
         emb_near_dup_pairs=emb_near_dup_pairs,
-        emb_ivf_assign_arr=emb_ivf_assign_arr,
         emb_ivf_topk_c64=emb_ivf_topk_c64,
         group_topk=group_topk,
         facet_ranges=facet_ranges,
@@ -785,6 +797,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         range_match=range_match,
         set_match=set_match,
         fuzzy_match=fuzzy_match,
+        # round 5: gates the restricted-Damerau (LevenshteinAutomata
+        # transposition semantics) engine default on a base where
+        # restricted / full-DL / plain-Levenshtein all disagree
+        fuzzy_restricted_match=fuzzy_restricted_match,
         prefix_wide_match=prefix_wide_match,
         field_exists_match=field_exists_match,
         field_analyzer_title_topk=field_analyzer_title_topk,
@@ -810,6 +826,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_features=media_features,
         events_tumbling=_sql_events(windows.tumbling_counts_sql),
         # ---- past the 50-entry gate cap (consolidated, still runnable)
+        # round 5: the broadcast-centroid assignment join is the first
+        # stage of BOTH gate-proven IVF entries (emb_ivf_topk_c64,
+        # emb_near_dup_pairs embed the same kmeans assignment join), so
+        # the standalone assignment entry yields its slot to
+        # fuzzy_restricted_match
+        emb_ivf_assign_arr=emb_ivf_assign_arr,
         regexp_match=regexp_match,  # host-dialect twin of regexp_lucene_match
         term_topk=term_topk,
         multi_phrase_match=multi_phrase_match,
@@ -891,6 +913,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "fuzzy_match": osql.multiterm_match_sql(
             "damerau_levenshtein(t, 'sacn') <= 1"
         ),
+        "fuzzy_restricted_match": osql.fuzzy_restricted_match_sql("osrw", 2),
         "wildcard_match": osql.multiterm_match_sql("t LIKE 'sc%n'"),
         "prefix_wide_match": osql.multiterm_match_sql("t LIKE 's%'"),
         "field_exists_match": osql.field_exists_sql(TITLE_WORDS),

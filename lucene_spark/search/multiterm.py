@@ -36,14 +36,18 @@ Dialect notes (documented constraints, not hidden divergences):
   decided by the shared automaton matcher on every plane.
 - ``fuzzy`` defaults to TRANSPOSITION-AWARE edit distance like the
   reference (``FuzzyQuery.java:73-76`` defaults transpositions=true);
-  args = (base, max_edits[, transpositions=True]) — pass False for the
-  plain-Levenshtein opt-out (Spark's ``levenshtein()`` semantics).
-  The variant implemented is the FULL Damerau-Levenshtein (matching
-  DuckDB's ``damerau_levenshtein``, the correctness oracle); the
-  reference's automaton implements the restricted variant (a
-  transposed pair cannot be edited again), which differs only on
-  pathological max_edits=2 shapes like "ca"~2 vs "abc" (full DL 2,
-  restricted 3) — ours is the more permissive of the two there.
+  args = (base, max_edits[, transpositions=True[, variant]]) — pass
+  transpositions=False for the plain-Levenshtein opt-out (Spark's
+  ``levenshtein()`` semantics). The DEFAULT transposition variant is
+  the RESTRICTED Damerau (optimal string alignment: a transposed pair
+  cannot be edited again), matching the reference's
+  ``LevenshteinAutomata`` parametric tables (``Lev1TParametric
+  Description.java``/``Lev2T...`` — transposition as a primitive edit
+  on otherwise-untouched adjacent characters). variant="full" selects
+  the unrestricted Damerau-Levenshtein (DuckDB's
+  ``damerau_levenshtein`` — the oracle-compat mode). The variants
+  differ only on max_edits>=2 shapes like "ca"~2 vs "abc"
+  (full DL 2, restricted 3).
 """
 
 from __future__ import annotations
@@ -136,6 +140,45 @@ def damerau_levenshtein(a: str, b: str) -> int:
     return d[la + 1][lb + 1]
 
 
+def osa_levenshtein(a: str, b: str) -> int:
+    """RESTRICTED Damerau-Levenshtein distance (optimal string
+    alignment: insert/delete/substitute/transpose where a transposed
+    pair cannot be edited again) — the transposition semantics of the
+    reference's fuzzy automata (``util/automaton/LevenshteinAutomata
+    .java:54-55`` "transpositions as a primitive edit", parametric
+    tables ``Lev1TParametricDescription.java`` /
+    ``Lev2TParametricDescription.java``): each input character
+    participates in at most one primitive operation, so e.g.
+    osa("ca","abc") = 3 while the full DL is 2 (transpose then insert
+    INSIDE the transposed pair is not a primitive-edit alignment)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    prev2: list = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i]
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cb = b[j - 1]
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            if (
+                i > 1
+                and j > 1
+                and ca == b[j - 2]
+                and a[i - 2] == cb
+                and ca != cb
+            ):
+                d = min(d, prev2[j - 2] + 1)
+            cur.append(d)
+        prev2, prev = prev, cur
+    return prev[-1]
+
+
 def bare_matcher(mode: str, args: tuple):
     """Predicate over BARE terms (field already stripped)."""
     if mode == "prefix":
@@ -159,8 +202,16 @@ def bare_matcher(mode: str, args: tuple):
     if mode == "fuzzy":
         base, max_edits = args[0], int(args[1])
         transpositions = bool(args[2]) if len(args) > 2 else True
+        variant = args[3] if len(args) > 3 else "restricted"
+        if variant not in ("restricted", "full"):
+            raise ValueError(f"unknown fuzzy variant {variant!r}")
         me = max_edits
-        dist = damerau_levenshtein if transpositions else levenshtein
+        if not transpositions:
+            dist = levenshtein
+        elif variant == "full":
+            dist = damerau_levenshtein
+        else:
+            dist = osa_levenshtein
 
         def _fz(t, base=base, me=me, dist=dist):
             # cheap length screen before the DP (each edit op changes

@@ -309,6 +309,59 @@ WHERE len(list_filter(toks, t -> {token_pred})) > 0
 ORDER BY doc_id"""
 
 
+def fuzzy_restricted_match_sql(
+    base: str, max_edits: int, table: str = "documents"
+) -> str:
+    """(doc_id) docs containing a token within RESTRICTED
+    Damerau-Levenshtein distance ``max_edits`` of ``base`` — the
+    FuzzyQuery default variant (``LevenshteinAutomata.java:54-55``
+    transposition as a primitive edit: a transposed pair cannot be
+    edited again, unlike DuckDB's unrestricted
+    ``damerau_levenshtein``). The distance is computed independently
+    in SQL by a recursive-CTE Wagner-Fischer DP over the distinct
+    token vocabulary: recursion over base-position i carries DP rows
+    as lists; the insertion dependency (cur[j-1]+1, a prefix scan) is
+    closed by cur[j] = min_{{l<=j}}(tmp[l] + (j-l)) where tmp holds
+    the deletion/substitution/transposition candidates."""
+    m, e = len(base), int(max_edits)
+    inf = 999999
+    return f"""WITH RECURSIVE {base_ctes(table)},
+vocab AS (SELECT DISTINCT unnest(toks) AS t FROM docs),
+cand AS (
+  SELECT t FROM vocab WHERE abs(len(t) - {m}) <= {e}
+),
+dp AS (
+  SELECT t, 0 AS i,
+         list_transform(range(0, len(t)+1), j -> j) AS prev,
+         CAST(NULL AS BIGINT[]) AS prev2
+  FROM cand
+  UNION ALL
+  SELECT t, i+1,
+         list_transform(range(0, len(t)+1), j ->
+           list_min(list_transform(range(0, j+1), l ->
+             (CASE WHEN l = 0 THEN i+1
+              ELSE least(
+                prev[l+1] + 1,
+                prev[l] + (CASE WHEN substr('{base}', i+1, 1)
+                                     = substr(t, l, 1)
+                           THEN 0 ELSE 1 END),
+                CASE WHEN i >= 1 AND l >= 2
+                      AND substr('{base}', i+1, 1) = substr(t, l-1, 1)
+                      AND substr('{base}', i, 1) = substr(t, l, 1)
+                 THEN prev2[l-1] + 1 ELSE {inf} END)
+              END) + (j - l)))) AS prev,
+         prev AS prev2
+  FROM dp WHERE i < {m}
+),
+matched AS (
+  SELECT list(t) AS ts FROM dp WHERE i = {m} AND prev[len(t)+1] <= {e}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM docs, matched
+WHERE list_has_any(toks, ts)
+ORDER BY doc_id"""
+
+
 def classic_tfidf_sql(term: str, table: str = "documents") -> str:
     """(doc_id, score) under ClassicSimilarity (TF-IDF plugin):
     sqrt(tf) * idf^2 * (1/sqrt(qdl)), idf = 1 + ln((N+1)/(df+1))."""

@@ -132,6 +132,88 @@ def test_damerau_levenshtein_matches_duckdb():
         assert dl(a, b) == want, (a, b)
 
 
+def test_osa_restricted_damerau_semantics():
+    """The engine-default fuzzy distance is the RESTRICTED Damerau
+    (optimal string alignment — ``LevenshteinAutomata.java:54-55``
+    transposition as a primitive edit on otherwise-untouched adjacent
+    characters): a transposed pair cannot be edited again."""
+    osa = multiterm.osa_levenshtein
+    dl = multiterm.damerau_levenshtein
+    # agrees with full DL on simple shapes
+    assert osa("sacn", "scan") == 1
+    assert osa("ab", "ba") == 1
+    assert osa("kitten", "sitting") == 3
+    assert osa("", "ab") == 2 and osa("ab", "") == 2
+    assert osa("merge", "merge") == 0
+    # THE divergence family: transpose + edit INSIDE the pair
+    assert osa("ca", "abc") == 3 and dl("ca", "abc") == 2
+    assert osa("osrw", "row") == 3 and dl("osrw", "row") == 2
+    assert osa("osrw", "sort") == 2  # two disjoint transpositions
+    assert multiterm.levenshtein("osrw", "sort") == 3
+    # OSA always dominates full DL and is dominated by plain lev
+    rng = np.random.default_rng(11)
+    alpha = "abcd"
+    for _ in range(500):
+        a = "".join(rng.choice(list(alpha), rng.integers(0, 8)))
+        b = "".join(rng.choice(list(alpha), rng.integers(0, 8)))
+        o = osa(a, b)
+        assert dl(a, b) <= o <= multiterm.levenshtein(a, b), (a, b)
+        assert osa(b, a) == o, (a, b)  # symmetry
+
+
+def test_fuzzy_variant_selection():
+    """mode=fuzzy args: (base, max_edits[, transpositions[, variant]]);
+    default = restricted Damerau (reference parity), variant='full' =
+    unrestricted DL (oracle-compat), transpositions=False = plain."""
+    assert multiterm.bare_matcher("fuzzy", ("osrw", 2))("sort")
+    assert not multiterm.bare_matcher("fuzzy", ("osrw", 2))("row")
+    assert multiterm.bare_matcher("fuzzy", ("osrw", 2, True, "full"))("row")
+    assert not multiterm.bare_matcher("fuzzy", ("osrw", 2, False))("sort")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multiterm.bare_matcher("fuzzy", ("osrw", 2, True, "nope"))
+
+
+def test_osa_oracle_sql_matches_python():
+    """The recursive-CTE OSA DP shipped as the gate oracle
+    (oracle_sql.fuzzy_restricted_match_sql) must agree with the Python
+    engine distance on a randomized vocabulary."""
+    import duckdb
+
+    from lucene_spark.search import oracle_sql as osql
+
+    from lucene_spark.analysis.analyzer import ENGLISH_STOP_WORDS
+
+    rng = np.random.default_rng(23)
+    alpha = "orstw"
+    vocab = sorted(
+        (
+            {
+                "".join(rng.choice(list(alpha), rng.integers(1, 8)))
+                for _ in range(200)
+            }
+            | {"sort", "row", "osrw", "worst"}
+        )
+        # the oracle tokenizer applies the engine's stop filter
+        # (stopwords are never indexed, so fuzzy cannot match them)
+        - set(ENGLISH_STOP_WORDS)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT row_number() OVER () - 1 AS doc_id,"
+        " t AS text FROM (SELECT unnest(?) AS t)",
+        [vocab],
+    )
+    for base, k in [("osrw", 2), ("sort", 1), ("worst", 2)]:
+        got = {r[0] for r in con.execute(
+            osql.fuzzy_restricted_match_sql(base, k)
+        ).fetchall()}
+        pred = multiterm.bare_matcher("fuzzy", (base, k))
+        want = {i for i, t in enumerate(vocab) if pred(t)}
+        assert got == want, (base, k, got ^ want)
+
+
 def test_spark_scan_predicate_equals_python_matcher(spark):
     """The Spark Column predicate (scan filter) must select the SAME
     term set as the Python matcher (kernel/serving/highlight) for exact
