@@ -363,6 +363,29 @@ def scoring_boolean_rewrite(q: Query, expander) -> Query:
     return rewrite(map_leaves(q, leaf))
 
 
+def multi_term_leaves_split(q: Query) -> tuple:
+    """``multi_term_leaves`` with provenance: (const_score, interval)
+    leaf tuples. Constant-score leaves need only their DOC UNION (the
+    direct executor precomputes it under a byte-bounded spill guard);
+    interval sources need full postings (positions) in the segment
+    view for iterator-build expansion."""
+    if isinstance(q, MultiTermQuery):
+        return (q,), ()
+    if isinstance(q, IntervalQuery):
+        return (), multi_term_leaves(q)
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return multi_term_leaves_split(q.query)
+    if isinstance(q, BooleanQuery):
+        cs: list = []
+        iv: list = []
+        for c in q.must + q.should + q.must_not + q.filter:
+            a, b = multi_term_leaves_split(c)
+            cs.extend(a)
+            iv.extend(b)
+        return tuple(cs), tuple(iv)
+    return (), ()
+
+
 def multi_term_leaves(q: Query) -> tuple:
     """All ``MultiTermQuery`` leaves of a tree, in walk order — these
     need a term PREDICATE on the postings scan instead of a term list

@@ -116,6 +116,12 @@ def multi_term_union_docs(seg: SegmentView, q: "ast.MultiTermQuery"):
     membership here exactly as on the serving plane."""
     from lucene_spark.search.multiterm import term_key_matcher
 
+    if seg.mt_docs is not None:
+        pre = seg.mt_docs.get((q.mode, q.args, q.field))
+        if pre is not None:
+            # the direct executor's spill guard precomputed this union
+            # in bounded term-chunks (searcher._mt_union_docs_chunked)
+            return pre[seg.live_mask(pre)].astype(np.int64)
     pred = term_key_matcher(q.mode, q.args, q.field)
     parts = [tb.decode_all()[0] for t, tb in seg.terms.items() if pred(t)]
     docs = (

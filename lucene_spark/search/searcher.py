@@ -39,6 +39,71 @@ from lucene_spark.search.scoring import GlobalStats, build_scorers
 from lucene_spark.search.segment import SegmentView
 
 
+# Spill guard for the direct batched executor: a constant-score
+# MultiTermQuery expansion's postings are NEVER materialized in one
+# task-side frame. The leaf's doc union is accumulated in term-chunks
+# of at most this many postings (decoded int64 docs = 8 bytes each, so
+# the default bounds each chunk's decode at ~32 MB regardless of how
+# wide the expansion is — `a*` on a huge segment stays flat). The
+# value is captured driver-side at job submission (tests shrink it to
+# force multi-chunk unions).
+DIRECT_MT_CHUNK_POSTINGS = 4_000_000
+
+
+def _mt_union_docs_chunked(
+    index_dir: str, sid: str, mode: str, margs: tuple, mfield: str,
+    budget: int,
+) -> "np.ndarray":
+    """RAW sorted unique local doc-id union of one constant-score
+    MultiTermQuery leaf over one segment (liveDocs applied later by
+    ``kernels.multi_term_union_docs``), computed under the direct
+    executor's spill guard: the segment term dictionary supplies the
+    matching terms and their docFreqs (``arrow_filters`` pruning the
+    read for sargable modes), then postings are read docs_bin-ONLY —
+    no tfs/pos/impacts, which a constant-score union never needs — for
+    at most ``budget`` postings at a time."""
+    import pyarrow.parquet as pq
+
+    from lucene_spark.codec import blocks as blk
+    from lucene_spark.search import multiterm
+
+    t = pq.read_table(
+        os.path.join(index_dir, "term_stats", f"segment_id={sid}"),
+        columns=["term", "doc_freq"],
+        filters=multiterm.arrow_filters(mode, margs, mfield),
+    )
+    pred = multiterm.term_key_matcher(mode, margs, mfield)
+    matched = sorted(
+        (x, int(df))
+        for x, df in zip(t["term"].to_pylist(), t["doc_freq"].to_pylist())
+        if pred(x)
+    )  # term order == parquet sort order (row-group locality per chunk)
+    acc = np.empty(0, np.int64)
+    lo = 0
+    while lo < len(matched):
+        hi, load = lo, 0
+        while hi < len(matched) and (
+            hi == lo or load + matched[hi][1] <= budget
+        ):
+            load += matched[hi][1]
+            hi += 1
+        pt = pq.read_table(
+            os.path.join(index_dir, "postings", f"segment_id={sid}"),
+            columns=["first_doc", "docs_bin"],
+            filters=[("term", "in", [x for x, _ in matched[lo:hi]])],
+        )
+        lo = hi
+        if pt.num_rows:
+            parts = [
+                blk.decode_docs(int(fd), db)
+                for fd, db in zip(
+                    pt["first_doc"].to_pylist(), pt["docs_bin"].to_pylist()
+                )
+            ]
+            acc = np.union1d(acc, np.concatenate(parts))
+    return acc.astype(np.int64)
+
+
 def _load_segment_view(index_dir: str, segment_id: str, pdf_postings) -> SegmentView:
     """Build the kernel's segment view: postings rows from the Spark scan,
     norms read task-side from the segment's packed blob."""
@@ -493,15 +558,32 @@ class Searcher:
             parsed, k, pruned, dtype, threshold, seeds,
         )
         terms_list = sorted(all_terms)
-        mt_leaves: list = []
+        # split multi-term leaves by what the task needs: interval
+        # sources get full postings in the view (positions for
+        # iterator-build expansion); constant-score leaves get only a
+        # doc UNION, computed task-side in bounded chunks (the spill
+        # guard — a wide `a*` expansion never sits in one frame)
+        mt_full: list = []
+        mt_union: list = []
         seen: set = set()
         for q in parsed.values():
-            for leaf in ast_mod.multi_term_leaves(q):
+            cs, iv = ast_mod.multi_term_leaves_split(q)
+            for leaf in iv:
                 key = (leaf.mode, tuple(leaf.args), leaf.field)
-                if key not in seen:
-                    seen.add(key)
-                    mt_leaves.append(key)
-        kmt = mt_leaves
+                if ("f", key) not in seen:
+                    seen.add(("f", key))
+                    mt_full.append(key)
+            for leaf in cs:
+                key = (leaf.mode, tuple(leaf.args), leaf.field)
+                if ("u", key) not in seen:
+                    seen.add(("u", key))
+                    mt_union.append(key)
+        # a leaf used BOTH ways keeps the full-postings treatment (its
+        # union then derives from the view like the scan plane)
+        mt_union = [k for k in mt_union if k not in set(mt_full)]
+        kmt = mt_full
+        kmtu = mt_union
+        kbudget = int(DIRECT_MT_CHUNK_POSTINGS)
         pcols = [
             "term", "block_id", "num_docs", "first_doc", "last_doc",
             "docs_bin", "tfs_bin", "pos_bin", "impact_tfs", "impact_norms",
@@ -523,6 +605,12 @@ class Searcher:
                 )
                 pred = multiterm.term_key_matcher(mode, margs, mfield)
                 need.update(x for x in t["term"].to_pylist() if pred(x))
+            mt_docs = {
+                (mode, margs, mfield): _mt_union_docs_chunked(
+                    index_dir, sid, mode, margs, mfield, kbudget
+                )
+                for mode, margs, mfield in kmtu
+            }
             if need:
                 tbl = pq.read_table(
                     os.path.join(index_dir, "postings", f"segment_id={sid}"),
@@ -533,6 +621,8 @@ class Searcher:
             else:
                 pp = pd.DataFrame(columns=pcols)
             seg = _load_segment_view(index_dir, sid, pp)
+            if mt_docs:
+                seg.mt_docs = mt_docs
             out_q, out_d, out_s = [], [], []
             for qid, q in kqs.items():
                 docs, scores = kernels.search_segment(

@@ -178,6 +178,13 @@ class SegmentView:
     # global stats still include deleted docs until a rewriting merge —
     # exactly the reference's semantics (docFreq unchanged by deletes).
     live: "np.ndarray | None" = None
+    # precomputed constant-score MultiTermQuery doc unions, keyed
+    # (mode, args, field) -> RAW sorted unique local doc ids (live
+    # filter applied by the consumer). Set by the direct executor's
+    # spill guard (searcher._mt_union_docs_chunked) so a wide
+    # expansion's postings never sit in the view in one piece;
+    # None = derive unions from ``terms`` (the scan-plane shape).
+    mt_docs: "dict | None" = None
 
     def term_blocks(self, term: str) -> "TermBlocks | None":
         return self.terms.get(term)
