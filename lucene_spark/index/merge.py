@@ -835,11 +835,21 @@ def _merge_squeeze(
     group = sorted(
         (by_id[sid] for sid in group_segment_ids), key=lambda s: s["doc_base"]
     )
-    base = group[0]["doc_base"]
-    for s in group:
-        if s["doc_base"] != base:
-            raise ValueError("merge group must be doc_base-contiguous")
-        base += s["num_docs"]
+    # The rewrite renumbers live docs densely from the group's first
+    # doc_base, so unlike the id-preserving concat merge it does NOT
+    # need gap-free doc_base runs (earlier squeezes leave gaps that
+    # must stay mergeable — otherwise one reclaiming merge would
+    # freeze tiered merging in its region forever). It DOES need the
+    # group to be CONSECUTIVE in the commit's doc_base order: a
+    # foreign segment inside the group's span would collide with the
+    # repacked id range.
+    order = sorted(commit["segments"], key=lambda s: s["doc_base"])
+    pos = [
+        i for i, s in enumerate(order)
+        if s["segment_id"] in set(group_segment_ids)
+    ]
+    if pos != list(range(pos[0], pos[0] + len(group))):
+        raise ValueError("merge group must be consecutive in doc_base order")
     new_base = int(group[0]["doc_base"])
     new_sid = f"g{generation:04d}s{new_base:012d}"
     manifest_path = os.path.join(index_dir, "manifest", f"segment_{new_sid}.json")

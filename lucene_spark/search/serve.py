@@ -27,6 +27,7 @@ server; sharding/routing is deployment topology, not engine code.
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 
@@ -136,6 +137,18 @@ class ShardedSearcher:
         self.index_dir = index_dir
         self._shards = shards
         self._pools: list = []
+        # generation-swap lock (SearcherManager acquire/release analog,
+        # ``search/SearcherManager.java``): a query's scatter submits
+        # to every pool inside one lock window, and refresh() holds the
+        # same lock across stats reopen + pool re-pointing, so every
+        # query sees ONE commit generation — never a mix of pre- and
+        # post-merge segments (which would double-count swapped docs).
+        # Workers execute serially (max_workers=1), so a scatter
+        # submitted before the reopen batch runs wholly on the old
+        # view, one submitted after runs wholly on the new view.
+        # Results are gathered OUTSIDE the lock — serving latency only
+        # pays the submission window, not shard execution.
+        self._swap_lock = threading.RLock()
         # stats-only searcher: whole-index term dictionary, no segments
         self._stats_ls = LocalSearcher(index_dir, segment_ids=[], workers=1)
         self._open(self._stats_ls.commit)
@@ -189,6 +202,10 @@ class ShardedSearcher:
         requested shard count, fresh pools spawn and the new segments
         land on them (least-loaded placement finds the empty pools
         first). Kept pools never lose warm segments to a rebalance."""
+        with self._swap_lock:
+            return self._refresh_locked()
+
+    def _refresh_locked(self) -> bool:
         if not self._stats_ls.refresh():
             return False
         commit = self._stats_ls.commit
@@ -272,35 +289,37 @@ class ShardedSearcher:
         processes). Trades one shard's latency for less decode work in
         the rest — right for throughput-bound fleets; the default
         all-parallel mode stays optimal for single-query latency."""
-        tstats = self._query_stats(query)
-        base = (query, k, pruned, dtype, total_hits_threshold, tstats)
-        if share_theta and pruned and len(self._pools) > 1:
-            rows0 = self._pools[self._champ_pool].submit(
-                _shard_search, base + (-np.inf,)
-            ).result()
-            seed = (
-                kernels.seed_below(float(rows0[k - 1][1]), dtype)
-                if k > 0 and len(rows0) >= k
-                else -np.inf
-            )
-            futs = [
-                p.submit(_shard_search, base + (seed,))
-                for i, p in enumerate(self._pools)
-                if i != self._champ_pool
-            ]
-            rows = rows0 + [r for f in futs for r in f.result()]
-        else:
-            futs = [
-                p.submit(_shard_search, base + (-np.inf,))
-                for p in self._pools
-            ]
-            rows = [r for f in futs for r in f.result()]
+        with self._swap_lock:
+            tstats = self._query_stats(query)
+            base = (query, k, pruned, dtype, total_hits_threshold, tstats)
+            if share_theta and pruned and len(self._pools) > 1:
+                rows0 = self._pools[self._champ_pool].submit(
+                    _shard_search, base + (-np.inf,)
+                ).result()
+                seed = (
+                    kernels.seed_below(float(rows0[k - 1][1]), dtype)
+                    if k > 0 and len(rows0) >= k
+                    else -np.inf
+                )
+                futs = [
+                    p.submit(_shard_search, base + (seed,))
+                    for i, p in enumerate(self._pools)
+                    if i != self._champ_pool
+                ]
+            else:
+                rows0 = []
+                futs = [
+                    p.submit(_shard_search, base + (-np.inf,))
+                    for p in self._pools
+                ]
+        rows = rows0 + [r for f in futs for r in f.result()]
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
 
     def count(self, query) -> int:
-        args = (query, self._query_stats(query))
-        futs = [p.submit(_shard_count, args) for p in self._pools]
+        with self._swap_lock:
+            args = (query, self._query_stats(query))
+            futs = [p.submit(_shard_count, args) for p in self._pools]
         return sum(f.result() for f in futs)
 
     def search_many(
@@ -319,14 +338,15 @@ class ShardedSearcher:
         ``queries``: list of query strings/ASTs, or {query_id: query}."""
         if not isinstance(queries, dict):
             queries = {str(i): q for i, q in enumerate(queries)}
-        tstats = {
-            qid: self._query_stats(q) for qid, q in queries.items()
-        }
-        args = (
-            list(queries.items()), k, pruned, dtype,
-            total_hits_threshold, tstats,
-        )
-        futs = [p.submit(_shard_search_many, args) for p in self._pools]
+        with self._swap_lock:
+            tstats = {
+                qid: self._query_stats(q) for qid, q in queries.items()
+            }
+            args = (
+                list(queries.items()), k, pruned, dtype,
+                total_hits_threshold, tstats,
+            )
+            futs = [p.submit(_shard_search_many, args) for p in self._pools]
         per_pool = [f.result() for f in futs]
         out: dict = {}
         for qid in queries:
@@ -411,8 +431,9 @@ class ShardedSearcher:
         return self._stats_ls.global_term_stats(ast_mod.query_terms(q))
 
     def close(self) -> None:
-        for p in self._pools:
-            p.shutdown()
+        with getattr(self, "_swap_lock", threading.RLock()):
+            for p in self._pools:
+                p.shutdown()
 
 
 class LocalSearcher:

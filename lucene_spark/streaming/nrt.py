@@ -49,7 +49,20 @@ def append_batch(spark, batch_df, index_dir: str, config: IndexConfig) -> dict:
     except FileNotFoundError:
         prev = None
     gen = (prev["generation"] + 1) if prev else config.generation
-    base = prev["doc_count"] if prev else 0
+    # the append's doc ids must start past every EXISTING id range, not
+    # at doc_count: a reclaiming (squeeze) merge shrinks doc_count below
+    # the max segment end, and basing the append on doc_count would
+    # OVERLAP the tail segment's global ids (two docs sharing an id —
+    # phantom hits and missed docmap lookups). Gaps left by squeezes
+    # stay gaps; ids are never reused while any segment spans them.
+    base = (
+        max(
+            (int(s["doc_base"]) + int(s["num_docs"]) for s in prev["segments"]),
+            default=prev["doc_count"],
+        )
+        if prev
+        else 0
+    )
 
     # replace() carries EVERY config field (doc_base_mode/doc_stride/...)
     # — field-by-field reconstruction silently dropped new fields
