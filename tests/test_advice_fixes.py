@@ -125,12 +125,25 @@ def test_append_batch_carries_config_fields(spark, tmp_path_factory, corpus):
     bases = sorted(s["doc_base"] for s in commit["segments"])
     stride = 1 << 20
     gen2_bases = [s["doc_base"] for s in commit["segments"] if s["segment_id"].startswith("g0002")]
-    doc_count_gen1 = sum(
-        s["num_docs"] for s in commit["segments"] if s["segment_id"].startswith("g0001")
+    # appends base past the MAX SEGMENT END of the previous commit (not
+    # its doc_count, which a reclaiming merge can shrink below a live
+    # segment's end — the round-5 id-overlap fix in streaming/nrt.py)
+    max_end_gen1 = max(
+        s["doc_base"] + s["num_docs"]
+        for s in commit["segments"]
+        if s["segment_id"].startswith("g0001")
     )
     for b in gen2_bases:
-        assert (b - doc_count_gen1) % stride == 0
+        assert b >= max_end_gen1  # no overlap with gen-1 id ranges
+        assert (b - max_end_gen1) % stride == 0  # still strided
     assert len(set(bases)) == len(bases)  # no doc-id range collisions
+    # strided id ranges must be disjoint across ALL segments
+    spans = sorted(
+        (s["doc_base"], s["doc_base"] + s["num_docs"])
+        for s in commit["segments"]
+    )
+    for (a0, a1), (b0, _) in zip(spans, spans[1:]):
+        assert a1 <= b0
 
 
 def test_append_batch_single_commit_per_generation(spark, tmp_path_factory, corpus):
