@@ -198,6 +198,51 @@ def _searcher_fa(spark: SparkSession, sf_dir: str):
     return s
 
 
+def _searcher_pay(spark: SparkSession, sf_dir: str):
+    """Payload-plane index (the 4th posting plane): every token of
+    ``text`` is decorated ``tok|position`` JVM-side and indexed with
+    the DelimitedPayloadTokenFilter chain
+    (``lucene_spark/analysis/payloads.py``), so each position carries
+    its own 0-based index as an identity-encoded payload — the
+    deterministic fixture that lets a DuckDB oracle reproduce
+    ``Intervals.payload_filtered_term`` exactly."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from lucene_spark.analysis.payloads import DelimitedPayloadAnalyzer
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.searcher import Searcher
+
+    key = _corpus_key(sf_dir) + "pay"
+    if key in _searchers:
+        return _searchers[key]
+    index_dir = os.path.join("/tmp", "lucene_spark_idx", key)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    chunk = max(1, math.ceil(n / _NUM_SEGMENTS))
+    toks = F.split(F.col("text"), " ")
+    pages = docs.select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"),
+        F.array_join(
+            F.transform(
+                toks, lambda x, i: F.concat_ws("|", x, i.cast("string"))
+            ),
+            " ",
+        ).alias("text"),
+    )
+    analyzer = DelimitedPayloadAnalyzer()
+    cfg = IndexConfig(
+        num_segments=_NUM_SEGMENTS,
+        analyzer=analyzer,
+        pid_expr=f"int(cast(url as bigint) / {chunk})",
+    )
+    build_index(spark, pages, index_dir, cfg)
+    s = Searcher(spark, index_dir, analyzer=analyzer)
+    _searchers[key] = s
+    return s
+
+
 def _docs_view(spark: SparkSession, sf_dir: str) -> None:
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView(
         "documents"
@@ -411,6 +456,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "", iv.maxgaps(3, iv.unordered(iv.term(TERM), iv.term("scan")))
         )
         return _out_docs(_searcher(spark, sf_dir).match_docs(qq))
+
+    def interval_payload_match(spark, sf_dir):
+        # payload-filtered term intervals over the payload-plane index
+        # (every position carries its own index as an identity payload):
+        # keep only EVEN-position occurrences of TERM — the
+        # PayloadFilteredTermIntervalsSource do/while filter as a doc
+        # predicate, bitwise against a DuckDB positions oracle
+        from lucene_spark.search import intervals as iv
+
+        ast = _ast()
+        qq = ast.IntervalQuery(
+            "",
+            iv.payload_filtered_term(
+                TERM, lambda b: b is not None and int(b) % 2 == 0
+            ),
+        )
+        return _out_docs(_searcher_pay(spark, sf_dir).match_docs(qq))
 
     def bool_and_topk(spark, sf_dir):
         ast = _ast()
@@ -842,6 +904,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-term CONSTANT_SCORE_REWRITE entry
         wildcard_match=wildcard_match,
         const_score_match=const_score_match,
+        # round 5: payload streams (4th posting plane) — past-cap rather
+        # than displacing a unique in-gate operator row; the local
+        # replica (scripts/check_entry.py) verifies it bitwise vs its
+        # DuckDB positions oracle, and tests/test_payloads.py pins the
+        # reference goldens (TestPayloadFilteredInterval,
+        # DelimitedPayloadTokenFilter, PayloadHelper)
+        interval_payload_match=interval_payload_match,
     )
     return q
 
@@ -902,6 +971,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "interval_unordered_match": osql.interval_unordered_match_sql(
             TERM, "scan", 3
         ),
+        "interval_payload_match": osql.interval_payload_match_sql(TERM),
         "regexp_match": osql.multiterm_match_sql("regexp_matches(t, 'ow$')"),
         "range_match": osql.multiterm_match_sql("t >= 'ba' AND t < 'da'"),
         "regexp_lucene_match": osql.multiterm_match_sql(

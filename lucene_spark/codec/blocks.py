@@ -95,6 +95,7 @@ def encode_term_postings(
     positions_flat: np.ndarray,
     norms_by_doc: np.ndarray,
     with_positions: bool = True,
+    payloads_flat=None,
 ) -> list[dict]:
     """Encode one term's full posting list into block rows.
 
@@ -102,6 +103,9 @@ def encode_term_postings(
     tfs: term frequency per posting (int64)
     positions_flat: concatenation of each posting's sorted positions
     norms_by_doc: uint8 norm byte per local doc id (indexable by doc id)
+    payloads_flat: optional per-position payloads aligned with
+        positions_flat (bytes or None each) — when given, every block
+        row gains a ``pay_bin`` stream (:func:`pack_payloads`)
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -136,20 +140,61 @@ def encode_term_postings(
             pos_bin = b""
         nb = np.asarray(norms_by_doc, dtype=np.uint8)[d]
         imp_tf, imp_norm = competitive_impacts(t, nb)
-        rows.append(
-            {
-                "block_id": b0 // BLOCK_SIZE,
-                "num_docs": int(d.size),
-                "first_doc": int(d[0]),
-                "last_doc": int(d[-1]),
-                "docs_bin": docs_bin,
-                "tfs_bin": tfs_bin,
-                "pos_bin": pos_bin,
-                "impact_tfs": imp_tf,
-                "impact_norms": imp_norm,
-            }
-        )
+        row = {
+            "block_id": b0 // BLOCK_SIZE,
+            "num_docs": int(d.size),
+            "first_doc": int(d[0]),
+            "last_doc": int(d[-1]),
+            "docs_bin": docs_bin,
+            "tfs_bin": tfs_bin,
+            "pos_bin": pos_bin,
+            "impact_tfs": imp_tf,
+            "impact_norms": imp_norm,
+        }
+        if payloads_flat is not None:
+            p0, p1 = pos_bounds[b0], pos_bounds[b1]
+            row["pay_bin"] = pack_payloads(payloads_flat[p0:p1])
+        rows.append(row)
     return rows
+
+
+def pack_payloads(payloads) -> bytes:
+    """Encode one block's per-position payloads (the ``.pay`` stream
+    role, ``Lucene104PostingsWriter.java`` payload branch): aligned
+    with the block's flat positions, one payload (bytes or None) per
+    position.  Layout: 4-byte little-endian size of the FOR-packed
+    length stream, the packed lengths (one uint32 per position; 0 =
+    no payload, matching the reference where a zero-length payload
+    reads back as null), then the concatenated payload bytes."""
+    import struct
+
+    lengths = np.fromiter(
+        (0 if p is None else len(p) for p in payloads),
+        dtype=np.uint32,
+        count=len(payloads),
+    )
+    len_bin = forutil.pack(lengths)
+    data = b"".join(p for p in payloads if p)
+    return struct.pack("<I", len(len_bin)) + len_bin + data
+
+
+def unpack_payloads(pay_bin: bytes) -> list:
+    """Inverse of :func:`pack_payloads` -> list[bytes | None] aligned
+    with the block's flat positions (None where no payload was indexed,
+    the reference's null ``getPayload()``)."""
+    import struct
+
+    if not pay_bin:
+        return []
+    (nlen,) = struct.unpack_from("<I", pay_bin, 0)
+    lengths = forutil.unpack(pay_bin[4 : 4 + nlen]).astype(np.int64)
+    out: list = [None] * lengths.size
+    off = 4 + nlen
+    for i, ln in enumerate(lengths):
+        if ln:
+            out[i] = pay_bin[off : off + ln]
+            off += ln
+    return out
 
 
 def decode_docs(first_doc: int, docs_bin: bytes) -> np.ndarray:

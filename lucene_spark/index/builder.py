@@ -154,6 +154,8 @@ def invert_field(
     from lucene_spark.search.ast import fielded
     from lucene_spark.util.smallfloat import int_to_byte4_np
 
+    if coded is None and getattr(analyzer, "has_payloads", False):
+        return _invert_field_payloads(field, texts, analyzer, store_positions)
     doc_idx, codes, uniq, positions, counts = (
         coded if coded is not None else analyzer.tokenize_batch_coded(texts)
     )
@@ -196,6 +198,81 @@ def invert_field(
             }
             for ti in range(uniq.size)
         ]
+    return (
+        block_rows,
+        term_stats,
+        norms,
+        int(counts.sum()),
+        int(np.count_nonzero(counts)),
+    )
+
+
+def _invert_field_payloads(field: str, texts, analyzer, store_positions: bool):
+    """Payload-aware invert (the 4th posting plane,
+    ``index/IndexOptions.java`` + the ``.pay`` stream of
+    ``Lucene104PostingsWriter.java``): same (term, doc, position)
+    lexsort as :func:`invert_field` with the per-token payload bytes
+    carried through to per-position ``pay_bin`` streams.  Opt-in via a
+    payload-producing analyzer (``analysis/payloads.py``); the
+    non-payload hot path is untouched.  Per-term encode runs the
+    scalar ``encode_term_postings`` (payload builds trade the batched
+    encoder for the extra stream — the same trade the reference makes
+    wiring payloads through the postings writer).  Not supported
+    together with ``vector_fields`` single-pass offsets."""
+    from lucene_spark.codec.blocks import encode_term_postings
+    from lucene_spark.search.ast import fielded
+    from lucene_spark.util.smallfloat import int_to_byte4_np
+
+    ndocs = len(texts)
+    counts = np.zeros(ndocs, dtype=np.int64)
+    doc_idx_l: list = []
+    terms_l: list = []
+    pos_l: list = []
+    pay_l: list = []
+    for di, text in enumerate(texts):
+        ts, ps, pays = analyzer.tokenize_one_payloads(text or "")
+        counts[di] = len(ts)
+        doc_idx_l.extend([di] * len(ts))
+        terms_l.extend(ts)
+        pos_l.extend(ps)
+        pay_l.extend(pays)
+    norms = int_to_byte4_np(counts)
+    block_rows: list = []
+    term_stats: list = []
+    if terms_l:
+        uniq, codes = np.unique(np.array(terms_l, dtype=object), return_inverse=True)
+        doc_idx = np.asarray(doc_idx_l, dtype=np.int64)
+        positions = np.asarray(pos_l, dtype=np.int64)
+        payloads = np.array(pay_l, dtype=object)
+        order = np.lexsort((positions, doc_idx, codes))
+        codes_s = codes[order]
+        docs_s = doc_idx[order]
+        pos_s = positions[order]
+        pay_s = payloads[order]
+        bounds = np.searchsorted(codes_s, np.arange(uniq.size + 1))
+        for ti in range(uniq.size):
+            ts0, ts1 = int(bounds[ti]), int(bounds[ti + 1])
+            d = docs_s[ts0:ts1]
+            docs_u, tfs = np.unique(d, return_counts=True)
+            key = fielded(field, str(uniq[ti]))
+            rows = encode_term_postings(
+                docs_u,
+                tfs.astype(np.int64),
+                pos_s[ts0:ts1],
+                norms,
+                with_positions=store_positions,
+                payloads_flat=pay_s[ts0:ts1],
+            )
+            for r in rows:
+                r["term"] = key
+            block_rows.extend(rows)
+            term_stats.append(
+                {
+                    "term": key,
+                    "doc_freq": int(docs_u.size),
+                    "total_tf": int(ts1 - ts0),
+                }
+            )
     return (
         block_rows,
         term_stats,
@@ -261,8 +338,7 @@ def _write_segment_files(
         os.replace(tmp, final)
         return final
 
-    post_tbl = pa.table(
-        {
+    post_cols = {
             "term": pa.array([r["term"] for r in block_rows], pa.string()),
             "block_id": pa.array([r["block_id"] for r in block_rows], pa.int32()),
             "num_docs": pa.array([r["num_docs"] for r in block_rows], pa.int32()),
@@ -277,8 +353,14 @@ def _write_segment_files(
             "impact_norms": pa.array(
                 [r["impact_norms"] for r in block_rows], pa.list_(pa.int32())
             ),
-        }
-    )
+    }
+    if any("pay_bin" in r for r in block_rows):
+        # payload-enabled field in the segment: every block row gets the
+        # stream (empty for payload-free terms/fields of the same doc)
+        post_cols["pay_bin"] = pa.array(
+            [r.get("pay_bin", b"") for r in block_rows], pa.binary()
+        )
+    post_tbl = pa.table(post_cols)
     os.makedirs(os.path.join(tmp_root, "postings"), exist_ok=True)
     pq.write_table(
         post_tbl,

@@ -90,6 +90,13 @@ def _check_segment(index_dir: str, segment_id: str, seg_meta: dict, pdf) -> dict
                     assert (np.diff(p) > 0).all() and (p >= 0).all(), (
                         f"{term}: positions not increasing"
                     )
+            # payload streams (when indexed) align 1:1 with positions
+            pay = getattr(r, "pay_bin", b"") or b""
+            if pay:
+                pls = blk.unpack_payloads(pay)
+                assert len(pls) == int(tfs.sum()), (
+                    f"{term}: payload count != position count"
+                )
             # impacts are rank-safe upper bounds for this block
             itfs = np.asarray(list(r.impact_tfs), dtype=np.int64)
             inorms = np.asarray(list(r.impact_norms), dtype=np.uint8)

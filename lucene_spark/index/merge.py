@@ -312,6 +312,7 @@ def merge_segments(
         posts = spark.read.parquet(os.path.join(index_dir, "postings")).where(
             F.col("segment_id").isin([s["segment_id"] for s in group])
         )
+        has_pay = "pay_bin" in posts.columns
         shifted = (
             posts.join(F.broadcast(dim), "segment_id")
             .select(
@@ -323,6 +324,7 @@ def merge_segments(
                 "docs_bin",
                 "tfs_bin",
                 "pos_bin",
+                *(["pay_bin"] if has_pay else []),
                 "impact_tfs",
                 "impact_norms",
                 "seg_order",
@@ -340,8 +342,7 @@ def merge_segments(
             )
             # renumber blocks per term in merged doc order
             pdf["block_id"] = pdf.groupby("term").cumcount().astype("int32")
-            tbl = pa.table(
-                {
+            cols = {
                     "term": pa.array(pdf["term"], pa.string()),
                     "block_id": pa.array(pdf["block_id"], pa.int32()),
                     "num_docs": pa.array(pdf["num_docs"], pa.int32()),
@@ -356,8 +357,12 @@ def merge_segments(
                     "impact_norms": pa.array(
                         [list(v) for v in pdf["impact_norms"]], pa.list_(pa.int32())
                     ),
-                }
-            )
+            }
+            if "pay_bin" in pdf.columns:
+                # concatenation merge: payload streams are per-block and
+                # doc-shift-invariant — carried verbatim
+                cols["pay_bin"] = pa.array(pdf["pay_bin"], pa.binary())
+            tbl = pa.table(cols)
             pq.write_table(
                 tbl,
                 os.path.join(shard_dir, f"data_{salt:04d}.parquet"),
@@ -896,14 +901,17 @@ def _merge_squeeze(
             ts_df: list = []
             ts_ttf: list = []
             pbytes = 0
+            has_pay_col = "pay_bin" in pdf.columns
             for term, grp in pdf.groupby("term", sort=True):
-                docs_parts, tfs_parts, pos_parts = [], [], []
+                docs_parts, tfs_parts, pos_parts, pay_parts = [], [], [], []
                 with_pos = False
+                with_pay = False
                 for rec in grp.itertuples(index=False):
                     l = by_order[int(rec.seg_order)]
                     d = blk.decode_docs(int(rec.first_doc), rec.docs_bin)
                     t = blk.decode_tfs(rec.tfs_bin)
                     keep = np.isin(d, l["live"], assume_unique=True)
+                    rec_pay = getattr(rec, "pay_bin", b"") if has_pay_col else b""
                     if len(rec.pos_bin):
                         with_pos = True
                         flat = blk.decode_positions(rec.pos_bin, t)
@@ -912,6 +920,14 @@ def _merge_squeeze(
                         pos_parts.extend(
                             flat[bounds[j] : bounds[j + 1]] for j in kept_idx
                         )
+                        if rec_pay:
+                            # per-position payloads: slice like positions
+                            with_pay = True
+                            pays = blk.unpack_payloads(rec_pay)
+                            pay_parts.extend(
+                                pays[bounds[j] : bounds[j + 1]]
+                                for j in kept_idx
+                            )
                     if not keep.any():
                         continue
                     d, t = d[keep], t[keep]
@@ -929,14 +945,24 @@ def _merge_squeeze(
                     nd, ntf = nd[order], ntf[order]
                     if pos_parts:
                         pos_parts = [pos_parts[j] for j in order]
+                    if pay_parts:
+                        pay_parts = [pay_parts[j] for j in order]
                 npos = (
                     np.concatenate(pos_parts)
                     if pos_parts
                     else np.empty(0, np.int64)
                 )
+                npay = None
+                if with_pay:
+                    npay = np.empty(npos.size, dtype=object)
+                    off = 0
+                    for pl in pay_parts:
+                        npay[off : off + len(pl)] = pl
+                        off += len(pl)
                 fnorms = new_norms.get(field_of(term))
                 rows = encode_term_postings(
-                    nd, ntf, npos, fnorms, with_positions=with_pos
+                    nd, ntf, npos, fnorms, with_positions=with_pos,
+                    payloads_flat=npay,
                 )
                 for r in rows:
                     r["term"] = term
@@ -948,8 +974,7 @@ def _merge_squeeze(
                     len(r["docs_bin"]) + len(r["tfs_bin"]) + len(r["pos_bin"])
                     for r in rows
                 )
-            tbl = pa.table(
-                {
+            out_cols = {
                     "term": pa.array([r["term"] for r in out_rows], pa.string()),
                     "block_id": pa.array(
                         [r["block_id"] for r in out_rows], pa.int32()
@@ -972,8 +997,12 @@ def _merge_squeeze(
                     "impact_norms": pa.array(
                         [r["impact_norms"] for r in out_rows], pa.list_(pa.int32())
                     ),
-                }
-            )
+            }
+            if has_pay_col:
+                out_cols["pay_bin"] = pa.array(
+                    [r.get("pay_bin", b"") for r in out_rows], pa.binary()
+                )
+            tbl = pa.table(out_cols)
             pq.write_table(
                 tbl,
                 os.path.join(post_dir, f"data_{salt:04d}.parquet"),

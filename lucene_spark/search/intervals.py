@@ -30,8 +30,13 @@ expands per segment against the term dictionary (the
 string parser accepts the ``fn:NAME(...)`` grammar
 (``StandardSyntaxParser.jj``). ``fix_field`` supports cross-field
 intervals over concrete-term subtrees (field-qualified-key rewrite).
-Deliberate scope cut (documented, not hidden): payload-filtered terms
-(payloads are not indexed); fix_field over multi-term sources raises.
+``payload_filtered_term`` filters a term's positions by a payload
+predicate (``PayloadFilteredTermIntervalsSource.java``) over indexes
+built with a payload-producing analyzer
+(``lucene_spark/analysis/payloads.py``); per-doc payload arrays ride
+``pos_of`` under the ``("pay", term)`` key.
+Deliberate scope cut (documented, not hidden): fix_field over
+multi-term sources raises.
 """
 
 from __future__ import annotations
@@ -883,6 +888,57 @@ class Term(IntervalsSource):
         return _TermIt(pos_of.get(self.term, ()))
 
 
+@dataclass(frozen=True, eq=False)
+class PayloadFilteredTerm(IntervalsSource):
+    """``PayloadFilteredTermIntervalsSource.java:36-148``: a term leaf
+    whose positions are filtered by a payload predicate — the iterator
+    skips positions failing ``filter.test(getPayload())`` (the
+    ``nextInterval`` do/while at :118-126).  ``filter`` receives the
+    position's payload bytes, or ``None`` where no payload was indexed
+    (the reference's null ``getPayload()``).
+
+    Deliberately NOT a ``Term`` subclass: the across-docs fast sweeps
+    pattern-match concrete ``Term`` leaves and know nothing about
+    payloads, so this leaf must fall through to the generic per-doc
+    iterator path.  Like the reference (equals/hashCode at :232-244),
+    identity compares the term only — predicates are opaque."""
+
+    term: str
+    filter: object  # callable bytes|None -> bool
+
+    def min_extent(self) -> int:
+        return 1  # :229
+
+    def terms(self) -> set:
+        return {self.term}
+
+    def __eq__(self, other):
+        return isinstance(other, PayloadFilteredTerm) and other.term == self.term
+
+    def __hash__(self):
+        return hash(("payload_filtered", self.term))
+
+    def matches_approx(self, pos_of: dict) -> bool:
+        # doc-level approximation is the unfiltered term (the reference
+        # approximates with the raw PostingsEnum; the filter only runs
+        # in nextInterval) — an all-filtered doc enumerates zero
+        # intervals and scores 0 like a two-phase non-match
+        return len(pos_of.get(self.term, ())) > 0
+
+    def iterator(self, pos_of: dict) -> _It:
+        pos = pos_of.get(self.term, ())
+        pays = pos_of.get(("pay", self.term))
+        f = self.filter
+        if pays is None:
+            kept = [p for p in pos if f(None)]
+        else:
+            kept = [p for p, b in zip(pos, pays) if f(b)]
+        return _TermIt(kept)
+
+    def pull_up_disjunctions(self) -> list:
+        return [self]  # :234
+
+
 @dataclass(frozen=True)
 class NoMatch(IntervalsSource):
     reason: str = ""
@@ -1375,6 +1431,34 @@ def term(t: str) -> IntervalsSource:
     return Term(str(t))
 
 
+def payload_filtered_term(t: str, filter) -> IntervalsSource:
+    """Intervals.payloadFilteredTerm (``Intervals.java``): a term leaf
+    keeping only positions whose indexed payload passes ``filter``
+    (a callable over payload bytes; receives ``None`` at positions
+    without a payload).  Requires an index built with payloads —
+    querying a payload-free index raises, mirroring the reference's
+    "no indexed payloads" IllegalArgumentException."""
+    return PayloadFilteredTerm(str(t), filter)
+
+
+def payload_terms(source: IntervalsSource) -> set:
+    """Terms under PayloadFilteredTerm leaves of a source tree — the
+    engine decodes these terms' per-position payload streams alongside
+    positions when building the per-doc evaluation context."""
+    if isinstance(source, PayloadFilteredTerm):
+        return {source.term}
+    if isinstance(source, (_Conjunction, Or, AtLeast)):
+        out: set = set()
+        for s in source.subs:
+            out |= payload_terms(s)
+        return out
+    if isinstance(source, _Difference):
+        return payload_terms(source.minuend) | payload_terms(source.subtrahend)
+    if isinstance(source, (MaxGaps, MaxWidth, Extended, Offset, Repeating)):
+        return payload_terms(source.sub)
+    return set()
+
+
 def _dedupe_ordered(sources: list) -> list:
     """OrderedIntervalsSource.deduplicate: consecutive equal sources
     collapse into a Repeating source."""
@@ -1574,6 +1658,8 @@ def fix_field(field: str, source) -> IntervalsSource:
         )
 
     def walk(s):
+        if isinstance(s, PayloadFilteredTerm):
+            return PayloadFilteredTerm(fielded(field, s.term), s.filter)
         if isinstance(s, Term):
             return Term(fielded(field, s.term))
         if isinstance(s, (Block, Ordered, Unordered, Containing,
@@ -1669,7 +1755,9 @@ def approx_docs(source: IntervalsSource, docs_of: dict):
     evaluator with."""
     import numpy as np
 
-    if isinstance(source, Term):
+    if isinstance(source, (Term, PayloadFilteredTerm)):
+        # a payload-filtered leaf approximates as its raw term (the
+        # filter runs per position in the iterator, two-phase style)
         return np.asarray(docs_of.get(source.term, np.empty(0, np.int64)))
     if isinstance(source, NoMatch):
         return np.empty(0, np.int64)

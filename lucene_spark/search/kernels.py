@@ -738,13 +738,25 @@ def _interval_eval(src, tbs, docs_of, cand, q, dtype, boost):
                 tshape, _sub_plist, src.min_extent(), q, dtype, boost
             )
     # positions only for (term, candidate∩term) — block-grouped decode
+    pay_terms = iv.payload_terms(src)
     per_doc: dict = {int(d): {} for d in cand}
     for t, tb in tbs.items():
         mine = np.intersect1d(cand, docs_of[t], assume_unique=True)
         if mine.size == 0:
             continue
-        for d, pl in zip(mine, _positions_for_docs(tb, mine)):
+        want_pay = t in pay_terms
+        if want_pay and not tb.has_payloads:
+            # PayloadFilteredTermIntervalsSource.java:56-62
+            raise ValueError(
+                "Cannot create a payload-filtered iterator: the index "
+                "has no indexed payloads (build with a payload-producing "
+                "analyzer, lucene_spark/analysis/payloads.py)"
+            )
+        pays = _payloads_for_docs(tb, mine) if want_pay else None
+        for row, (d, pl) in enumerate(zip(mine, _positions_for_docs(tb, mine))):
             per_doc[int(d)][t] = pl
+            if pays is not None:
+                per_doc[int(d)][("pay", t)] = pays[row]
     out_docs: list = []
     out_scores: list = []
     for d in cand:
@@ -837,6 +849,23 @@ def _positions_for_docs(tb: TermBlocks, docs: np.ndarray) -> list:
         j = np.searchsorted(bd, docs[sel])
         for row, jj in zip(sel, j):
             out[row] = flat[bounds[jj] : bounds[jj + 1]]
+    return out
+
+
+def _payloads_for_docs(tb: TermBlocks, docs: np.ndarray) -> list:
+    """Per requested doc, its per-position payload list (aligned with
+    the doc's position array; doc must be present) — the block-grouped
+    mirror of ``_positions_for_docs`` over the ``pay_bin`` streams."""
+    out: list = [None] * docs.size
+    bidx = np.searchsorted(tb.last_doc, docs, side="left")
+    for b in np.unique(bidx):
+        sel = np.flatnonzero(bidx == b)
+        bd, bt = tb.decode(int(b))
+        pays = tb.decode_payloads(int(b))
+        bounds = np.concatenate(([0], np.cumsum(bt)))
+        j = np.searchsorted(bd, docs[sel])
+        for row, jj in zip(sel, j):
+            out[row] = pays[bounds[jj] : bounds[jj + 1]]
     return out
 
 

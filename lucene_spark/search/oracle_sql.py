@@ -814,6 +814,25 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def interval_payload_match_sql(t: str, table: str = "documents") -> str:
+    """Match set of IntervalQuery(payload_filtered_term(t, even)):
+    the payload-plane index decorates token k as ``tok|k``
+    (DelimitedPayloadTokenFilter, identity encoder), so the filtered
+    iterator keeps exactly the even 0-based whitespace positions of
+    ``t``; a doc matches iff one survives the payload filter
+    (``PayloadFilteredTermIntervalsSource.java:118-126``).  The corpus
+    text is single-space ASCII, so DuckDB's 1-based string_split
+    positions map to the analyzer's 0-based stream as i - 1."""
+    return f"""WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS raw FROM {table}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM s
+WHERE len(list_filter(range(1, len(raw) + 1),
+          i -> raw[i] = '{t}' AND (i - 1) % 2 = 0)) > 0
+ORDER BY doc_id"""
+
+
 def interval_unordered_match_sql(
     t1: str, t2: str, max_gaps: int, table: str = "documents"
 ) -> str:

@@ -136,22 +136,24 @@ def _load_segment_view(index_dir: str, segment_id: str, pdf_postings) -> Segment
             live = np.ones(nsize, dtype=bool)
             live[dead] = False
     rows_by_term: dict[str, list] = {}
+    has_pay = "pay_bin" in pdf_postings.columns
     for rec in pdf_postings.itertuples(index=False):
         if rec.term is None or not isinstance(rec.term, str):
             continue  # segment-skeleton row (term-less queries)
-        rows_by_term.setdefault(rec.term, []).append(
-            {
-                "block_id": rec.block_id,
-                "num_docs": rec.num_docs,
-                "first_doc": rec.first_doc,
-                "last_doc": rec.last_doc,
-                "docs_bin": rec.docs_bin,
-                "tfs_bin": rec.tfs_bin,
-                "pos_bin": rec.pos_bin,
-                "impact_tfs": rec.impact_tfs,
-                "impact_norms": rec.impact_norms,
-            }
-        )
+        row = {
+            "block_id": rec.block_id,
+            "num_docs": rec.num_docs,
+            "first_doc": rec.first_doc,
+            "last_doc": rec.last_doc,
+            "docs_bin": rec.docs_bin,
+            "tfs_bin": rec.tfs_bin,
+            "pos_bin": rec.pos_bin,
+            "impact_tfs": rec.impact_tfs,
+            "impact_norms": rec.impact_norms,
+        }
+        if has_pay and rec.pay_bin:
+            row["pay_bin"] = rec.pay_bin
+        rows_by_term.setdefault(rec.term, []).append(row)
     seg = SegmentView.from_block_rows(segment_id, doc_base, norms, rows_by_term)
     seg.live = live
     return seg
@@ -588,6 +590,8 @@ class Searcher:
             "term", "block_id", "num_docs", "first_doc", "last_doc",
             "docs_bin", "tfs_bin", "pos_bin", "impact_tfs", "impact_norms",
         ]
+        if "pay_bin" in self.postings.columns:
+            pcols.append("pay_bin")
 
         def one_segment(sid: str):
             import pandas as pd

@@ -52,6 +52,9 @@ class TermBlocks:
     pos_bin: list
     impact_tfs: list  # list of int lists
     impact_norms: list
+    # per-position payload streams (the ``.pay`` file role) — None for
+    # indexes built without payloads (the common case)
+    pay_bin: "list | None" = None
     doc_freq: int = 0
     # norm bytes of THIS term's field (per-field .nvd blob, indexable by
     # local doc id) — every scorer call uses the field's own lengths
@@ -85,6 +88,23 @@ class TermBlocks:
             self._cache[key] = hit
             _DECODED_POS_BLOCKS[0] += 1
         return hit
+
+    def decode_payloads(self, i: int) -> list:
+        """Per-position payloads of block i (aligned with the flat
+        positions of :meth:`decode_positions`); [] when the index was
+        built without payloads."""
+        if self.pay_bin is None:
+            return []
+        key = ("pay", i)
+        hit = self._cache.get(key)
+        if hit is None:
+            hit = blk.unpack_payloads(self.pay_bin[i])
+            self._cache[key] = hit
+        return hit
+
+    @property
+    def has_payloads(self) -> bool:
+        return self.pay_bin is not None
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         """All (doc ids, tfs) of this term, concatenated."""
@@ -239,6 +259,11 @@ class SegmentView:
                 pos_bin=[r["pos_bin"] for r in rows],
                 impact_tfs=[list(r["impact_tfs"]) for r in rows],
                 impact_norms=[list(r["impact_norms"]) for r in rows],
+                pay_bin=(
+                    [r.get("pay_bin") or b"" for r in rows]
+                    if any(r.get("pay_bin") is not None for r in rows)
+                    else None
+                ),
                 doc_freq=int(sum(r["num_docs"] for r in rows)),
                 norms=fn,
             )

@@ -461,6 +461,7 @@ class LocalSearcher:
         )
         self._views: dict = {}  # sid -> SegmentView (terms fill lazily)
         self._missing: set = set()  # (sid, term) negative cache
+        self._has_payloads: "bool | None" = None  # lazy schema probe
         self._stats: dict | None = None
         self._analyzer = analyzer
         self._preload = preload_stats
@@ -613,8 +614,18 @@ class LocalSearcher:
                 "impact_norms",
             ]
             if need:
+                pdir = os.path.join(
+                    self.index_dir, "postings", f"segment_id={sid}"
+                )
+                if self._has_payloads is None:
+                    self._has_payloads = "pay_bin" in {
+                        f.name
+                        for f in pq.ParquetDataset(pdir).schema
+                    }
+                if self._has_payloads:
+                    cols.append("pay_bin")
                 tbl = pq.read_table(
-                    os.path.join(self.index_dir, "postings", f"segment_id={sid}"),
+                    pdir,
                     columns=cols,
                     filters=[("term", "in", need)],
                 )
