@@ -120,5 +120,21 @@ class DelimitedPayloadAnalyzer:
         terms, positions, _ = self.tokenize_one_payloads(text)
         return terms, positions
 
+    def tokenize_offsets(self, text: str):
+        """(terms, positions, char_starts, char_ends).  Like the
+        reference, the payload filter does not touch OffsetAttribute —
+        each span covers the whole raw ``term|payload`` token as the
+        whitespace tokenizer emitted it."""
+        terms, positions, _ = self.tokenize_one_payloads(text)
+        starts: list = []
+        ends: list = []
+        off = 0
+        for raw in text.split():
+            s = text.index(raw, off)
+            starts.append(s)
+            ends.append(s + len(raw))
+            off = s + len(raw)
+        return terms, positions, starts, ends
+
     def normalize(self, term: str) -> str:
         return java_lower(term) if self.lowercase else term

@@ -1554,6 +1554,72 @@ class Searcher:
             .select("doc_id", "terms", "positions", "starts", "ends")
         )
 
+    def matches(
+        self,
+        query,
+        k: int = 10,
+        field: str = "",
+        dtype: str = "f32",
+    ):
+        """Structured match spans of the top-k hits — the
+        ``Weight.matches`` / ``MatchesIterator`` surface
+        (``search/Matches.java``; see ``lucene_spark/search/matches.py``
+        for per-family parity notes).  DataFrame (doc_id, url, score,
+        matches) in rank order, where ``matches`` is an array of
+        structs (start_pos, end_pos, start_off, end_off, label) in
+        (startPosition, endPosition) emission order.  The engine's
+        kernels decide WHICH docs match (same gate as search); this
+        explains WHERE, over the stored text re-analyzed with the
+        field's own chain — O(k) work, the corpus is never touched."""
+        import pyspark.sql.functions as F
+
+        from lucene_spark.search.matches import match_spans
+
+        q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
+        specs = dict(
+            (f, s) for f, s in (self.commit.get("field_specs") or [["", self.commit.get("text_col", "text")]])
+        )
+        if field not in specs:
+            raise KeyError(f"unknown field {field!r}; indexed: {sorted(specs)}")
+        src_col = specs[field]
+        analyzer = self.field_analyzers.get(field, self.analyzer)
+        top = self.search(query, k=k, pruned=True, dtype=dtype).collect()
+        out_schema = (
+            "doc_id long, url string, score double, matches array<struct<"
+            "start_pos: int, end_pos: int, start_off: int, end_off: int, "
+            "label: string>>"
+        )
+        if not top:
+            return self.spark.createDataFrame([], out_schema)
+        ids = [int(r["doc_id"]) for r in top]
+        stored = self.get_documents(ids).select("doc_id", src_col)
+        kq, kf, kcol, kan = q, field, src_col, analyzer
+
+        def mt(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                rows = [
+                    match_spans(str(t), kq, kan, field=kf)
+                    for t in pdf[kcol].astype(str)
+                ]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "matches": rows})
+
+        span_df = stored.mapInPandas(
+            mt,
+            "doc_id long, matches array<struct<start_pos: int, end_pos: int, "
+            "start_off: int, end_off: int, label: string>>",
+        )
+        hits = self.spark.createDataFrame(
+            [(int(r["doc_id"]), r["url"], float(r["score"])) for r in top],
+            "doc_id long, url string, score double",
+        )
+        return (
+            hits
+            .join(F.broadcast(span_df), "doc_id", "left")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+
     def highlight(
         self,
         query,
