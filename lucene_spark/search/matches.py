@@ -20,9 +20,14 @@ Per family (reference parity and documented derivations):
   (``TermMatchesIterator``).
 - PhraseQuery slop=0: one [base, base+rels[-1]] span per
   position-verified occurrence (the exact-phrase matcher's window).
-- Sloppy / multi-phrase: member-term occurrences, gated by the engine's
-  doc-level match — a DOCUMENTED widening of the reference's verified
-  sloppy windows (same degradation as the highlighter).
+- Sloppy phrase / sloppy multi-phrase: VERIFIED match windows from the
+  span-emitting twin of the faithful SloppyPhraseMatcher port
+  (``sloppy.sloppy_match_spans`` — captureLead bookkeeping,
+  ``SloppyPhraseMatcher.java:197-260``), repeats and hasMultiTermRpts
+  included; a differential pins float32(sum 1/(1+ml)) over the emitted
+  windows to the scoring loops bit-exactly.
+- MultiPhraseQuery slop=0: verified windows where every slot matches
+  one of its alternatives at its query position.
 - MultiTermQuery: every token occurrence matching the leaf's predicate,
   label = the matched token (the per-expanded-term iterators of
   ``DisjunctionMatchesIterator.fromTermsEnum``).
@@ -37,7 +42,51 @@ Per family (reference parity and documented derivations):
 from __future__ import annotations
 
 from lucene_spark.search import ast
-from lucene_spark.search.highlight import _collect_match_specs
+
+
+def _collect_specs(q, field: str):
+    """(terms, phrases, matchers, intervals): the highlighter's walk
+    (``highlight._collect_match_specs``) MINUS its sloppy/multi-phrase
+    term degradation — those families get verified windows here via
+    ``_collect_sloppy_specs`` instead."""
+    terms: set = set()
+    phrases: list = []
+    matchers: list = []
+    intervals: list = []
+
+    def walk(node):
+        if isinstance(node, ast.TermQuery):
+            if ast.field_of(node.term) == field:
+                terms.add(ast.bare_term(node.term))
+        elif isinstance(node, ast.PhraseQuery):
+            if any(ast.field_of(t) != field for t in node.terms):
+                return
+            if node.slop == 0:
+                phrases.append(
+                    (
+                        tuple(ast.bare_term(t) for t in node.terms),
+                        tuple(node.positions),
+                    )
+                )
+            # slop>0 handled by _collect_sloppy_specs
+        elif isinstance(node, ast.MultiPhraseQuery):
+            pass  # handled by _collect_sloppy_specs (exact and sloppy)
+        elif isinstance(node, ast.MultiTermQuery):
+            if node.field == field:
+                from lucene_spark.search.multiterm import bare_matcher
+
+                matchers.append(bare_matcher(node.mode, node.args))
+        elif isinstance(node, ast.IntervalQuery):
+            if node.field == field:
+                intervals.append(node.source)
+        elif isinstance(node, ast.BooleanQuery):
+            for c in node.must + node.should + node.filter:
+                walk(c)  # must_not intentionally skipped
+        elif isinstance(node, (ast.BoostQuery, ast.ConstantScoreQuery)):
+            walk(node.query)
+
+    walk(ast.rewrite(q))
+    return terms, phrases, matchers, intervals
 
 
 def _phrase_spans(toks, positions, bare, rels):
@@ -73,6 +122,87 @@ def _phrase_spans(toks, positions, bare, rels):
     return out
 
 
+def _collect_sloppy_specs(q, field: str):
+    """Sloppy phrase / multi-phrase specs the highlighter degrades but
+    the Matches API verifies: [(slots, rels, slop, groups, mtr, label)]
+    with slots = per-position tuples of alternative bare terms."""
+    from lucene_spark.search.sloppy import multi_repeat_groups, repeat_groups
+
+    specs: list = []
+
+    def walk(node):
+        if isinstance(node, ast.PhraseQuery) and node.slop > 0:
+            if any(ast.field_of(t) != field for t in node.terms):
+                return
+            bare = tuple(ast.bare_term(t) for t in node.terms)
+            specs.append(
+                (
+                    tuple((t,) for t in bare),
+                    tuple(node.positions),
+                    node.slop,
+                    repeat_groups(bare),
+                    False,
+                    " ".join(bare),
+                )
+            )
+        elif isinstance(node, ast.MultiPhraseQuery):
+            slots = tuple(
+                tuple(
+                    ast.bare_term(t) for t in alts if ast.field_of(t) == field
+                )
+                for alts in node.slots
+            )
+            if any(not s for s in slots):
+                return
+            label = " ".join(
+                s[0] if len(s) == 1 else "(" + "|".join(s) + ")"
+                for s in slots
+            )
+            if node.slop > 0:
+                groups, mtr = multi_repeat_groups(slots)
+                specs.append(
+                    (slots, tuple(node.positions), node.slop, groups, mtr, label)
+                )
+            else:
+                specs.append(
+                    (slots, tuple(node.positions), 0, None, False, label)
+                )
+        elif isinstance(node, ast.BooleanQuery):
+            for c in node.must + node.should + node.filter:
+                walk(c)
+        elif isinstance(node, (ast.BoostQuery, ast.ConstantScoreQuery)):
+            walk(node.query)
+
+    walk(ast.rewrite(q))
+    return specs
+
+
+def _multi_phrase_exact_spans(toks, positions, slots, rels):
+    """Verified exact multi-phrase occurrences -> [(start_pos,
+    end_pos)]: at each candidate base, every slot must have one of its
+    alternatives at base + rel."""
+    out = []
+    at_pos: dict = {}
+    for i, p in enumerate(positions):
+        at_pos.setdefault(p, set()).add(toks[i])
+    lead_rel = rels[0]
+    lead_alts = set(slots[0])
+    seen_bases = set()
+    for i, t in enumerate(toks):
+        if t not in lead_alts:
+            continue
+        base = positions[i] - lead_rel
+        if base in seen_bases:
+            continue
+        seen_bases.add(base)
+        if all(
+            at_pos.get(base + r, set()) & set(alts)
+            for alts, r in zip(slots[1:], rels[1:])
+        ):
+            out.append((base, base + rels[-1]))
+    return sorted(out)
+
+
 def match_spans_stream(toks, positions, starts, ends, q, field="",
                        analyzer=None, text=None):
     """All match spans of query ``q`` over one doc's token stream ->
@@ -82,7 +212,8 @@ def match_spans_stream(toks, positions, starts, ends, q, field="",
 
     ``analyzer``/``text``: only consulted for payload-filtered interval
     sources (payloads are re-derived from the chain, like offsets)."""
-    terms, phrases, matchers, intervals = _collect_match_specs(q, field)
+    terms, phrases, matchers, intervals = _collect_specs(q, field)
+    sloppy_specs = _collect_sloppy_specs(q, field)
     spans: list = []
 
     # first/last token index at each position (stopword holes mean a
@@ -130,6 +261,42 @@ def match_spans_stream(toks, positions, starts, ends, q, field="",
             spans.append(
                 (int(sp), int(ep), int(starts[i0]), int(ends[i1]), label)
             )
+    if sloppy_specs:
+        from lucene_spark.search.sloppy import sloppy_match_spans
+
+        pos_by_term: dict = {}
+        for t, p in zip(toks, positions):
+            pos_by_term.setdefault(t, []).append(int(p))
+        for slots, rels, slop, groups, mtr, label in sloppy_specs:
+            if slop == 0:
+                # exact multi-phrase: direct window verification
+                occ = _multi_phrase_exact_spans(toks, positions, slots, rels)
+            else:
+                # sloppy: verified windows from the matcher twin; each
+                # slot's positions = merged member-term positions
+                # (UnionPostingsEnum)
+                pls = []
+                for alts in slots:
+                    merged = sorted(
+                        p for t in set(alts) for p in pos_by_term.get(t, ())
+                    )
+                    if not merged:
+                        pls = None
+                        break
+                    pls.append(merged)
+                occ = (
+                    [
+                        (sp, ep)
+                        for sp, ep, _ml in sloppy_match_spans(
+                            pls, rels, slop, groups, mtr
+                        )
+                    ]
+                    if pls is not None
+                    else []
+                )
+            for sp, ep in occ:
+                lo, hi = pos_span_offsets(int(sp), int(ep))
+                spans.append((int(sp), int(ep), lo, hi, label))
     if intervals:
         from lucene_spark.search import intervals as iv
         from lucene_spark.search.kernels import expand_interval_source

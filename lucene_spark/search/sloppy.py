@@ -455,3 +455,177 @@ def sloppy_freq_repeats(
     while next_match():
         freq = np.float32(freq + one / (one + np.float32(mstate["ml"])))
     return float(freq)
+
+
+def sloppy_match_spans(
+    pos_lists, offsets, slop: int, groups=None, mtr: bool = False
+):
+    """[(start_position, end_position, match_length)] per accepted
+    sloppy match, in emission order — the Matches-API twin of
+    :func:`sloppy_freq_repeats` with the reference's captureLead
+    bookkeeping (``SloppyPhraseMatcher.java:197-260``): leadPosition
+    is recorded when a pp is popped and re-recorded at the bottom of
+    every minimization step (i.e. BEFORE the advance that ends a
+    match); ``startPosition`` = min(leadPosition, every pp's raw
+    position), ``endPosition`` = max(leadPosition, every non-lead-ord
+    pp's raw position).  Used only by the matches() surface (k docs) —
+    the reference's own comment: "this is slow, but Matches is slow
+    anyway".  The scoring loops are untouched; a differential test
+    pins float32(sum 1/(1+ml)) over the emitted matches to
+    sloppy_freq / sloppy_freq_repeats bit-exactly.
+
+    ``groups=None`` runs the plain (no-repeats) matcher — the same
+    control flow with the repeat machinery inert."""
+    groups = groups or []
+    n = len(pos_lists)
+    counts = [len(p) for p in pos_lists]
+    offs = [int(o) for o in offsets]
+    rgs = [sorted(g, key=lambda i: offs[i]) for g in groups]
+    group_of = [-1] * n
+    rpt_ind = [0] * n
+    for gi, g in enumerate(rgs):
+        for r, i in enumerate(g):
+            group_of[i] = gi
+            rpt_ind[i] = r
+
+    idx = [0] * n
+    pos = [0] * n
+    state = {"end": -(1 << 31)}
+    lead = {"ord": -1, "pos": 1 << 31}
+
+    def capture_lead(i: int) -> None:
+        lead["ord"] = i
+        lead["pos"] = pos[i] + offs[i]
+
+    def next_position(i: int) -> bool:
+        idx[i] += 1
+        if idx[i] >= counts[i]:
+            return False
+        pos[i] = int(pos_lists[i][idx[i]]) - offs[i]
+        return True
+
+    def advance_pp(i: int) -> bool:
+        if not next_position(i):
+            return False
+        if pos[i] > state["end"]:
+            state["end"] = pos[i]
+        return True
+
+    def tp_pos(i: int) -> int:
+        return pos[i] + offs[i]
+
+    def collide(i: int) -> int:
+        t = tp_pos(i)
+        for j in rgs[group_of[i]]:
+            if j != i and tp_pos(j) == t:
+                return rpt_ind[j]
+        return -1
+
+    def lesser(a: int, b: int) -> int:
+        if pos[a] < pos[b] or (pos[a] == pos[b] and offs[a] < offs[b]):
+            return a
+        return b
+
+    for i in range(n):
+        if counts[i] == 0:
+            return []
+        idx[i] = 0
+        pos[i] = int(pos_lists[i][0]) - offs[i]
+    if mtr:
+        for rg in rgs:
+            gi = 0
+            while gi < len(rg):
+                incr = 1
+                pp = rg[gi]
+                while True:
+                    k = collide(pp)
+                    if k < 0:
+                        break
+                    pp2 = lesser(pp, rg[k])
+                    if not advance_pp(pp2):
+                        return []
+                    if rpt_ind[pp2] < gi:
+                        incr = 0
+                        break
+                gi += incr
+    else:
+        for rg in rgs:
+            for jj in range(1, len(rg)):
+                for _ in range(jj):
+                    if not next_position(rg[jj]):
+                        return []
+    pq = _RefPQ(n, pos, offs)
+    for i in range(n):
+        if pos[i] > state["end"]:
+            state["end"] = pos[i]
+        pq.add(i)
+
+    def advance_rpts(i: int) -> bool:
+        if group_of[i] < 0:
+            return True
+        rg = rgs[group_of[i]]
+        marked: set = set()
+        num_bits = len(rg)
+        k0 = rpt_ind[i]
+        pp = i
+        while True:
+            k = collide(pp)
+            if k < 0:
+                break
+            pp = lesser(pp, rg[k])
+            if not advance_pp(pp):
+                return False
+            if k != k0:
+                num_bits = max(num_bits, k + 1)
+                marked.add(k)
+        if marked:
+            stack = []
+            while marked and pq.size > 0:
+                j = pq.pop()
+                stack.append(j)
+                if group_of[j] >= 0 and rpt_ind[j] < num_bits:
+                    marked.discard(rpt_ind[j])
+            for j in reversed(stack):
+                pq.add(j)
+        return True
+
+    mstate = {"positioned": True, "ml": 1 << 31}
+
+    def span():
+        sp = min([lead["pos"]] + [tp_pos(i) for i in range(n)])
+        ep = lead["pos"]
+        for i in range(n):
+            if i != lead["ord"]:
+                ep = max(ep, tp_pos(i))
+        return sp, ep
+
+    def next_match() -> bool:
+        if not mstate["positioned"]:
+            return False
+        pp = pq.pop()
+        capture_lead(pp)
+        mstate["ml"] = state["end"] - pos[pp]
+        nxt = pos[pq.top()]
+        while advance_pp(pp):
+            if rgs and not advance_rpts(pp):
+                break  # pps exhausted
+            if pos[pp] > nxt:
+                pq.add(pp)
+                if mstate["ml"] <= slop:
+                    return True
+                pp = pq.pop()
+                nxt = pos[pq.top()]
+                mstate["ml"] = state["end"] - pos[pp]
+            else:
+                ml2 = state["end"] - pos[pp]
+                if ml2 < mstate["ml"]:
+                    mstate["ml"] = ml2
+            capture_lead(pp)
+        mstate["positioned"] = False
+        return mstate["ml"] <= slop
+
+    out: list = []
+    while next_match():
+        sp, ep = span()
+        out.append((sp, ep, mstate["ml"]))
+    return out

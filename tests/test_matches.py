@@ -141,3 +141,83 @@ def test_searcher_matches_dataframe(spark, tmp_path_factory):
             # offsets point at the RAW source span; the label is the
             # analyzed term (lowercased)
             assert t[m["start_off"]:m["end_off"]].lower() == m["label"]
+
+
+# ---------------------------------------------- verified sloppy windows
+
+
+def test_sloppy_phrase_verified_spans():
+    text = "quick x brown and brown y z quick"
+    q = ast.PhraseQuery(terms=("quick", "brown"), positions=(0, 1), slop=2)
+    got = match_spans(text, q, A)
+    # one verified window: quick@0 .. brown@2 (ml=1); the later
+    # brown@4/quick@7 pair is out of slop (needs slop >= 4 reversed)
+    assert [(g[0], g[1], g[4]) for g in got] == [(0, 2, "quick brown")]
+    assert got[0][2] == 0 and text[got[0][2]:got[0][3]] == "quick x brown"
+
+
+def test_sloppy_multi_phrase_verified_spans():
+    text = "hot pease cold pease"
+    q = ast.MultiPhraseQuery(
+        slots=(("hot", "cold"), ("pease",)), positions=(0, 1), slop=1
+    )
+    got = match_spans(text, q, A)
+    assert [(g[0], g[1]) for g in got] == [(0, 1), (2, 3)]
+    assert got[0][4] == "(hot|cold) pease"
+
+
+def test_exact_multi_phrase_verified_spans():
+    text = "hot pease cold pease warm pease"
+    q = ast.MultiPhraseQuery(
+        slots=(("hot", "cold"), ("pease",)), positions=(0, 1), slop=0
+    )
+    got = match_spans(text, q, A)
+    # "warm pease" has no slot-0 alternative -> only two windows
+    assert [(g[0], g[1]) for g in got] == [(0, 1), (2, 3)]
+
+
+def test_sloppy_span_freq_differential():
+    """float32(sum 1/(1+ml)) over the span twin's emitted windows must
+    equal the scoring loops bit-exactly — the pin that the Matches
+    windows ARE the scored matches. Randomized over repeat shapes
+    (incl. repeated terms) and the plain matcher."""
+    import random
+
+    from lucene_spark.search.sloppy import (
+        repeat_groups,
+        sloppy_freq,
+        sloppy_freq_repeats,
+        sloppy_match_spans,
+    )
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c"]
+    for trial in range(300):
+        n_terms = rng.randint(2, 3)
+        terms = [rng.choice(vocab) for _ in range(n_terms)]
+        doc = [rng.choice(vocab + ["x", "y"]) for _ in range(rng.randint(4, 14))]
+        slop = rng.randint(0, 4)
+        pls = []
+        ok = True
+        for t in terms:
+            p = [i for i, w in enumerate(doc) if w == t]
+            if not p:
+                ok = False
+                break
+            pls.append(p)
+        if not ok:
+            continue
+        rels = list(range(n_terms))
+        groups = repeat_groups(terms)
+        spans = sloppy_match_spans(pls, rels, slop, groups)
+        f = np.float32(0.0)
+        for _sp, _ep, ml in spans:
+            f = np.float32(f + np.float32(1.0) / (np.float32(1.0) + np.float32(ml)))
+        if groups:
+            want = sloppy_freq_repeats(pls, rels, slop, groups)
+        else:
+            want = sloppy_freq(pls, rels, slop)
+        assert np.float32(f) == np.float32(want), (terms, doc, slop, spans)
+        # windows must be within-doc and ordered sanely
+        for sp, ep, ml in spans:
+            assert 0 <= sp <= ep < len(doc) + n_terms
