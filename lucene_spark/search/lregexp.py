@@ -19,8 +19,10 @@ complement and intersection determinize via subset construction with
 alphabet partitioning (complete-with-dead-state, flip / product).
 Matching simulates the NFA with epsilon closures — terms are short and
 query automata small, so no up-front full determinization is needed.
-Named automata (``<identifier>``, the AUTOMATON provider hook) are
-rejected explicitly."""
+Named automata (``<identifier>``) resolve through the provider hook
+(``RegExp.toAutomaton(AutomatonProvider)``, ``RegExp.java:737-752``):
+pass ``automata`` as a dict (name -> Auto or sub-pattern string) or a
+callable; a miss raises "'name' not found" like the reference."""
 
 from __future__ import annotations
 
@@ -306,12 +308,18 @@ class _Parser:
     """Recursive-descent parser mirroring RegExp.java's grammar
     productions (parseUnionExp .. parseCharExp) one for one."""
 
-    def __init__(self, s: str, flags: int = ALL):
+    def __init__(self, s: str, flags: int = ALL, automata=None):
         if (flags & ~DEPRECATED_COMPLEMENT) > ALL:
             raise ValueError("illegal syntax flag")
         self.s = s
         self.pos = 0
         self.flags = flags
+        # named-automaton provider (RegExp.java REGEXP_AUTOMATON at
+        # :737-752): dict name -> Auto | pattern string (compiled in the
+        # same dialect, no nested provider), or a callable name ->
+        # same | None.  A miss raises "'name' not found" like the
+        # reference's IllegalArgumentException.
+        self.automata = automata
 
     def check(self, flag: int) -> bool:
         return bool(self.flags & flag)
@@ -543,10 +551,17 @@ class _Parser:
                     raise ValueError(
                         f"interval syntax error at position {self.pos - 1}"
                     )
-                raise NotImplementedError(
-                    "named automata (<identifier>) need a provider — "
-                    "not supported"
-                )
+                aa = None
+                if isinstance(self.automata, dict):
+                    aa = self.automata.get(body)
+                elif callable(self.automata):
+                    aa = self.automata(body)
+                if isinstance(aa, str):
+                    aa = _Parser(aa, self.flags).parse()
+                if aa is None:
+                    # RegExp.java:749-751
+                    raise ValueError(f"'{body}' not found")
+                return aa
             if not self.check(INTERVAL):
                 raise ValueError(
                     f"illegal identifier at position {self.pos - 1}"
@@ -577,15 +592,18 @@ class _Parser:
         return ord(self.next())
 
 
-def compile_lucene_regexp(pattern: str, flags: int = ALL) -> Auto:
+def compile_lucene_regexp(pattern: str, flags: int = ALL, automata=None) -> Auto:
     """Parse a Lucene-dialect regexp into an automaton. ANCHORED:
-    ``matches`` decides whole-term membership, like RegexpQuery."""
-    return _Parser(pattern, flags).parse()
+    ``matches`` decides whole-term membership, like RegexpQuery.
+    ``automata``: named-automaton provider for ``<identifier>`` syntax
+    (dict name -> Auto | pattern string, or callable) — the
+    ``RegExp.toAutomaton(AutomatonProvider)`` hook."""
+    return _Parser(pattern, flags, automata).parse()
 
 
-def lucene_regexp_matcher(pattern: str, flags: int = ALL):
+def lucene_regexp_matcher(pattern: str, flags: int = ALL, automata=None):
     """Predicate str -> bool (whole-term, Lucene dialect)."""
-    auto = compile_lucene_regexp(pattern, flags)
+    auto = compile_lucene_regexp(pattern, flags, automata)
     return auto.matches
 
 

@@ -192,13 +192,18 @@ def bare_matcher(mode: str, args: tuple):
         return lambda t: rx.search(t) is not None
     if mode == "lregexp":
         # the reference RegexpQuery dialect: util/automaton/RegExp.java
-        # grammar (incl. & intersection, <n-m> intervals, # @), ANCHORED
-        # whole-term matching; args = (pattern[, flags]), flags default
-        # RegExp.ALL like RegexpQuery's constructor
+        # grammar (incl. & intersection, <n-m> intervals, # @, named
+        # <identifier> automata), ANCHORED whole-term matching; args =
+        # (pattern[, flags[, automata]]), flags default RegExp.ALL like
+        # RegexpQuery's constructor; automata = ((name, sub_pattern),
+        # ...) pairs — the AutomatonProvider hook in a hashable,
+        # serializable encoding (sub-patterns compile in the same
+        # dialect)
         from lucene_spark.search.lregexp import ALL, lucene_regexp_matcher
 
         flags = int(args[1]) if len(args) > 1 else ALL
-        return lucene_regexp_matcher(args[0], flags)
+        provider = dict(args[2]) if len(args) > 2 and args[2] else None
+        return lucene_regexp_matcher(args[0], flags, provider)
     if mode == "fuzzy":
         base, max_edits = args[0], int(args[1])
         transpositions = bool(args[2]) if len(args) > 2 else True

@@ -80,8 +80,8 @@ def test_operators_and_flags():
     assert m("x") and not m("")
     # anchored (RegexpQuery contract), unlike the host-dialect mode
     assert not lucene_regexp_matcher("ui")("quick")
-    with pytest.raises(NotImplementedError):
-        lucene_regexp_matcher("<mysuffixes>")("x")  # named automaton
+    with pytest.raises(ValueError, match="not found"):
+        lucene_regexp_matcher("<mysuffixes>")("x")  # no provider bound
 
 
 def test_decimal_interval_semantics():
@@ -181,3 +181,50 @@ def test_serving_plane_parity():
     pred = multiterm.term_key_matcher("lregexp", ("w00.*&.*2",), "")
     assert docs, "expected matches on the w-vocab corpus"
     assert pred("w0042") and not pred("w0043") and not pred("x0042")
+
+
+def test_named_automaton_provider():
+    """<identifier> resolves through the provider hook
+    (RegExp.toAutomaton(AutomatonProvider), RegExp.java:737-752):
+    dict of sub-patterns or prebuilt automata, or a callable; a miss
+    raises 'name' not found like the reference."""
+    import pytest
+
+    from lucene_spark.search.lregexp import (
+        ALL,
+        compile_lucene_regexp,
+        lucene_regexp_matcher,
+    )
+
+    m = lucene_regexp_matcher("<vowel>+", automata={"vowel": "[aeiou]"})
+    assert m("aei") and m("a") and not m("ab") and not m("")
+    # prebuilt Auto values work too
+    vowel = compile_lucene_regexp("[aeiou]")
+    m2 = lucene_regexp_matcher("x<vowel>y", automata={"vowel": vowel})
+    assert m2("xay") and not m2("xby")
+    # callable provider
+    m3 = lucene_regexp_matcher(
+        "<digits>", automata=lambda n: "[0-9]+" if n == "digits" else None
+    )
+    assert m3("123") and not m3("12a")
+    # composition with the rest of the grammar (& intersection)
+    m4 = lucene_regexp_matcher(
+        "<word>&.*z.*", automata={"word": "[a-z]+"}
+    )
+    assert m4("baz") and not m4("bar") and not m4("z9")
+    # a miss raises the reference's message
+    with pytest.raises(ValueError, match="'nope' not found"):
+        compile_lucene_regexp("<nope>", automata={})
+    with pytest.raises(ValueError, match="not found"):
+        compile_lucene_regexp("<nope>")
+
+
+def test_named_automaton_query_surface():
+    """args = (pattern, flags, ((name, sub_pattern), ...)) through the
+    one matcher source used by every plane."""
+    from lucene_spark.search.lregexp import ALL
+
+    pred = multiterm.term_key_matcher(
+        "lregexp", ("w<d><d><d><d>", ALL, (("d", "[0-9]"),)), ""
+    )
+    assert pred("w0042") and not pred("w004x") and not pred("v0042")
