@@ -96,6 +96,7 @@ def encode_term_postings(
     norms_by_doc: np.ndarray,
     with_positions: bool = True,
     payloads_flat=None,
+    offsets_flat=None,
 ) -> list[dict]:
     """Encode one term's full posting list into block rows.
 
@@ -106,6 +107,10 @@ def encode_term_postings(
     payloads_flat: optional per-position payloads aligned with
         positions_flat (bytes or None each) — when given, every block
         row gains a ``pay_bin`` stream (:func:`pack_payloads`)
+    offsets_flat: optional (starts, ends) arrays aligned with
+        positions_flat — when given, every block row gains an
+        ``off_bin`` stream (:func:`pack_offsets`, the 4th IndexOptions
+        level)
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -154,6 +159,11 @@ def encode_term_postings(
         if payloads_flat is not None:
             p0, p1 = pos_bounds[b0], pos_bounds[b1]
             row["pay_bin"] = pack_payloads(payloads_flat[p0:p1])
+        if offsets_flat is not None:
+            p0, p1 = pos_bounds[b0], pos_bounds[b1]
+            row["off_bin"] = pack_offsets(
+                offsets_flat[0][p0:p1], offsets_flat[1][p0:p1], t
+            )
         rows.append(row)
     return rows
 
@@ -195,6 +205,50 @@ def unpack_payloads(pay_bin: bytes) -> list:
             out[i] = pay_bin[off : off + ln]
             off += ln
     return out
+
+
+def pack_offsets(starts: np.ndarray, ends: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode one block's per-position character offsets (the 4th
+    IndexOptions level, ``index/IndexOptions.java:29-50``
+    DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS; the offsets branch of
+    ``Lucene104PostingsWriter.java``): aligned with the block's flat
+    positions.  Starts are per-doc delta encoded like positions (first
+    absolute, rest gaps — non-decreasing within a doc); lengths are
+    ``end - start``.  Layout: 4-byte LE size of the packed start
+    stream, packed starts, then packed lengths."""
+    import struct
+
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    sd = np.diff(starts, prepend=0).astype(np.int64)
+    doc_starts = np.concatenate(([0], np.cumsum(np.asarray(tfs, np.int64))))[:-1]
+    sd[doc_starts] = starts[doc_starts]
+    sb = forutil.pack(sd.astype(np.uint32))
+    lb = forutil.pack((ends - starts).astype(np.uint32))
+    return struct.pack("<I", len(sb)) + sb + lb
+
+
+def unpack_offsets(off_bin: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`pack_offsets` -> (starts, ends) flat arrays
+    aligned with the block's flat positions."""
+    import struct
+
+    if not off_bin:
+        e = np.empty(0, np.int64)
+        return e, e
+    (nsb,) = struct.unpack_from("<I", off_bin, 0)
+    sd = forutil.unpack(off_bin[4 : 4 + nsb]).astype(np.int64)
+    lengths = forutil.unpack(off_bin[4 + nsb :]).astype(np.int64)
+    if sd.size == 0:
+        return sd, sd
+    bounds = np.cumsum(np.asarray(tfs, dtype=np.int64))[:-1]
+    cs = np.cumsum(sd)
+    carry = np.zeros_like(sd)
+    if bounds.size:
+        carry_vals = cs[bounds - 1]
+        carry[bounds] = np.diff(np.concatenate(([0], carry_vals)))
+    starts = cs - np.cumsum(carry)
+    return starts, starts + lengths
 
 
 def decode_docs(first_doc: int, docs_bin: bytes) -> np.ndarray:

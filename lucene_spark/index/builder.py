@@ -81,6 +81,15 @@ class IndexConfig:
     # reference, vectors are per-field opt-in (FieldType.storeTermVectors
     # + ...Positions + ...Offsets, ``document/FieldType.java``).
     vector_fields: tuple = ()
+    # 4th IndexOptions level (``index/IndexOptions.java:29-50``
+    # DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS): persist each
+    # position's character span in the postings as per-block
+    # ``off_bin`` streams (FieldType.storeOffsets). Opt-in: offset
+    # builds take the scalar per-term encoder (the same extra-stream
+    # trade the reference's postings writer makes). Consumed by the
+    # Matches API's "postings" offset source — match offsets without
+    # stored text or re-analysis.
+    store_offsets: bool = False
     generation: int = 1
     # Optional SQL expression for the segment-assignment column. Default
     # (None) = hash(key) scatter (uniform load). A range expression (e.g.
@@ -134,7 +143,7 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 
 def invert_field(
     field: str, texts, analyzer: Analyzer, store_positions: bool = True,
-    coded=None,
+    coded=None, store_offsets: bool = False,
 ):
     """Pure function: one segment's one FIELD (docs url-sorted) ->
     encoded postings under the fielded term namespace.
@@ -155,7 +164,19 @@ def invert_field(
     from lucene_spark.util.smallfloat import int_to_byte4_np
 
     if coded is None and getattr(analyzer, "has_payloads", False):
-        return _invert_field_payloads(field, texts, analyzer, store_positions)
+        return _invert_field_payloads(
+            field, texts, analyzer, store_positions,
+            store_offsets=store_offsets,
+        )
+    if store_offsets:
+        coded7 = (
+            coded
+            if coded is not None and len(coded) == 7
+            else analyzer.tokenize_batch_coded_offsets(texts)
+        )
+        return _invert_field_offsets(field, coded7, store_positions)
+    if coded is not None and len(coded) == 7:
+        coded = coded[:5]
     doc_idx, codes, uniq, positions, counts = (
         coded if coded is not None else analyzer.tokenize_batch_coded(texts)
     )
@@ -207,7 +228,68 @@ def invert_field(
     )
 
 
-def _invert_field_payloads(field: str, texts, analyzer, store_positions: bool):
+def _invert_field_offsets(field: str, coded7, store_positions: bool):
+    """Offsets-in-postings invert (the 4th IndexOptions level): same
+    (term, doc, position) lexsort as :func:`invert_field` with the
+    per-token character spans carried through to per-position
+    ``off_bin`` streams.  Tokenization is the single-pass
+    ``tokenize_batch_coded_offsets`` stream (shared with term vectors
+    when both are on); encoding runs the scalar per-term
+    ``encode_term_postings`` — the documented opt-in trade."""
+    from lucene_spark.codec.blocks import encode_term_postings
+    from lucene_spark.search.ast import fielded
+    from lucene_spark.util.smallfloat import int_to_byte4_np
+
+    doc_idx, codes, uniq, positions, counts, starts, ends = coded7
+    norms = int_to_byte4_np(counts)
+    block_rows: list = []
+    term_stats: list = []
+    if codes.size:
+        doc_idx = np.asarray(doc_idx, dtype=np.int64)
+        positions = np.asarray(positions, dtype=np.int64)
+        order = np.lexsort((positions, doc_idx, codes))
+        codes_s = codes[order]
+        docs_s = doc_idx[order]
+        pos_s = positions[order]
+        st_s = np.asarray(starts, dtype=np.int64)[order]
+        en_s = np.asarray(ends, dtype=np.int64)[order]
+        bounds = np.searchsorted(codes_s, np.arange(uniq.size + 1))
+        for ti in range(uniq.size):
+            ts0, ts1 = int(bounds[ti]), int(bounds[ti + 1])
+            d = docs_s[ts0:ts1]
+            docs_u, tfs = np.unique(d, return_counts=True)
+            key = fielded(field, str(uniq[ti]))
+            rows = encode_term_postings(
+                docs_u,
+                tfs.astype(np.int64),
+                pos_s[ts0:ts1],
+                norms,
+                with_positions=store_positions,
+                offsets_flat=(st_s[ts0:ts1], en_s[ts0:ts1]),
+            )
+            for r in rows:
+                r["term"] = key
+            block_rows.extend(rows)
+            term_stats.append(
+                {
+                    "term": key,
+                    "doc_freq": int(docs_u.size),
+                    "total_tf": int(ts1 - ts0),
+                }
+            )
+    return (
+        block_rows,
+        term_stats,
+        norms,
+        int(counts.sum()),
+        int(np.count_nonzero(counts)),
+    )
+
+
+def _invert_field_payloads(
+    field: str, texts, analyzer, store_positions: bool,
+    store_offsets: bool = False,
+):
     """Payload-aware invert (the 4th posting plane,
     ``index/IndexOptions.java`` + the ``.pay`` stream of
     ``Lucene104PostingsWriter.java``): same (term, doc, position)
@@ -229,6 +311,8 @@ def _invert_field_payloads(field: str, texts, analyzer, store_positions: bool):
     terms_l: list = []
     pos_l: list = []
     pay_l: list = []
+    st_l: list = []
+    en_l: list = []
     for di, text in enumerate(texts):
         ts, ps, pays = analyzer.tokenize_one_payloads(text or "")
         counts[di] = len(ts)
@@ -236,6 +320,11 @@ def _invert_field_payloads(field: str, texts, analyzer, store_positions: bool):
         terms_l.extend(ts)
         pos_l.extend(ps)
         pay_l.extend(pays)
+        if store_offsets:
+            # same whitespace token order as tokenize_one_payloads
+            _, _, st, en = analyzer.tokenize_offsets(text or "")
+            st_l.extend(st)
+            en_l.extend(en)
     norms = int_to_byte4_np(counts)
     block_rows: list = []
     term_stats: list = []
@@ -249,6 +338,10 @@ def _invert_field_payloads(field: str, texts, analyzer, store_positions: bool):
         docs_s = doc_idx[order]
         pos_s = positions[order]
         pay_s = payloads[order]
+        st_s = en_s = None
+        if store_offsets:
+            st_s = np.asarray(st_l, dtype=np.int64)[order]
+            en_s = np.asarray(en_l, dtype=np.int64)[order]
         bounds = np.searchsorted(codes_s, np.arange(uniq.size + 1))
         for ti in range(uniq.size):
             ts0, ts1 = int(bounds[ti]), int(bounds[ti + 1])
@@ -262,6 +355,9 @@ def _invert_field_payloads(field: str, texts, analyzer, store_positions: bool):
                 norms,
                 with_positions=store_positions,
                 payloads_flat=pay_s[ts0:ts1],
+                offsets_flat=(
+                    (st_s[ts0:ts1], en_s[ts0:ts1]) if store_offsets else None
+                ),
             )
             for r in rows:
                 r["term"] = key
@@ -359,6 +455,10 @@ def _write_segment_files(
         # stream (empty for payload-free terms/fields of the same doc)
         post_cols["pay_bin"] = pa.array(
             [r.get("pay_bin", b"") for r in block_rows], pa.binary()
+        )
+    if any("off_bin" in r for r in block_rows):
+        post_cols["off_bin"] = pa.array(
+            [r.get("off_bin", b"") for r in block_rows], pa.binary()
         )
     post_tbl = pa.table(post_cols)
     os.makedirs(os.path.join(tmp_root, "postings"), exist_ok=True)
@@ -524,7 +624,10 @@ def build_segment_pdf(
             di, codes, uniq, poss, cnts, st, en = (
                 an.tokenize_batch_coded_offsets(texts)
             )
-            coded = (di, codes, uniq, poss, cnts)
+            # 7-tuple: invert_field slices off the spans unless the
+            # index also stores offsets-in-postings (then it shares
+            # this same single-pass stream)
+            coded = (di, codes, uniq, poss, cnts, st, en)
             if codes.size:
                 terms_t = uniq[codes]
                 bounds = np.searchsorted(di, np.arange(len(texts) + 1))
@@ -544,7 +647,8 @@ def build_segment_pdf(
                         }
                     )
         br, ts, norms, stf, fdc = invert_field(
-            fname, texts, an, config.store_positions, coded=coded
+            fname, texts, an, config.store_positions, coded=coded,
+            store_offsets=config.store_offsets,
         )
         block_rows.extend(br)
         term_stats.extend(ts)

@@ -97,6 +97,23 @@ def _check_segment(index_dir: str, segment_id: str, seg_meta: dict, pdf) -> dict
                 assert len(pls) == int(tfs.sum()), (
                     f"{term}: payload count != position count"
                 )
+            # offset streams (when indexed): aligned, sane spans,
+            # starts non-decreasing within each doc
+            off = getattr(r, "off_bin", b"") or b""
+            if off:
+                ost, oen = blk.unpack_offsets(off, tfs)
+                assert ost.size == int(tfs.sum()), (
+                    f"{term}: offset count != position count"
+                )
+                assert (oen >= ost).all() and (ost >= 0).all(), (
+                    f"{term}: bad offset spans"
+                )
+                obounds = np.concatenate(([0], np.cumsum(tfs)))
+                for j in range(docs.size):
+                    s = ost[obounds[j] : obounds[j + 1]]
+                    assert (np.diff(s) >= 0).all(), (
+                        f"{term}: offsets not non-decreasing in doc"
+                    )
             # impacts are rank-safe upper bounds for this block
             itfs = np.asarray(list(r.impact_tfs), dtype=np.int64)
             inorms = np.asarray(list(r.impact_norms), dtype=np.uint8)

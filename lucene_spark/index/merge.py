@@ -312,7 +312,9 @@ def merge_segments(
         posts = spark.read.parquet(os.path.join(index_dir, "postings")).where(
             F.col("segment_id").isin([s["segment_id"] for s in group])
         )
-        has_pay = "pay_bin" in posts.columns
+        extra_bins = [
+            c for c in ("pay_bin", "off_bin") if c in posts.columns
+        ]
         shifted = (
             posts.join(F.broadcast(dim), "segment_id")
             .select(
@@ -324,7 +326,7 @@ def merge_segments(
                 "docs_bin",
                 "tfs_bin",
                 "pos_bin",
-                *(["pay_bin"] if has_pay else []),
+                *extra_bins,
                 "impact_tfs",
                 "impact_norms",
                 "seg_order",
@@ -358,10 +360,11 @@ def merge_segments(
                         [list(v) for v in pdf["impact_norms"]], pa.list_(pa.int32())
                     ),
             }
-            if "pay_bin" in pdf.columns:
-                # concatenation merge: payload streams are per-block and
-                # doc-shift-invariant — carried verbatim
-                cols["pay_bin"] = pa.array(pdf["pay_bin"], pa.binary())
+            for c in ("pay_bin", "off_bin"):
+                if c in pdf.columns:
+                    # concatenation merge: payload/offset streams are
+                    # per-block and doc-shift-invariant — carried verbatim
+                    cols[c] = pa.array(pdf[c], pa.binary())
             tbl = pa.table(cols)
             pq.write_table(
                 tbl,
@@ -902,16 +905,20 @@ def _merge_squeeze(
             ts_ttf: list = []
             pbytes = 0
             has_pay_col = "pay_bin" in pdf.columns
+            has_off_col = "off_bin" in pdf.columns
             for term, grp in pdf.groupby("term", sort=True):
                 docs_parts, tfs_parts, pos_parts, pay_parts = [], [], [], []
+                off_parts: list = []
                 with_pos = False
                 with_pay = False
+                with_off = False
                 for rec in grp.itertuples(index=False):
                     l = by_order[int(rec.seg_order)]
                     d = blk.decode_docs(int(rec.first_doc), rec.docs_bin)
                     t = blk.decode_tfs(rec.tfs_bin)
                     keep = np.isin(d, l["live"], assume_unique=True)
                     rec_pay = getattr(rec, "pay_bin", b"") if has_pay_col else b""
+                    rec_off = getattr(rec, "off_bin", b"") if has_off_col else b""
                     if len(rec.pos_bin):
                         with_pos = True
                         flat = blk.decode_positions(rec.pos_bin, t)
@@ -926,6 +933,17 @@ def _merge_squeeze(
                             pays = blk.unpack_payloads(rec_pay)
                             pay_parts.extend(
                                 pays[bounds[j] : bounds[j + 1]]
+                                for j in kept_idx
+                            )
+                        if rec_off:
+                            # per-position offsets: slice like positions
+                            with_off = True
+                            ost, oen = blk.unpack_offsets(rec_off, t)
+                            off_parts.extend(
+                                (
+                                    ost[bounds[j] : bounds[j + 1]],
+                                    oen[bounds[j] : bounds[j + 1]],
+                                )
                                 for j in kept_idx
                             )
                     if not keep.any():
@@ -947,6 +965,8 @@ def _merge_squeeze(
                         pos_parts = [pos_parts[j] for j in order]
                     if pay_parts:
                         pay_parts = [pay_parts[j] for j in order]
+                    if off_parts:
+                        off_parts = [off_parts[j] for j in order]
                 npos = (
                     np.concatenate(pos_parts)
                     if pos_parts
@@ -959,10 +979,16 @@ def _merge_squeeze(
                     for pl in pay_parts:
                         npay[off : off + len(pl)] = pl
                         off += len(pl)
+                noff = None
+                if with_off:
+                    noff = (
+                        np.concatenate([a for a, _ in off_parts]),
+                        np.concatenate([b for _, b in off_parts]),
+                    )
                 fnorms = new_norms.get(field_of(term))
                 rows = encode_term_postings(
                     nd, ntf, npos, fnorms, with_positions=with_pos,
-                    payloads_flat=npay,
+                    payloads_flat=npay, offsets_flat=noff,
                 )
                 for r in rows:
                     r["term"] = term
@@ -1001,6 +1027,10 @@ def _merge_squeeze(
             if has_pay_col:
                 out_cols["pay_bin"] = pa.array(
                     [r.get("pay_bin", b"") for r in out_rows], pa.binary()
+                )
+            if has_off_col:
+                out_cols["off_bin"] = pa.array(
+                    [r.get("off_bin", b"") for r in out_rows], pa.binary()
                 )
             tbl = pa.table(out_cols)
             pq.write_table(

@@ -869,6 +869,23 @@ def _payloads_for_docs(tb: TermBlocks, docs: np.ndarray) -> list:
     return out
 
 
+def _offsets_for_docs(tb: TermBlocks, docs: np.ndarray) -> list:
+    """Per requested doc, its (starts, ends) offset arrays aligned with
+    the doc's positions (doc must be present) — the block-grouped
+    mirror of ``_positions_for_docs`` over the ``off_bin`` streams."""
+    out: list = [None] * docs.size
+    bidx = np.searchsorted(tb.last_doc, docs, side="left")
+    for b in np.unique(bidx):
+        sel = np.flatnonzero(bidx == b)
+        bd, bt = tb.decode(int(b))
+        st, en = tb.decode_offsets(int(b))
+        bounds = np.concatenate(([0], np.cumsum(bt)))
+        j = np.searchsorted(bd, docs[sel])
+        for row, jj in zip(sel, j):
+            out[row] = (st[bounds[jj] : bounds[jj + 1]], en[bounds[jj] : bounds[jj + 1]])
+    return out
+
+
 def _phrase_doc_freqs(seg: SegmentView, q: ast.PhraseQuery):
     """Phrase matching: doc-level AND approximation, then position
     verification — exact (slop=0, integer phraseFreq) or sloppy

@@ -42,6 +42,7 @@ class LocalIndex:
         text_col: str = "text",
         store_positions: bool = True,
         fields: tuple = (),
+        store_offsets: bool = False,
     ) -> "LocalIndex":
         """``fields``: ((field_name, row_key), ...) — multi-field build;
         () = single default field from ``text_col``."""
@@ -64,7 +65,8 @@ class LocalIndex:
             for fname, src in specs:
                 texts = [r.get(src) or "" for r in grp]
                 block_rows, term_stats, norms, sum_tf, fdc = invert_field(
-                    fname, texts, analyzer, store_positions
+                    fname, texts, analyzer, store_positions,
+                    store_offsets=store_offsets,
                 )
                 for r2 in block_rows:
                     rows_by_term.setdefault(r2["term"], []).append(r2)

@@ -204,7 +204,7 @@ def _multi_phrase_exact_spans(toks, positions, slots, rels):
 
 
 def match_spans_stream(toks, positions, starts, ends, q, field="",
-                       analyzer=None, text=None):
+                       analyzer=None, text=None, pay_of=None):
     """All match spans of query ``q`` over one doc's token stream ->
     [(start_pos, end_pos, start_off, end_off, label)] sorted by
     (start_pos, end_pos, label) — the DisjunctionMatchesIterator
@@ -307,7 +307,10 @@ def match_spans_stream(toks, positions, starts, ends, q, field="",
         for source in intervals:
             src = expand_interval_source(set(toks), source, "")
             pay_terms = iv.payload_terms(src)
-            if pay_terms:
+            if pay_terms and pay_of is not None:
+                # postings offset source: payloads come from the index
+                pos_of.update(pay_of)
+            elif pay_terms:
                 if analyzer is None or text is None or not getattr(
                     analyzer, "has_payloads", False
                 ):

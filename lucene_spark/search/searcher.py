@@ -137,6 +137,7 @@ def _load_segment_view(index_dir: str, segment_id: str, pdf_postings) -> Segment
             live[dead] = False
     rows_by_term: dict[str, list] = {}
     has_pay = "pay_bin" in pdf_postings.columns
+    has_off = "off_bin" in pdf_postings.columns
     for rec in pdf_postings.itertuples(index=False):
         if rec.term is None or not isinstance(rec.term, str):
             continue  # segment-skeleton row (term-less queries)
@@ -153,6 +154,8 @@ def _load_segment_view(index_dir: str, segment_id: str, pdf_postings) -> Segment
         }
         if has_pay and rec.pay_bin:
             row["pay_bin"] = rec.pay_bin
+        if has_off and rec.off_bin:
+            row["off_bin"] = rec.off_bin
         rows_by_term.setdefault(rec.term, []).append(row)
     seg = SegmentView.from_block_rows(segment_id, doc_base, norms, rows_by_term)
     seg.live = live
@@ -592,6 +595,8 @@ class Searcher:
         ]
         if "pay_bin" in self.postings.columns:
             pcols.append("pay_bin")
+        if "off_bin" in self.postings.columns:
+            pcols.append("off_bin")
 
         def one_segment(sid: str):
             import pandas as pd
@@ -1554,12 +1559,106 @@ class Searcher:
             .select("doc_id", "terms", "positions", "starts", "ends")
         )
 
+    def _postings_token_streams(self, ids, q, field: str) -> dict:
+        """doc_id -> (toks, positions, starts, ends, pay_of): reduced
+        per-hit token streams of the query's (dictionary-expanded)
+        terms, read from offsets-in-postings — the POSTINGS offset
+        source of the Matches API (``MatchesIterator.startOffset`` from
+        ``PostingsEnum.OFFSETS``; no stored text, no re-analysis).
+        k-sized work: one term-pruned pyarrow read per HIT segment."""
+        import pyarrow.parquet as pq
+
+        from lucene_spark.search import kernels
+        from lucene_spark.search import multiterm as mt
+
+        by_sid: dict = {}
+        segs = self.commit["segments"]
+        for gid in ids:
+            smeta = next(
+                (
+                    s
+                    for s in segs
+                    if s["doc_base"] <= gid < s["doc_base"] + s["num_docs"]
+                ),
+                None,
+            )
+            if smeta is None:
+                raise KeyError(f"doc {gid} is in no live segment")
+            by_sid.setdefault(smeta["segment_id"], (smeta, []))[1].append(gid)
+        term_keys = sorted(ast_mod.query_terms(q))
+        mt_leaves = ast_mod.multi_term_leaves(q)
+        pcols = [
+            "term", "block_id", "num_docs", "first_doc", "last_doc",
+            "docs_bin", "tfs_bin", "pos_bin", "impact_tfs", "impact_norms",
+            "off_bin",
+        ]
+        if "off_bin" not in self.postings.columns:
+            raise ValueError(
+                "offset_source='postings' needs offsets-in-postings "
+                "(IndexConfig.store_offsets)"
+            )
+        if "pay_bin" in self.postings.columns:
+            pcols.append("pay_bin")
+        out: dict = {}
+        for sid, (smeta, gids) in by_sid.items():
+            need = set(term_keys)
+            for leaf in mt_leaves:
+                filt = mt.arrow_filters(leaf.mode, leaf.args, leaf.field)
+                t = pq.read_table(
+                    os.path.join(
+                        self.index_dir, "term_stats", f"segment_id={sid}"
+                    ),
+                    columns=["term"],
+                    filters=filt,
+                )
+                pred = mt.term_key_matcher(leaf.mode, leaf.args, leaf.field)
+                need.update(x for x in t["term"].to_pylist() if pred(x))
+            tbl = pq.read_table(
+                os.path.join(self.index_dir, "postings", f"segment_id={sid}"),
+                columns=pcols,
+                filters=[("term", "in", sorted(need))],
+            )
+            seg = _load_segment_view(self.index_dir, sid, tbl.to_pandas())
+            for gid in gids:
+                loc = int(gid - smeta["doc_base"])
+                entries: list = []
+                pay_of: dict = {}
+                for key, tb in seg.terms.items():
+                    if ast_mod.field_of(key) != field:
+                        continue
+                    bare = ast_mod.bare_term(key)
+                    d_all, _ = tb.decode_all()
+                    j = int(np.searchsorted(d_all, loc))
+                    if j >= d_all.size or d_all[j] != loc:
+                        continue
+                    docs_arr = np.asarray([loc], dtype=np.int64)
+                    pos = kernels._positions_for_docs(tb, docs_arr)[0]
+                    st, en = kernels._offsets_for_docs(tb, docs_arr)[0]
+                    entries.extend(
+                        (int(p), bare, int(s), int(e))
+                        for p, s, e in zip(pos, st, en)
+                    )
+                    if tb.has_payloads:
+                        pay_of[("pay", bare)] = kernels._payloads_for_docs(
+                            tb, docs_arr
+                        )[0]
+                entries.sort()
+                out[int(gid)] = (
+                    [t for _, t, _, _ in entries],
+                    [p for p, _, _, _ in entries],
+                    [s for _, _, s, _ in entries],
+                    [e for _, _, _, e in entries],
+                    pay_of,
+                )
+        return out
+
     def matches(
         self,
         query,
         k: int = 10,
         field: str = "",
         dtype: str = "f32",
+        offset_source: str = "analysis",
     ):
         """Structured match spans of the top-k hits — the
         ``Weight.matches`` / ``MatchesIterator`` surface
@@ -1569,11 +1668,18 @@ class Searcher:
         structs (start_pos, end_pos, start_off, end_off, label) in
         (startPosition, endPosition) emission order.  The engine's
         kernels decide WHICH docs match (same gate as search); this
-        explains WHERE, over the stored text re-analyzed with the
-        field's own chain — O(k) work, the corpus is never touched."""
+        explains WHERE — O(k) work, the corpus is never touched.
+
+        ``offset_source``: "analysis" re-analyzes each hit's stored
+        text with the field's chain; "postings" reads positions AND
+        character offsets straight from the index's offsets-in-postings
+        streams (IndexConfig.store_offsets — the 4th IndexOptions
+        level), needing neither stored text nor re-analysis: the
+        reference's ``MatchesIterator.startOffset`` over
+        ``PostingsEnum.OFFSETS``."""
         import pyspark.sql.functions as F
 
-        from lucene_spark.search.matches import match_spans
+        from lucene_spark.search.matches import match_spans, match_spans_stream
 
         q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
         specs = dict(
@@ -1592,6 +1698,22 @@ class Searcher:
         if not top:
             return self.spark.createDataFrame([], out_schema)
         ids = [int(r["doc_id"]) for r in top]
+        if offset_source not in ("analysis", "postings"):
+            raise ValueError(f"unknown offset_source {offset_source!r}")
+        if offset_source == "postings":
+            streams = self._postings_token_streams(ids, q, field)
+            data = []
+            for r in top:
+                toks, poss, sts, ens, pay_of = streams[int(r["doc_id"])]
+                spans = match_spans_stream(
+                    toks, poss, sts, ens, q, field=field, pay_of=pay_of
+                )
+                data.append(
+                    (int(r["doc_id"]), r["url"], float(r["score"]), spans)
+                )
+            return self.spark.createDataFrame(data, out_schema).orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
         stored = self.get_documents(ids).select("doc_id", src_col)
         kq, kf, kcol, kan = q, field, src_col, analyzer
 

@@ -55,6 +55,9 @@ class TermBlocks:
     # per-position payload streams (the ``.pay`` file role) — None for
     # indexes built without payloads (the common case)
     pay_bin: "list | None" = None
+    # per-position character-offset streams (the 4th IndexOptions
+    # level, offsets-in-postings) — None when not indexed
+    off_bin: "list | None" = None
     doc_freq: int = 0
     # norm bytes of THIS term's field (per-field .nvd blob, indexable by
     # local doc id) — every scorer call uses the field's own lengths
@@ -105,6 +108,24 @@ class TermBlocks:
     @property
     def has_payloads(self) -> bool:
         return self.pay_bin is not None
+
+    @property
+    def has_offsets(self) -> bool:
+        return self.off_bin is not None
+
+    def decode_offsets(self, i: int) -> tuple:
+        """(starts, ends) of block i aligned with the flat positions of
+        :meth:`decode_positions`; empty arrays when offsets were not
+        indexed."""
+        key = ("off", i)
+        hit = self._cache.get(key)
+        if hit is None:
+            _, t = self.decode(i)
+            hit = blk.unpack_offsets(
+                self.off_bin[i] if self.off_bin is not None else b"", t
+            )
+            self._cache[key] = hit
+        return hit
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         """All (doc ids, tfs) of this term, concatenated."""
@@ -262,6 +283,11 @@ class SegmentView:
                 pay_bin=(
                     [r.get("pay_bin") or b"" for r in rows]
                     if any(r.get("pay_bin") is not None for r in rows)
+                    else None
+                ),
+                off_bin=(
+                    [r.get("off_bin") or b"" for r in rows]
+                    if any(r.get("off_bin") is not None for r in rows)
                     else None
                 ),
                 doc_freq=int(sum(r["num_docs"] for r in rows)),

@@ -462,6 +462,7 @@ class LocalSearcher:
         self._views: dict = {}  # sid -> SegmentView (terms fill lazily)
         self._missing: set = set()  # (sid, term) negative cache
         self._has_payloads: "bool | None" = None  # lazy schema probe
+        self._has_offsets: bool = False
         self._stats: dict | None = None
         self._analyzer = analyzer
         self._preload = preload_stats
@@ -618,12 +619,13 @@ class LocalSearcher:
                     self.index_dir, "postings", f"segment_id={sid}"
                 )
                 if self._has_payloads is None:
-                    self._has_payloads = "pay_bin" in {
-                        f.name
-                        for f in pq.ParquetDataset(pdir).schema
-                    }
+                    names = {f.name for f in pq.ParquetDataset(pdir).schema}
+                    self._has_payloads = "pay_bin" in names
+                    self._has_offsets = "off_bin" in names
                 if self._has_payloads:
                     cols.append("pay_bin")
+                if self._has_offsets:
+                    cols.append("off_bin")
                 tbl = pq.read_table(
                     pdir,
                     columns=cols,
