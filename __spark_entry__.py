@@ -243,6 +243,43 @@ def _searcher_pay(spark: SparkSession, sf_dir: str):
     return s
 
 
+def _searcher_off(spark: SparkSession, sf_dir: str):
+    """Offsets-in-postings index (the 4th IndexOptions level,
+    IndexConfig.store_offsets): same corpus/partitioning as
+    ``_searcher`` with per-position character spans persisted as
+    ``off_bin`` block streams — the fixture behind the Matches API's
+    POSTINGS offset source (no stored text, no re-analysis)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from lucene_spark.analysis.analyzer import ENGLISH
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.searcher import Searcher
+
+    key = _corpus_key(sf_dir) + "off"
+    if key in _searchers:
+        return _searchers[key]
+    index_dir = os.path.join("/tmp", "lucene_spark_idx", key)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    chunk = max(1, math.ceil(n / _NUM_SEGMENTS))
+    pages = docs.select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"),
+        F.col("text"),
+    )
+    cfg = IndexConfig(
+        num_segments=_NUM_SEGMENTS,
+        analyzer=ENGLISH,
+        pid_expr=f"int(cast(url as bigint) / {chunk})",
+        store_offsets=True,
+    )
+    build_index(spark, pages, index_dir, cfg)
+    s = Searcher(spark, index_dir)
+    _searchers[key] = s
+    return s
+
+
 def _docs_view(spark: SparkSession, sf_dir: str) -> None:
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView(
         "documents"
@@ -473,6 +510,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
         return _out_docs(_searcher_pay(spark, sf_dir).match_docs(qq))
+
+    def matches_offsets_term(spark, sf_dir):
+        # Matches API through the POSTINGS offset source: flattened
+        # per-occurrence spans (position + char offsets read from
+        # off_bin, no stored text) of the term query's top-k — bitwise
+        # vs the DuckDB topk+token-arithmetic oracle
+        import pyspark.sql.functions as F
+
+        m = _searcher_off(spark, sf_dir).matches(
+            TERM, k=K, offset_source="postings"
+        )
+        return (
+            m.select(F.col("doc_id"), F.explode("matches").alias("m"))
+            .select(
+                "doc_id",
+                F.col("m.start_pos").alias("start_pos"),
+                F.col("m.start_off").alias("start_off"),
+                F.col("m.end_off").alias("end_off"),
+            )
+            .orderBy("doc_id", "start_pos")
+        )
 
     def bool_and_topk(spark, sf_dir):
         ast = _ast()
@@ -911,6 +969,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference goldens (TestPayloadFilteredInterval,
         # DelimitedPayloadTokenFilter, PayloadHelper)
         interval_payload_match=interval_payload_match,
+        # round 5: offsets-in-postings + Matches API (past-cap like the
+        # payload entry; replica-verified bitwise, reference goldens in
+        # tests/test_offsets.py + tests/test_matches.py)
+        matches_offsets_term=matches_offsets_term,
     )
     return q
 
@@ -972,6 +1034,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
             TERM, "scan", 3
         ),
         "interval_payload_match": osql.interval_payload_match_sql(TERM),
+        "matches_offsets_term": osql.matches_offsets_term_sql(TERM, K),
         "regexp_match": osql.multiterm_match_sql("regexp_matches(t, 'ow$')"),
         "range_match": osql.multiterm_match_sql("t >= 'ba' AND t < 'da'"),
         "regexp_lucene_match": osql.multiterm_match_sql(

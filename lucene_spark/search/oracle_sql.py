@@ -814,6 +814,41 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def matches_offsets_term_sql(term: str, k: int = 10, table: str = "documents") -> str:
+    """Flattened Matches-API spans of a term query's top-k hits,
+    offsets read from offsets-in-postings: per occurrence (doc_id,
+    start_pos, start_off, end_off).  The top-k CTE is the gate-proven
+    BM25 closed form; positions are 1-based indices into the RAW token
+    stream (stopword holes consume positions) minus one; char offsets
+    derive from the single-space ASCII corpus contract — start of
+    token i = len(join(tokens[:i-1])) + 1 separator."""
+    off = (
+        "CASE WHEN i = 1 THEN 0 "
+        "ELSE len(array_to_string(raw[1:i-1], ' ')) + 1 END"
+    )
+    return f"""WITH {base_ctes(table)},
+{_df_cte([term])},
+topk AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_score(_idf(0), _tf(term))} AS score
+  FROM docs, stats, dfs
+  WHERE {_tf(term)} > 0
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+),
+occ AS (
+  SELECT d.doc_id AS doc_id,
+         unnest(list_filter(range(1, len(d.raw) + 1), i -> d.raw[i] = '{term}')) AS i,
+         d.raw AS raw
+  FROM docs d JOIN topk t ON d.doc_id = t.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(i - 1 AS INT) AS start_pos,
+       CAST({off} AS INT) AS start_off,
+       CAST(({off}) + len(raw[i]) AS INT) AS end_off
+FROM occ
+ORDER BY doc_id, start_pos"""
+
+
 def interval_payload_match_sql(t: str, table: str = "documents") -> str:
     """Match set of IntervalQuery(payload_filtered_term(t, even)):
     the payload-plane index decorates token k as ``tok|k``
