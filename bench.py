@@ -146,6 +146,18 @@ def main() -> None:
         spark.sql(ann.cosine_topk_sql(SPARK, qvec, k=10)).collect()
         queries["ann_cosine_topk"] = round(time.time() - t0, 4)
 
+        # HNSW (round 5): per-shard graph build + fan-out beam search
+        from lucene_spark.ops import hnsw
+
+        hnsw_dir = os.path.join(index_dir, "hnsw")
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        t0 = time.time()
+        hnsw.build_df(spark, emb, hnsw_dir, shards=CPUS // 4 or 1)
+        queries["hnsw_build"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        hnsw.topk_df(spark, hnsw_dir, qvec, k=10, ef_search=64).collect()
+        queries["ann_hnsw_topk"] = round(time.time() - t0, 4)
+
         total = time.time() - t_all
         print(
             json.dumps(
