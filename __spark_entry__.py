@@ -904,6 +904,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _emb_df(spark, sf_dir), _centroids(sf_dir)
         )
 
+    def function_score_topk(spark, sf_dir):
+        # FunctionScoreQuery.boostByValue: bm25 * doc-value column
+        # (doc values = plain parquet columns); exhaustive inner
+        # scoring like the reference (no impacts on function scores)
+        s = _searcher(spark, sf_dir)
+        vals = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select(F.col("doc_id"), F.col("n_chars").alias("value"))
+        return _topk_docs(
+            s.function_score_df(TERM, vals, k=K, mode="boost", dtype="f64")
+        )
+
     def emb_hnsw_filtered(spark, sf_dir):
         # filtered KNN (KnnFloatVectorQuery's filter argument):
         # accept predicate evaluated SHARD-LOCALLY on ride-along
@@ -1041,6 +1053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle, and tests/test_hnsw.py pins the acceptOrds traversal
         # + exact-fallback semantics
         emb_hnsw_filtered=emb_hnsw_filtered,
+        # round 5: FunctionScoreQuery (queries/function module) —
+        # past-cap, replica-verified bitwise vs the bm25*column oracle
+        function_score_topk=function_score_topk,
     )
     return q
 
@@ -1154,6 +1169,9 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "emb_hnsw_filtered": ann.cosine_topk_sql(
             DUCK, qvec2, k=10,
             table="(SELECT * FROM embeddings WHERE label IN (3, 7)) fe",
+        ),
+        "function_score_topk": osql.function_score_topk_sql(
+            TERM, "n_chars", K, mode="boost"
         ),
         "emb_near_dup_pairs": ann.near_dup_pairs_sql(DUCK, cents, threshold=0.4),
         "emb_ivf_assign_arr": ann.ivf_assign_sql(DUCK, cents),

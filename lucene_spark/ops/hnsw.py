@@ -426,3 +426,70 @@ def topk_df(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(kk)
     )
+
+
+def topk_many_df(
+    spark, index_dir: str, qvecs: dict, k: int = 10, ef_search: int = 128
+):
+    """(query_id, vec_id, cos): BATCHED KNN — the whole query set in
+    ONE per-shard stage (the ``search_many`` shape): each task loads
+    its shard graph once and runs every beam over it, so graph-load
+    and job-scheduling costs amortize across the set; the only
+    exchange is the final per-query rank over ``<= shards*Q*k`` rows.
+    This is the throughput shape for query fleets at cluster scale —
+    per-query jobs are driver-scheduling-bound exactly like the text
+    engine's single-query plane (see ``Searcher.search_many``).
+
+    ``qvecs``: {query_id: vector} (or a list, ids = list index)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    if not isinstance(qvecs, dict):
+        qvecs = {str(i): q for i, q in enumerate(qvecs)}
+    shards = sorted(
+        d for d in os.listdir(index_dir) if d.startswith("shard=")
+    )
+    kqs = {
+        qid: ([float(x) for x in q], math.sqrt(py_sq_norm(q)))
+        for qid, q in qvecs.items()
+    }
+    kk, kef = int(k), int(ef_search)
+    kdir = index_dir
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for sh in pdf["shard_dir"]:
+                g = _load_graph(os.path.join(kdir, str(sh)))
+                out = []
+                for qid, (q, qn) in kqs.items():
+                    slots = search_np(g, q, kef)
+                    rows = []
+                    for s in slots:
+                        emb = g.vecs[int(s)]
+                        cos = py_dot(emb, q) / (
+                            math.sqrt(py_sq_norm(emb)) * qn
+                        )
+                        rows.append((qid, int(g.ids[int(s)]), cos))
+                    rows.sort(key=lambda r: (-r[2], r[1]))
+                    out.extend(rows[:kk])
+                yield pd.DataFrame(
+                    out, columns=["query_id", "vec_id", "cos"]
+                ).astype(
+                    {"query_id": "object", "vec_id": "int64", "cos": "float64"}
+                )
+
+    n = max(1, len(shards))
+    seed = spark.createDataFrame(
+        spark.sparkContext.parallelize([(s,) for s in shards], n),
+        "shard_dir string",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        seed.mapInPandas(kernel, "query_id string, vec_id long, cos double")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= kk)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cos"), F.asc("vec_id"))
+    )

@@ -362,6 +362,27 @@ WHERE list_has_any(toks, ts)
 ORDER BY doc_id"""
 
 
+def function_score_topk_sql(
+    term: str, field: str = "n_chars", k: int = 10, mode: str = "boost",
+    table: str = "documents",
+) -> str:
+    """(doc_id, score) FunctionScoreQuery oracle
+    (``queries/function/FunctionScoreQuery.java``): ``boost`` =
+    bm25(term) * doc column (boostByValue — the multiply is one f64 op
+    after the f64 score, mirroring the engine's post-kernel column
+    product); ``replace`` = the column alone over the match set."""
+    base = _score(_idf(0), _tf(term))
+    val = f"CAST(d.{field} AS DOUBLE)"
+    score = f"({base}) * {val}" if mode == "boost" else val
+    return f"""WITH {base_ctes(table)},
+{_df_cte([term])}
+SELECT CAST(docs.doc_id AS BIGINT) AS doc_id, {score} AS score
+FROM docs, stats, dfs, {table} d
+WHERE d.doc_id = docs.doc_id AND {_tf(term)} > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def classic_tfidf_sql(term: str, table: str = "documents") -> str:
     """(doc_id, score) under ClassicSimilarity (TF-IDF plugin):
     sqrt(tf) * idf^2 * (1/sqrt(qdl)), idf = 1 + ln((N+1)/(df+1))."""

@@ -1329,6 +1329,81 @@ class Searcher:
             )
         return self.search(q, k=k, pruned=True, dtype=dtype)
 
+    # ---- function scoring ------------------------------------------------
+    def function_score_df(
+        self, query, values, k: int = 10, mode: str = "boost",
+        dtype: str = "f64",
+    ):
+        """FunctionScoreQuery (``queries/function/FunctionScoreQuery.java``).
+
+        ``mode="boost"``: score = inner_score * value — the
+        ``FunctionScoreQuery.boostByValue`` composition; ``"replace"``:
+        score = value over the inner MATCH SET (the base constructor —
+        the wrapped query contributes iteration only,
+        ``FunctionScoreQuery.java:58-66``).
+
+        ``values``: DataFrame (doc_id, value) — doc values ARE plain
+        columns in this engine (SURVEY §2 DocValues stance), typically
+        a two-column pruned scan of the source parquet.
+
+        Scale shape: the reference's FunctionScoreWeight exposes no
+        impacts/max-score either, so inner matches are scored
+        EXHAUSTIVELY and rank truncation happens after the value
+        composition. Per-segment kernels emit the full inner match
+        set; the value join runs before the global top-k. At cluster
+        scale pass a ``values`` table bucketed on doc_id so the join
+        co-locates with the hit exchange."""
+        import pyspark.sql.functions as F
+
+        q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
+        terms = ast_mod.query_terms(q)
+        tstats = self.global_term_stats(terms)
+        stats = self._global_stats(tstats)
+        scorers = build_scorers(q, stats, dtype=dtype)
+        index_dir = self.index_dir
+        kq, kd = q, dtype
+
+        def kernel(key, pdf):
+            import pandas as pd
+
+            if pdf.empty:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": "int64", "score": "float64"}
+                )
+            seg = _load_segment_view(index_dir, str(key[0]), pdf)
+            docs, acc = kernels.score_exhaustive(seg, kq, scorers, kd)
+            return pd.DataFrame(
+                {
+                    "doc_id": (docs + seg.doc_base).astype("int64"),
+                    "score": np.asarray(
+                        kernels._final_scores(acc, kd), dtype=np.float64
+                    ),
+                }
+            )
+
+        per_seg = self._per_segment(
+            terms, kernel, "doc_id long, score double",
+            term_pred=self._scan_pred([q], terms),
+            ensure_segments=ast_mod.has_termless_match(q),
+        )
+        vals = values.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("value").cast("double").alias("value"),
+        )
+        joined = per_seg.join(vals, "doc_id")
+        if mode == "boost":
+            scored = joined.select(
+                "doc_id", (F.col("score") * F.col("value")).alias("score")
+            )
+        else:
+            scored = joined.select("doc_id", F.col("value").alias("score"))
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return (
+            self.docmap.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "score", "url")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     # ---- synonym / dismax scoring ---------------------------------------
     def synonym_scores_df(self, terms, dtype: str = "f64"):
         """SynonymQuery semantics (``search/SynonymQuery.java:211-228``):

@@ -202,6 +202,22 @@ def test_filtered_spark_plane(spark, tmp_path):
     assert [(r.vec_id, r.cos) for r in got] == want
 
 
+def test_batched_matches_sequential(spark, tmp_path):
+    """topk_many_df (one per-shard stage for the whole query set) is
+    row-identical to per-query topk_df."""
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "gb")
+    df = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    hnsw.build_df(spark, df, out, shards=4, m=16, ef_construction=100)
+    ids, vecs = _emb(sf)
+    qs = {"a": list(vecs[0]), "b": list(vecs[5]), "c": list(vecs[9])}
+    batched = hnsw.topk_many_df(spark, out, qs, k=10, ef_search=64).collect()
+    for qid, q in qs.items():
+        seq = hnsw.topk_df(spark, out, q, k=10, ef_search=64).collect()
+        got = [(r.vec_id, r.cos) for r in batched if r.query_id == qid]
+        assert got == [(r.vec_id, r.cos) for r in seq]
+
+
 def test_empty_and_single(spark, tmp_path):
     g = hnsw.build_np(np.asarray([42]), np.ones((1, 4)))
     assert hnsw.search_np(g, np.ones(4), ef=10).tolist() == [0]
