@@ -904,6 +904,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _emb_df(spark, sf_dir), _centroids(sf_dir)
         )
 
+    def mlt_topk(spark, sf_dir):
+        # MoreLikeThis (queries/mlt): interesting-term selection from
+        # doc 0's text (tf*idf floors, ClassicSimilarity idf) ->
+        # boolean SHOULD in selection order -> BM25 top-k (f64 mirror)
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "=", 0)],
+        )
+        return _topk_docs(
+            _searcher(spark, sf_dir).more_like_this(
+                t["text"][0].as_py(), k=K, dtype="f64"
+            )
+        )
+
     def function_score_topk(spark, sf_dir):
         # FunctionScoreQuery.boostByValue: bm25 * doc-value column
         # (doc values = plain parquet columns); exhaustive inner
@@ -1056,6 +1073,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: FunctionScoreQuery (queries/function module) —
         # past-cap, replica-verified bitwise vs the bm25*column oracle
         function_score_topk=function_score_topk,
+        # round 5: MoreLikeThis (queries/mlt module) — past-cap,
+        # replica-verified bitwise vs a full in-SQL selection+BM25
+        # oracle (selection rank fixes the clause accumulation order)
+        mlt_topk=mlt_topk,
     )
     return q
 
@@ -1173,6 +1194,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "function_score_topk": osql.function_score_topk_sql(
             TERM, "n_chars", K, mode="boost"
         ),
+        "mlt_topk": osql.mlt_topk_sql(0, K),
         "emb_near_dup_pairs": ann.near_dup_pairs_sql(DUCK, cents, threshold=0.4),
         "emb_ivf_assign_arr": ann.ivf_assign_sql(DUCK, cents),
         "emb_ivf_topk2": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5, nprobe=2),

@@ -84,7 +84,10 @@ class Graph:
     int64 numpy arrays of neighbor SLOTS.
     """
 
-    __slots__ = ("ids", "vecs", "unit", "levels", "nbrs", "entry")
+    __slots__ = (
+        "ids", "vecs", "unit", "levels", "nbrs", "entry",
+        "qvecs", "qsum", "qmin", "qscale",
+    )
 
     def __init__(self, ids, vecs):
         self.ids = np.asarray(ids, dtype=np.int64)
@@ -95,6 +98,58 @@ class Graph:
         self.levels = np.zeros(len(self.ids), dtype=np.int64)
         self.nbrs: list = [None] * len(self.ids)
         self.entry = -1
+        self.qvecs = None  # int8 navigation plane (quantized mode)
+        self.qsum = None
+        self.qmin = 0.0
+        self.qscale = 1.0
+
+    # -- scalar quantization (Lucene99ScalarQuantizedVectorsFormat
+    # role, `codecs/lucene99/Lucene99ScalarQuantizedVectorsFormat.java`
+    # + `util/quantization/ScalarQuantizer.java`): unit vectors are
+    # quantized to 7-bit ints over a per-shard confidence-interval
+    # value range (CI = 1 - 1/(dim+1), the reference default).
+    # NAVIGATION uses integer dot products reconstructed affinely;
+    # final hits are always re-scored from the raw floats, so
+    # quantization affects recall only, never returned scores.
+    def quantize(self) -> None:
+        d = self.unit.shape[1] if self.unit.size else 0
+        if not len(self.ids):
+            self.qvecs = np.zeros((0, d), dtype=np.uint8)
+            self.qsum = np.zeros(0, dtype=np.int64)
+            return
+        ci = 1.0 - 1.0 / (d + 1)
+        lo = (1.0 - ci) / 2.0
+        vals = self.unit.ravel()
+        self.qmin = float(np.quantile(vals, lo))
+        qmax = float(np.quantile(vals, 1.0 - lo))
+        rng = qmax - self.qmin
+        self.qscale = (127.0 / rng) if rng > 0 else 1.0
+        q = np.clip(self.unit, self.qmin, qmax)
+        self.qvecs = np.round((q - self.qmin) * self.qscale).astype(np.uint8)
+        self.qsum = self.qvecs.sum(axis=1, dtype=np.int64)
+
+    def _quantize_query(self, q: np.ndarray):
+        qq = np.clip(q, self.qmin, self.qmin + 127.0 / self.qscale)
+        qi = np.round((qq - self.qmin) * self.qscale).astype(np.int64)
+        return qi, int(qi.sum())
+
+    def nav_dots(self, slots, qprep) -> np.ndarray:
+        """Approximate (quantized) or exact (float) dot of ``slots``
+        against the prepared query — the navigation ordering."""
+        if self.qvecs is None:
+            return self.unit[slots] @ qprep
+        qi, qs = qprep
+        d = self.qvecs.shape[1]
+        qdot = self.qvecs[slots].astype(np.int64) @ qi
+        m, s = self.qmin, self.qscale
+        return (
+            qdot / (s * s)
+            + (m / s) * (self.qsum[slots] + qs)
+            + d * m * m
+        )
+
+    def nav_prep(self, q: np.ndarray):
+        return q if self.qvecs is None else self._quantize_query(q)
 
 
 def _search_layer(
@@ -109,8 +164,8 @@ def _search_layer(
     non-accepted nodes, exactly ``HnswGraphSearcher#searchLevel``'s
     acceptOrds contract (`util/hnsw/HnswGraphSearcher.java`)."""
     visited = set(eps)
-    dists = {e: -float(np.dot(g.unit[e], q)) for e in eps}
-    cand = [(d, e) for e, d in dists.items()]
+    ep_d = -g.nav_dots(np.asarray(eps, dtype=np.int64), q)
+    cand = [(float(d), e) for d, e in zip(ep_d, eps)]
     heapq.heapify(cand)
     best = [
         (-d, e)
@@ -131,7 +186,7 @@ def _search_layer(
         if not frontier:
             continue
         visited.update(frontier)
-        fd = -(g.unit[frontier] @ q)
+        fd = -g.nav_dots(np.asarray(frontier, dtype=np.int64), q)
         for e, de in zip(frontier, fd):
             de = float(de)
             if len(best) < ef or de < -best[0][0]:
@@ -228,11 +283,12 @@ def search_np(g: Graph, qvec, ef: int, allowed=None) -> np.ndarray:
     qn = math.sqrt(float(np.dot(q, q)))
     if qn > 0.0:
         q = q / qn
+    qp = g.nav_prep(q)
     eps = [g.entry]
     for lc in range(int(g.levels[g.entry]), 0, -1):
-        w = _search_layer(g, q, eps, 1, lc)
+        w = _search_layer(g, qp, eps, 1, lc)
         eps = [w[0][1]]
-    w = _search_layer(g, q, eps, ef, 0, allowed=allowed)
+    w = _search_layer(g, qp, eps, ef, 0, allowed=allowed)
     return np.asarray([e for _, e in w], dtype=np.int64)
 
 
@@ -364,8 +420,15 @@ def topk_df(
     k: int = 10,
     ef_search: int = 128,
     accept=None,
+    quantized: bool = False,
 ):
     """(vec_id, cos): global top-k via per-shard beam searches.
+
+    ``quantized=True``: navigate with the 7-bit scalar-quantized plane
+    (Lucene99ScalarQuantizedVectorsFormat role — int dot products over
+    a 4x-smaller working set); hits are still re-scored from raw
+    floats, so returned scores are identical and only recall is
+    quantization-sensitive.
 
     One task per shard (exactly-partitioned seed — no shuffle on the
     graph side); each task re-scores its beam with the sequential
@@ -387,6 +450,7 @@ def topk_df(
     kk, kef = int(k), int(ef_search)
     kdir = index_dir
     kacc = None if accept is None else (accept[0], set(accept[1]))
+    kquant = bool(quantized)
 
     def kernel(batches):
         import pandas as pd
@@ -403,6 +467,8 @@ def topk_df(
                     mask = np.asarray(
                         [v in kacc[1] for v in meta[kacc[0]]], dtype=bool
                     )
+                if kquant:
+                    g.quantize()
                 slots = search_np(g, kq, kef, allowed=mask)
                 rows = []
                 for s in slots:

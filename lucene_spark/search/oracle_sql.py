@@ -362,6 +362,73 @@ WHERE list_has_any(toks, ts)
 ORDER BY doc_id"""
 
 
+def mlt_topk_sql(
+    src_doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    table: str = "documents",
+) -> str:
+    """(doc_id, score) MoreLikeThis oracle
+    (``queries/mlt/MoreLikeThis.java`` retrieveTerms + the boolean
+    SHOULD rewrite): select the source doc's top ``max_query_terms``
+    terms by tf * (ln((N+1)/(df+1)) + 1) with the tf/df floors, then
+    BM25-sum per candidate doc over the selected terms PRESENT in it,
+    folded in SELECTION-RANK order via list_reduce — the same
+    left-to-right clause accumulation the engine's kernels implement
+    (the standing float contract of ``bool_topk_sql``). Ties in
+    selection break (score desc, term asc) — the engine's documented
+    determinism rule."""
+    w = (
+        "ln(1.0 + (CAST(n - r.df AS DOUBLE) + 0.5) / "
+        "(CAST(r.df AS DOUBLE) + 0.5))"
+    )
+    tf_d = "len(list_filter(docs.toks, x -> x = r.term))"
+    s = (
+        f"({w}) - ({w}) / "
+        f"(1.0 + CAST({tf_d} AS DOUBLE) / ({_nf()}))"
+    )
+    return f"""WITH {base_ctes(table)},
+src AS (SELECT unnest(toks) AS t FROM docs WHERE doc_id = {src_doc_id}),
+src_tf AS (
+  SELECT t AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM src GROUP BY t HAVING count(*) >= {min_term_freq}
+),
+flat AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+alldf AS (
+  SELECT t AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM flat GROUP BY t
+),
+sel AS (
+  SELECT s.term, s.tf, d.df,
+         CAST(s.tf AS DOUBLE) *
+         (ln((CAST(n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) + 1.0)
+           AS mscore
+  FROM src_tf s JOIN alldf d ON d.term = s.term CROSS JOIN stats
+  WHERE d.df >= {min_doc_freq}
+  ORDER BY mscore DESC, s.term ASC
+  LIMIT {max_query_terms}
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY mscore DESC, term ASC) AS rnk
+  FROM sel
+),
+contrib AS (
+  SELECT docs.doc_id, r.rnk, {s} AS s
+  FROM docs CROSS JOIN stats
+  JOIN ranked r ON {tf_d} > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY rnk)),
+         (a, x) -> a + x
+       ) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def function_score_topk_sql(
     term: str, field: str = "n_chars", k: int = 10, mode: str = "boost",
     table: str = "documents",

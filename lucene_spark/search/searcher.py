@@ -1329,6 +1329,80 @@ class Searcher:
             )
         return self.search(q, k=k, pruned=True, dtype=dtype)
 
+    # ---- more-like-this --------------------------------------------------
+    def more_like_this_terms(
+        self,
+        text: str,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+    ):
+        """Interesting-term selection of ``queries/mlt/MoreLikeThis.java``
+        (``retrieveTerms``/``createQueue``): analyze the source text,
+        keep terms with tf >= minTermFreq and corpus df >= minDocFreq,
+        score tf * idf with the ClassicSimilarity idf
+        ``ln((docCount+1)/(df+1)) + 1`` (``TFIDFSimilarity.idf``), and
+        return the top ``maxQueryTerms`` as [(term, score)].
+
+        Determinism contract (divergence from the reference, by
+        design): scores are float64 and ties break (score desc, term
+        asc) — the reference's float32 PriorityQueue breaks ties by
+        hash-map iteration order, which is not reproducible; this
+        engine's rule is total and oracle-mirrorable."""
+        import math as _math
+
+        toks, _pos = self.analyzer.tokenize_one(text)
+        tf: dict = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        cand = {t: f for t, f in tf.items() if f >= min_term_freq}
+        if not cand:
+            return []
+        stats = self.global_term_stats(set(cand))
+        n = int(self.commit["doc_count"])
+        scored = []
+        for t, f in cand.items():
+            df = int(stats.get(t, (0, 0))[0])
+            if df < min_doc_freq:
+                continue
+            idf = _math.log((n + 1) / (df + 1.0)) + 1.0
+            scored.append((t, float(f) * idf))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:max_query_terms]
+
+    def more_like_this(
+        self,
+        text: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        boost: bool = False,
+        dtype: str = "f64",
+    ):
+        """MoreLikeThis ``like(Reader)``: interesting-term selection →
+        boolean SHOULD of TermQueries in selection order (clause order
+        fixes the score accumulation order, the engine's standing
+        float contract) → BM25 top-k. ``boost=True`` boosts each
+        clause by score/bestScore (``MoreLikeThis.setBoost``)."""
+        sel = self.more_like_this_terms(
+            text, max_query_terms, min_term_freq, min_doc_freq
+        )
+        if not sel:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, url string"
+            )
+        if boost:
+            best = sel[0][1]
+            clauses = tuple(
+                ast_mod.BoostQuery(ast_mod.TermQuery(t), s / best)
+                for t, s in sel
+            )
+        else:
+            clauses = tuple(ast_mod.TermQuery(t) for t, _ in sel)
+        q = ast_mod.BooleanQuery(should=clauses, min_should_match=1)
+        return self.search(q, k=k, pruned=True, dtype=dtype)
+
     # ---- function scoring ------------------------------------------------
     def function_score_df(
         self, query, values, k: int = 10, mode: str = "boost",

@@ -202,6 +202,55 @@ def test_filtered_spark_plane(spark, tmp_path):
     assert [(r.vec_id, r.cos) for r in got] == want
 
 
+def test_quantized_navigation():
+    """Scalar-quantized navigation (Lucene99ScalarQuantizedVectorsFormat
+    role): int8 plane is 1/8 the float64 working set, nav error is
+    small, full-ef coverage stays exact (re-score reads raw floats),
+    and moderate-ef recall holds."""
+    sf = "/root/testdata/sf0.01"
+    ids, vecs = _emb(sf)
+    q = vecs[2]
+    want = _brute_topk(ids, vecs, q, 10)
+    merged, hits = [], 0
+    for sh in range(4):
+        m = ids % 4 == sh
+        g = hnsw.build_np(ids[m], vecs[m], m=16, ef_construction=100)
+        g.quantize()
+        assert g.qvecs.dtype == np.uint8
+        assert g.qvecs.nbytes * 8 == g.unit.nbytes
+        qn = q / math.sqrt(float(q @ q))
+        err = np.abs(
+            g.nav_dots(np.arange(len(g.ids)), g.nav_prep(qn))
+            - g.unit @ qn
+        ).max()
+        assert err < 0.05
+        slots = hnsw.search_np(g, q, ef=400)
+        assert slots.size == int(m.sum())  # coverage unaffected
+        merged += _brute_topk(g.ids[slots], g.vecs[slots], q, 10)
+        s32 = hnsw.search_np(g, q, ef=32)
+        hits += len(
+            {v for v, _ in _brute_topk(g.ids[s32], g.vecs[s32], q, 10)}
+            & {v for v, _ in want}
+        )
+    merged.sort(key=lambda r: (-r[1], r[0]))
+    assert merged[:10] == want  # re-scored from floats -> bitwise
+    assert hits / 10 >= 0.9
+
+
+def test_quantized_spark_plane(spark, tmp_path):
+    sf = "/root/testdata/sf0.01"
+    out = str(tmp_path / "gq")
+    df = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    hnsw.build_df(spark, df, out, shards=4, m=16, ef_construction=100)
+    ids, vecs = _emb(sf)
+    q = list(vecs[2])
+    got = hnsw.topk_df(
+        spark, out, q, k=10, ef_search=400, quantized=True
+    ).collect()
+    want = _brute_topk(ids, vecs, np.asarray(q), 10)
+    assert [(r.vec_id, r.cos) for r in got] == want
+
+
 def test_batched_matches_sequential(spark, tmp_path):
     """topk_many_df (one per-shard stage for the whole query set) is
     row-identical to per-query topk_df."""
