@@ -904,6 +904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _emb_df(spark, sf_dir), _centroids(sf_dir)
         )
 
+    def suggest_topk(spark, sf_dir):
+        # suggest-module dictionary role: prefix completion from the
+        # term dictionary, weight = docFreq — a sargable range pushed
+        # to the term-stats parquet, no postings touched
+        return _searcher(spark, sf_dir).suggest("s", k=K)
+
     def mlt_topk(spark, sf_dir):
         # MoreLikeThis (queries/mlt): interesting-term selection from
         # doc 0's text (tf*idf floors, ClassicSimilarity idf) ->
@@ -1077,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replica-verified bitwise vs a full in-SQL selection+BM25
         # oracle (selection rank fixes the clause accumulation order)
         mlt_topk=mlt_topk,
+        # round 5: suggest-module dictionary completion — past-cap
+        suggest_topk=suggest_topk,
     )
     return q
 
@@ -1195,6 +1203,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
             TERM, "n_chars", K, mode="boost"
         ),
         "mlt_topk": osql.mlt_topk_sql(0, K),
+        "suggest_topk": osql.suggest_sql("s", K),
         "emb_near_dup_pairs": ann.near_dup_pairs_sql(DUCK, cents, threshold=0.4),
         "emb_ivf_assign_arr": ann.ivf_assign_sql(DUCK, cents),
         "emb_ivf_topk2": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5, nprobe=2),

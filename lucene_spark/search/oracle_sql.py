@@ -362,6 +362,19 @@ WHERE list_has_any(toks, ts)
 ORDER BY doc_id"""
 
 
+def suggest_sql(prefix: str, k: int = 10, table: str = "documents") -> str:
+    """(term, doc_freq) prefix completion over the term dictionary —
+    the suggest-module dictionary role, weight = global docFreq, ties
+    (doc_freq desc, term asc)."""
+    return f"""WITH {base_ctes(table)},
+flat AS (SELECT doc_id, unnest(toks) AS t FROM docs)
+SELECT t AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM flat WHERE t LIKE '{prefix}%'
+GROUP BY t
+ORDER BY doc_freq DESC, term ASC
+LIMIT {k}"""
+
+
 def mlt_topk_sql(
     src_doc_id: int,
     k: int = 10,

@@ -1329,6 +1329,49 @@ class Searcher:
             )
         return self.search(q, k=k, pruned=True, dtype=dtype)
 
+    # ---- suggest ---------------------------------------------------------
+    def suggest(self, prefix: str, k: int = 10, field: str = ""):
+        """Prefix completion from the term dictionary — the
+        ``suggest`` module's dictionary-backed role
+        (``lucene/suggest/.../FreqTermsEnum`` over the index terms,
+        weight = docFreq): top-k terms starting with the normalized
+        prefix, ranked (doc_freq desc, term asc).
+
+        Plan shape: the sargable ``term >= p AND term < p+1`` range
+        pushes to the parquet term-dictionary row-group stats
+        (BlockTree seek analog), one partial-aggregated groupBy over
+        the matching dictionary rows, TakeOrdered(k). No postings are
+        touched."""
+        import pyspark.sql.functions as F
+
+        p = self.analyzer.normalize(prefix)
+        key_pref = (field + ast_mod.FIELD_SEP + p) if field else p
+        rows = self.term_stats.where(
+            F.col("segment_id").isin(list(self.live_segments))
+        )
+        if key_pref:
+            hi = key_pref[:-1] + chr(ord(key_pref[-1]) + 1)
+            rows = rows.where(
+                (F.col("term") >= key_pref) & (F.col("term") < hi)
+            )
+        if not field:
+            # default-field keys carry no separator; a bare-prefix range
+            # may sweep in "<fieldname>\x1f..." keys of a field whose
+            # NAME shares the prefix
+            rows = rows.where(~F.col("term").contains(ast_mod.FIELD_SEP))
+        out = (
+            rows.groupBy("term")
+            .agg(F.sum("doc_freq").alias("doc_freq"))
+            .orderBy(F.desc("doc_freq"), F.asc("term"))
+            .limit(k)
+        )
+        if field:
+            out = out.select(
+                F.expr(f"substring(term, {len(field) + 2})").alias("term"),
+                "doc_freq",
+            )
+        return out
+
     # ---- more-like-this --------------------------------------------------
     def more_like_this_terms(
         self,
