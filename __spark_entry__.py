@@ -329,6 +329,48 @@ def _centroids(sf_dir: str, c: int = 8) -> list:
     return _trained[key]
 
 
+def _searcher_knn(spark: SparkSession, sf_dir: str):
+    """Index built WITH a KNN vector column (KnnFloatVectorField role):
+    documents joined to their embeddings, per-segment HNSW graphs at
+    flush. Internal ids == doc_id == vec_id (range partitioning +
+    doc_id/vec_id equijoin), so the brute-force embeddings oracle
+    compares directly."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from lucene_spark.analysis.analyzer import ENGLISH
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.searcher import Searcher
+
+    key = "knn1|" + _corpus_key(sf_dir)
+    if key in _searchers:
+        return _searchers[key]
+    index_dir = os.path.join("/tmp", "lucene_spark_idx", key.replace("|", "_"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pages = (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .select(
+            F.format_string("%012d", docs["doc_id"]).alias("url"),
+            F.col("text"),
+            F.col("embedding").alias("emb"),
+        )
+    )
+    n = pages.count()
+    chunk = max(1, math.ceil(n / _NUM_SEGMENTS))
+    cfg = IndexConfig(
+        num_segments=_NUM_SEGMENTS,
+        analyzer=ENGLISH,
+        pid_expr=f"int(cast(url as bigint) / {chunk})",
+        knn_vector_col="emb",
+    )
+    build_index(spark, pages, index_dir, cfg)
+    s = Searcher(spark, index_dir)
+    _searchers[key] = s
+    return s
+
+
 _hnsw_built: dict = {}
 
 
@@ -904,6 +946,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _emb_df(spark, sf_dir), _centroids(sf_dir)
         )
 
+    def index_knn_topk(spark, sf_dir):
+        # KnnFloatVectorQuery over INDEX-resident per-segment graphs
+        # (built at flush via IndexConfig.knn_vector_col, deletes =
+        # acceptOrds, rebuilt through merges); ef >= corpus size =>
+        # exact, so the brute-force embeddings oracle compares bitwise
+        s = _searcher_knn(spark, sf_dir)
+        return s.knn(_vec(sf_dir, 2), k=K, ef_search=600).select(
+            F.col("doc_id").alias("vec_id"), F.col("score").alias("cos")
+        )
+
     def suggest_topk(spark, sf_dir):
         # suggest-module dictionary role: prefix completion from the
         # term dictionary, weight = docFreq — a sargable range pushed
@@ -1085,6 +1137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mlt_topk=mlt_topk,
         # round 5: suggest-module dictionary completion — past-cap
         suggest_topk=suggest_topk,
+        # round 5: index-resident KNN (KnnFloatVectorField role:
+        # graphs at flush, deletes as acceptOrds, merge rebuild) —
+        # past-cap, bitwise vs the brute-force embeddings oracle
+        index_knn_topk=index_knn_topk,
     )
     return q
 
@@ -1204,6 +1260,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         ),
         "mlt_topk": osql.mlt_topk_sql(0, K),
         "suggest_topk": osql.suggest_sql("s", K),
+        "index_knn_topk": ann.cosine_topk_sql(DUCK, qvec2, k=K),
         "emb_near_dup_pairs": ann.near_dup_pairs_sql(DUCK, cents, threshold=0.4),
         "emb_ivf_assign_arr": ann.ivf_assign_sql(DUCK, cents),
         "emb_ivf_topk2": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5, nprobe=2),

@@ -90,6 +90,14 @@ class IndexConfig:
     # Matches API's "postings" offset source — match offsets without
     # stored text or re-analysis.
     store_offsets: bool = False
+    # KnnVectorsFormat role (``document/KnnFloatVectorField.java`` +
+    # ``codecs/lucene99/Lucene99HnswVectorsFormat.java``): name of an
+    # array<float> input column stored per doc with a PER-SEGMENT HNSW
+    # graph built at flush (ops/hnsw.build_np, deterministic). Opt-in;
+    # merges REBUILD the merged segment's graph from surviving vectors
+    # (``KnnVectorsWriter#mergeOneField`` semantics) and deletes apply
+    # at search as the acceptOrds mask.
+    knn_vector_col: "str | None" = None
     generation: int = 1
     # Optional SQL expression for the segment-assignment column. Default
     # (None) = hash(key) scatter (uniform load). A range expression (e.g.
@@ -412,6 +420,7 @@ def _write_segment_files(
     urls: list,
     stored: "dict | None" = None,
     vectors: "list | None" = None,
+    knn_graph=None,
 ) -> dict:
     """Write one segment's parquet files (tmp dir + atomic rename).
 
@@ -557,6 +566,14 @@ def _write_segment_files(
         )
         kinds.append("vectors")
 
+    if knn_graph is not None:
+        # per-segment HNSW graph + raw vectors (KnnVectorsFormat role):
+        # vec_id == global doc_id, nbr_ids per layer
+        knn_tbl = pa.Table.from_pandas(knn_graph, preserve_index=False)
+        os.makedirs(os.path.join(tmp_root, "knn"), exist_ok=True)
+        pq.write_table(knn_tbl, os.path.join(tmp_root, "knn", "data.parquet"))
+        kinds.append("knn")
+
     postings_bytes = sum(
         len(r["docs_bin"]) + len(r["tfs_bin"]) + len(r["pos_bin"])
         for r in block_rows
@@ -675,9 +692,18 @@ def build_segment_pdf(
         if config.stored_cols
         else None
     )
+    knn_graph = None
+    if config.knn_vector_col:
+        from lucene_spark.ops import hnsw
+
+        vecs = np.asarray(
+            pdf[config.knn_vector_col].tolist(), dtype=np.float64
+        )
+        g = hnsw.build_np(doc_base + np.arange(len(urls)), vecs)
+        knn_graph = hnsw._graph_rows(pid, g).drop(columns=["shard"])
     extra = _write_segment_files(
         index_dir, sid, block_rows, term_stats, norms_rows, doc_base, urls,
-        stored=stored, vectors=vectors,
+        stored=stored, vectors=vectors, knn_graph=knn_graph,
     )
     m = {
         "segment_id": sid,
@@ -749,6 +775,7 @@ def build_index(
         dict.fromkeys(
             [src for _, src in field_specs_of(config)]
             + list(config.stored_cols)
+            + ([config.knn_vector_col] if config.knn_vector_col else [])
         )
     )
     keyed = df.select(
@@ -819,6 +846,7 @@ def build_index(
         "store_positions": config.store_positions,
         "stored_cols": list(config.stored_cols),
         "vector_fields": list(config.vector_fields),
+        "knn_vector_col": config.knn_vector_col,
     }
     if write_commit:
         os.makedirs(os.path.join(index_dir, "commits"), exist_ok=True)

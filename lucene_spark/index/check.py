@@ -291,4 +291,57 @@ def check_index(spark, index_dir: str) -> dict:
         ).mapInPandas(vkernel, "n long, bad long").collect()
         assert sum(r["bad"] for r in vrows) == 0, "malformed term vector rows"
         totals["vector_rows"] = int(sum(r["n"] for r in vrows))
+
+    # KNN vector store (CheckIndex testVectors/KnnVectorsReader analog),
+    # when present: exactly one graph node per doc, ids inside the
+    # segment range, neighbor ids point at nodes of the SAME segment,
+    # layer lists sized level+1, degree caps respected (M=16 default:
+    # 2M at layer 0, M above)
+    knn_dir = os.path.join(index_dir, "knn")
+    if os.path.isdir(knn_dir):
+        kdf = spark.read.parquet(knn_dir).where(F.col("segment_id").isin(live))
+        ka = (
+            kdf.groupBy("segment_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("vec_id").alias("nd"),
+                F.min("vec_id").alias("lo"),
+                F.max("vec_id").alias("hi"),
+            )
+            .collect()
+        )
+        for r in ka:
+            m = metas[r["segment_id"]]
+            assert r["n"] == r["nd"], f"duplicate knn nodes in {r['segment_id']}"
+            assert r["n"] == m["num_docs"], "knn node count != docs"
+            assert r["lo"] >= m["doc_base"], "knn id below doc_base"
+            assert r["hi"] < m["doc_base"] + m["num_docs"], "knn id past range"
+
+        def kkernel(key, pdf):
+            import pandas as pd
+
+            ids = set(pdf["vec_id"].tolist())
+            bad = 0
+            for r in pdf.itertuples(index=False):
+                layers = list(r.nbr_ids)
+                ok = len(layers) == int(r.level) + 1
+                for lc, layer in enumerate(layers):
+                    cap = 32 if lc == 0 else 16
+                    lay = list(layer)
+                    ok = ok and len(lay) <= cap and all(
+                        x in ids and x != r.vec_id for x in lay
+                    )
+                if not ok:
+                    bad += 1
+            return pd.DataFrame(
+                {"segment_id": [str(key[0])], "bad": [bad]}
+            )
+
+        krows = (
+            kdf.groupBy("segment_id")
+            .applyInPandas(kkernel, "segment_id string, bad long")
+            .collect()
+        )
+        assert sum(r["bad"] for r in krows) == 0, "malformed knn graph rows"
+        totals["knn_nodes"] = int(sum(r["n"] for r in ka))
     return totals

@@ -579,6 +579,8 @@ def merge_segments(
             kind="vectors",
         ):
             kinds.append("vectors")
+        if _merge_knn(spark, index_dir, group, tmp_root):
+            kinds.append("knn")
         for kind in kinds:
             final = os.path.join(index_dir, kind, f"segment_id={new_sid}")
             if os.path.exists(final):
@@ -782,6 +784,75 @@ def _merge_stored(
     return True
 
 
+def _merge_knn(
+    spark, index_dir: str, group: list, tmp_root: str
+) -> bool:
+    """Carry the KNN vector store through a merge by REBUILDING the
+    merged segment's HNSW graph from the surviving vectors — the
+    ``KnnVectorsWriter#mergeOneField`` contract (Lucene rebuilds the
+    merged graph too; per-source sub-graphs are not connected, so
+    stitching them would break beam reachability). New doc ids come
+    from the freshly written merged docmap via the old-docmap url
+    round-trip (one path for the id-preserving concat merge and the
+    renumbering squeeze; squeezed-out dead docs drop in the inner
+    join). The rebuild runs in ONE executor task sized
+    docs-in-merge — the same memory class as the reference's
+    single-node graph merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from lucene_spark.ops import hnsw
+
+    dirs = [
+        os.path.join(index_dir, "knn", f"segment_id={s['segment_id']}")
+        for s in group
+    ]
+    have = [d for d in dirs if os.path.isdir(d)]
+    if not have:
+        return False
+    knn_dir = os.path.join(tmp_root, "knn")
+    os.makedirs(knn_dir, exist_ok=True)
+    old_dm = spark.read.parquet(
+        *[
+            os.path.join(index_dir, "docmap", f"segment_id={s['segment_id']}")
+            for s in group
+        ]
+    ).select("doc_id", "url")
+    new_dm = spark.read.parquet(os.path.join(tmp_root, "docmap")).select(
+        "doc_id", "url"
+    )
+    joined = (
+        spark.read.parquet(*have)
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+        .join(old_dm, "doc_id")
+        .drop("doc_id")
+        .join(new_dm, "url")
+        .select("doc_id", "embedding")
+    )
+
+    def build_task(iterator):
+        import pandas as pd
+
+        parts = [p for p in iterator if len(p)]
+        if not parts:
+            yield pd.DataFrame({"n": []}).astype({"n": "int64"})
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        vecs = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        g = hnsw.build_np(ids, vecs)
+        rows = hnsw._graph_rows(0, g).drop(columns=["shard"])
+        pq.write_table(
+            pa.Table.from_pandas(rows, preserve_index=False),
+            os.path.join(knn_dir, "data.parquet"),
+        )
+        yield pd.DataFrame({"n": [len(rows)]}).astype({"n": "int64"})
+
+    joined.coalesce(1).mapInPandas(build_task, "n long").collect()
+    return True
+
+
 def vacuum(index_dir: str) -> list:
     """Remove files of segments no longer referenced by the LATEST
     commit (the IndexFileDeleter analog with a keep-last-commit
@@ -794,7 +865,7 @@ def vacuum(index_dir: str) -> list:
     live = {s["segment_id"] for s in commit["segments"]}
     removed = []
     for kind in ("postings", "term_stats", "norms", "docmap", "deletes",
-                 "stored", "vectors"):
+                 "stored", "vectors", "knn"):
         root = os.path.join(index_dir, kind)
         if not os.path.isdir(root):
             continue
@@ -1226,6 +1297,8 @@ def _merge_squeeze(
             kind="vectors",
         ):
             kinds.append("vectors")
+        if _merge_knn(spark, index_dir, group, tmp_root):
+            kinds.append("knn")
         for kind in kinds:
             final = os.path.join(index_dir, kind, f"segment_id={new_sid}")
             if os.path.exists(final):

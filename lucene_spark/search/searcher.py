@@ -1329,6 +1329,92 @@ class Searcher:
             )
         return self.search(q, k=k, pruned=True, dtype=dtype)
 
+    # ---- knn vector search ----------------------------------------------
+    def knn(
+        self,
+        qvec,
+        k: int = 10,
+        ef_search: int = 128,
+        quantized: bool = False,
+    ):
+        """KnnFloatVectorQuery over the index's per-segment HNSW graphs
+        (``search/KnnFloatVectorQuery.java`` / ``AbstractKnnVectorQuery``
+        fan-out-and-merge; graphs built at flush by
+        ``IndexConfig.knn_vector_col``): one task per live segment
+        loads its graph, applies the segment's liveDocs tombstones as
+        the acceptOrds mask (deleted docs never enter results; the
+        graph still routes through them — ``HnswGraphSearcher``'s
+        filtered contract), beams, re-scores hits from raw floats with
+        the sequential f64 fold, and emits its local top-k; the only
+        exchange is the ``<= segments*k``-row global rank, resolved to
+        urls by a broadcast docmap probe.
+
+        Returns (doc_id, score, url), score = cosine, ties by doc_id.
+        """
+        import math as _math
+
+        import pyspark.sql.functions as F
+
+        from lucene_spark.index.deletes import _read_deletes
+        from lucene_spark.ops import hnsw
+        from lucene_spark.ops.ann import py_sq_norm
+
+        if self.commit.get("knn_vector_col") is None:
+            raise ValueError("index was not built with knn_vector_col")
+        index_dir = self.index_dir
+        seg_meta = {
+            s["segment_id"]: int(s["doc_base"])
+            for s in self.commit["segments"]
+        }
+        kq = [float(x) for x in qvec]
+        qn = _math.sqrt(py_sq_norm(kq))
+        kk, kef, kquant = int(k), int(ef_search), bool(quantized)
+
+        def kernel(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for sid, base in zip(pdf["segment_id"], pdf["doc_base"]):
+                    g = hnsw._load_graph(
+                        os.path.join(index_dir, "knn", f"segment_id={sid}")
+                    )
+                    if kquant:
+                        g.quantize()
+                    dead = _read_deletes(index_dir, str(sid))
+                    mask = None
+                    if dead.size:
+                        mask = ~np.isin(g.ids - int(base), dead)
+                    slots = hnsw.search_np(g, kq, kef, allowed=mask)
+                    rows = []
+                    for s in slots:
+                        emb = g.vecs[int(s)]
+                        cos = hnsw.py_dot(emb, kq) / (
+                            _math.sqrt(py_sq_norm(emb)) * qn
+                        )
+                        rows.append((int(g.ids[int(s)]), cos))
+                    rows.sort(key=lambda r: (-r[1], r[0]))
+                    yield pd.DataFrame(
+                        rows[:kk], columns=["doc_id", "score"]
+                    ).astype({"doc_id": "int64", "score": "float64"})
+
+        segs = sorted(self.live_segments)
+        seed = self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(
+                [(sid, seg_meta[sid]) for sid in segs], max(1, len(segs))
+            ),
+            "segment_id string, doc_base long",
+        )
+        topk = (
+            seed.mapInPandas(kernel, "doc_id long, score double")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(kk)
+        )
+        return (
+            self.docmap.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "score", "url")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     # ---- suggest ---------------------------------------------------------
     def suggest(self, prefix: str, k: int = 10, field: str = ""):
         """Prefix completion from the term dictionary — the
