@@ -513,6 +513,13 @@ class LocalSearcher:
             for k, v in getattr(self, "_mt_cache", {}).items()
             if k[0] in keys
         }
+        # knn graphs are immutable per segment id (deletes are a
+        # per-query mask, not graph state) — retain by surviving id
+        self._knn_cache = {
+            k: v
+            for k, v in getattr(self, "_knn_cache", {}).items()
+            if k[0] in keys
+        }
         self._stats = self._load_stats() if self._preload else None
 
     def refresh(self) -> bool:
@@ -838,6 +845,63 @@ class LocalSearcher:
             )
             for d, s in zip(docs, scores)
         ]
+
+    def knn(
+        self,
+        qvec,
+        k: int = 10,
+        ef_search: int = 128,
+        quantized: bool = False,
+    ) -> list:
+        """Serving-plane KnnFloatVectorQuery (no Spark job): the
+        sequential leaf loop over this searcher's segments — graphs
+        cached across queries (immutable per segment id), tombstones
+        applied per query as the acceptOrds mask, hits re-scored from
+        raw floats. [(doc_id, score, url)], bit-identical to
+        ``Searcher.knn``."""
+        import math as _math
+
+        from lucene_spark.index.deletes import _read_deletes
+        from lucene_spark.ops import hnsw
+        from lucene_spark.ops.ann import py_sq_norm
+
+        if self.commit.get("knn_vector_col") is None:
+            raise ValueError("index was not built with knn_vector_col")
+        cache = getattr(self, "_knn_cache", None)
+        if cache is None:
+            cache = self._knn_cache = {}
+        q = [float(x) for x in qvec]
+        qn = _math.sqrt(py_sq_norm(q))
+        rows: list = []
+        for s in self.segments:
+            sid = s["segment_id"]
+            ck = (sid, bool(quantized))
+            g = cache.get(ck)
+            if g is None:
+                g = hnsw._load_graph(
+                    os.path.join(self.index_dir, "knn", f"segment_id={sid}")
+                )
+                if quantized:
+                    g.quantize()
+                cache[ck] = g
+            dead = _read_deletes(self.index_dir, sid)
+            mask = None
+            if dead.size:
+                mask = ~np.isin(g.ids - int(s["doc_base"]), dead)
+            slots = hnsw.search_np(g, q, int(ef_search), allowed=mask)
+            seg_rows = []
+            for sl in slots:
+                emb = g.vecs[int(sl)]
+                cos = hnsw.py_dot(emb, q) / (
+                    _math.sqrt(py_sq_norm(emb)) * qn
+                )
+                seg_rows.append((int(g.ids[int(sl)]), cos))
+            seg_rows.sort(key=lambda r: (-r[1], r[0]))
+            rows.extend(seg_rows[:k])
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:k]
+        urls = self._urls_of(np.asarray([d for d, _ in rows], dtype=np.int64))
+        return [(d, sc, urls[d]) for d, sc in rows]
 
     def count(self, query, tstats: "dict | None" = None) -> int:
         q = (

@@ -121,6 +121,34 @@ def test_knn_survives_merges(spark, corpus, tmp_path):
     assert totals["knn_nodes"] == N_DOCS - len(dead_urls)
 
 
+def test_local_searcher_knn_parity(spark, corpus, tmp_path):
+    """Serving plane (no Spark job) == Spark plane, incl. deletes."""
+    from lucene_spark.index.deletes import delete_docs
+    from lucene_spark.search.serve import LocalSearcher
+
+    d = str(tmp_path / "idx")
+    s = _build(spark, corpus, d)
+    ls = LocalSearcher(d, preload_stats=False)
+    q = _vec_of(9)
+    want = [
+        (r["doc_id"], r["score"], r["url"])
+        for r in s.knn(q, k=10, ef_search=N_DOCS).collect()
+    ]
+    assert ls.knn(q, k=10, ef_search=N_DOCS) == want
+    # cached-graph second query + quantized variant
+    assert ls.knn(q, k=10, ef_search=N_DOCS) == want
+    assert ls.knn(q, k=10, ef_search=N_DOCS, quantized=True) == want
+    delete_docs(spark, d, keys=[want[0][2]])
+    s.refresh()
+    ls.refresh()
+    want2 = [
+        (r["doc_id"], r["score"], r["url"])
+        for r in s.knn(q, k=10, ef_search=N_DOCS).collect()
+    ]
+    assert want2[0][2] != want[0][2]
+    assert ls.knn(q, k=10, ef_search=N_DOCS) == want2
+
+
 def test_knn_requires_config(spark, corpus, tmp_path):
     d = str(tmp_path / "plain")
     df = spark.createDataFrame(
