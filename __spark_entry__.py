@@ -946,6 +946,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _emb_df(spark, sf_dir), _centroids(sf_dir)
         )
 
+    def search_after_page2(spark, sf_dir):
+        # IndexSearcher.searchAfter: page 1's k-th hit becomes the
+        # cursor; page 2 must equal rows k+1..2k of the total rank
+        # (the oracle computes that window directly)
+        s = _searcher(spark, sf_dir)
+        p1 = s.search(TERM, k=K, dtype="f64").collect()
+        cur = (p1[-1]["score"], p1[-1]["doc_id"])
+        return _topk_docs(s.search_after(TERM, cur, k=K, dtype="f64"))
+
     def index_knn_topk(spark, sf_dir):
         # KnnFloatVectorQuery over INDEX-resident per-segment graphs
         # (built at flush via IndexConfig.knn_vector_col, deletes =
@@ -1141,6 +1150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graphs at flush, deletes as acceptOrds, merge rebuild) —
         # past-cap, bitwise vs the brute-force embeddings oracle
         index_knn_topk=index_knn_topk,
+        # round 5: searchAfter pagination — past-cap, page 2 via the
+        # page-1 cursor must equal the oracle's rank window k+1..2k
+        search_after_page2=search_after_page2,
     )
     return q
 
@@ -1261,6 +1273,7 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "mlt_topk": osql.mlt_topk_sql(0, K),
         "suggest_topk": osql.suggest_sql("s", K),
         "index_knn_topk": ann.cosine_topk_sql(DUCK, qvec2, k=K),
+        "search_after_page2": osql.term_page2_sql(TERM, K),
         "emb_near_dup_pairs": ann.near_dup_pairs_sql(DUCK, cents, threshold=0.4),
         "emb_ivf_assign_arr": ann.ivf_assign_sql(DUCK, cents),
         "emb_ivf_topk2": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5, nprobe=2),

@@ -362,6 +362,26 @@ WHERE list_has_any(toks, ts)
 ORDER BY doc_id"""
 
 
+def term_page2_sql(term: str, k: int = 10, table: str = "documents") -> str:
+    """(doc_id, score) rows k+1..2k of the term query's total rank —
+    the searchAfter page-composition contract (page 2 via the page-1
+    cursor must equal this window exactly)."""
+    return f"""WITH {base_ctes(table)},
+{_df_cte([term])},
+scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_score(_idf(0), _tf(term))} AS score
+  FROM docs, stats, dfs
+  WHERE {_tf(term)} > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, score FROM ranked
+WHERE rnk > {k} AND rnk <= {2 * k}
+ORDER BY score DESC, doc_id ASC"""
+
+
 def suggest_sql(prefix: str, k: int = 10, table: str = "documents") -> str:
     """(term, doc_freq) prefix completion over the term dictionary —
     the suggest-module dictionary role, weight = global docFreq, ties

@@ -1532,6 +1532,69 @@ class Searcher:
         q = ast_mod.BooleanQuery(should=clauses, min_should_match=1)
         return self.search(q, k=k, pruned=True, dtype=dtype)
 
+    # ---- pagination -------------------------------------------------------
+    def search_after(self, query, after, k: int = 10, dtype: str = "f64"):
+        """``IndexSearcher.searchAfter(ScoreDoc, Query, n)`` — keyset
+        pagination by the total (score desc, doc asc) rank cursor.
+        ``after`` = (score, doc_id) of the previous page's last hit;
+        returns the next ``k`` (doc_id, score, url).
+
+        v1 scores the inner matches exhaustively (the function-score
+        cost class): the pruned kernels' heaps carry no cursor
+        predicate, and a per-segment top-k WITHOUT the cursor can hide
+        after-cursor hits behind before-cursor ones. The cursor filter
+        applies before rank truncation, so pages compose exactly:
+        page2 == rows k+1..2k of the unpaginated rank
+        (``TopScoreDocCollector.java`` PagingTopScoreDocCollector
+        semantics)."""
+        import pyspark.sql.functions as F
+
+        s_after, d_after = float(after[0]), int(after[1])
+        q = self.parse(query) if isinstance(query, str) else ast_mod.rewrite(query)
+        terms = ast_mod.query_terms(q)
+        tstats = self.global_term_stats(terms)
+        stats = self._global_stats(tstats)
+        scorers = build_scorers(q, stats, dtype=dtype)
+        index_dir = self.index_dir
+        kq, kd = q, dtype
+
+        def kernel(key, pdf):
+            import pandas as pd
+
+            if pdf.empty:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": "int64", "score": "float64"}
+                )
+            seg = _load_segment_view(index_dir, str(key[0]), pdf)
+            docs, acc = kernels.score_exhaustive(seg, kq, scorers, kd)
+            return pd.DataFrame(
+                {
+                    "doc_id": (docs + seg.doc_base).astype("int64"),
+                    "score": np.asarray(
+                        kernels._final_scores(acc, kd), dtype=np.float64
+                    ),
+                }
+            )
+
+        per_seg = self._per_segment(
+            terms, kernel, "doc_id long, score double",
+            term_pred=self._scan_pred([q], terms),
+            ensure_segments=ast_mod.has_termless_match(q),
+        )
+        nxt = per_seg.where(
+            (F.col("score") < F.lit(s_after))
+            | (
+                (F.col("score") == F.lit(s_after))
+                & (F.col("doc_id") > F.lit(d_after))
+            )
+        )
+        topk = nxt.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return (
+            self.docmap.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "score", "url")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     # ---- function scoring ------------------------------------------------
     def function_score_df(
         self, query, values, k: int = 10, mode: str = "boost",
