@@ -946,6 +946,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _emb_df(spark, sf_dir), _centroids(sf_dir)
         )
 
+    def combined_field_scores(spark, sf_dir):
+        # CombinedFieldQuery (BM25F): one term scored across weighted
+        # title+body as a single pseudo-field (pseudo stats = max-df /
+        # weighted-ttf, per-doc combined freq + requantized combined
+        # norm — CombinedFieldQuery.java / MultiNormsLeafSimScorer)
+        return _out_docs(
+            _searcher_mf(spark, sf_dir).combined_field_scores_df(
+                FIELD_TITLE_TERM, [("title", 2.0), ("", 1.0)]
+            ),
+            "score",
+        )
+
     def search_after_page2(spark, sf_dir):
         # IndexSearcher.searchAfter: page 1's k-th hit becomes the
         # cursor; page 2 must equal rows k+1..2k of the total rank
@@ -1153,6 +1165,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: searchAfter pagination — past-cap, page 2 via the
         # page-1 cursor must equal the oracle's rank window k+1..2k
         search_after_page2=search_after_page2,
+        # round 5: CombinedFieldQuery / BM25F — past-cap, bitwise vs a
+        # full pseudo-field oracle over the two-field corpus
+        combined_field_scores=combined_field_scores,
     )
     return q
 
@@ -1274,6 +1289,10 @@ WHERE len(list_filter(toks, t -> t = '{AND_TERMS[0]}')) > 0
         "suggest_topk": osql.suggest_sql("s", K),
         "index_knn_topk": ann.cosine_topk_sql(DUCK, qvec2, k=K),
         "search_after_page2": osql.term_page2_sql(TERM, K),
+        "combined_field_scores": osql.combined_field_scores_sql(
+            FIELD_TITLE_TERM, w_title=2.0, w_body=1.0,
+            title_words=TITLE_WORDS,
+        ),
         "emb_near_dup_pairs": ann.near_dup_pairs_sql(DUCK, cents, threshold=0.4),
         "emb_ivf_assign_arr": ann.ivf_assign_sql(DUCK, cents),
         "emb_ivf_topk2": ann.ivf_topk_sql(DUCK, qvec1, cents, k=5, nprobe=2),

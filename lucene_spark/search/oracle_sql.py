@@ -641,6 +641,59 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def combined_field_scores_sql(
+    term: str,
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+    title_words: int = 8,
+    title_stop: bool = True,
+    table: str = "documents",
+) -> str:
+    """(doc_id, score) CombinedFieldQuery (BM25F) oracle
+    (``search/CombinedFieldQuery.java`` + ``MultiNormsLeafSimScorer``):
+    freq = w_t*tf_title + w_b*tf_body; combined quantized length =
+    largest LENGTH_TABLE value <= floor(w_t*tqdl + w_b*bqdl + 0.5)
+    (intToByte4 of Math.round); pseudo stats df = max per-field df,
+    docCount = max per-field docCount, sumTotalTermFreq =
+    w_t*sum_title + w_b*sum_body."""
+    wt = f"CAST('{float(w_title)!r}' AS DOUBLE)"
+    wb = f"CAST('{float(w_body)!r}' AS DOUBLE)"
+    tf_t = _ftf("ttoks", term)
+    tf_b = _ftf("btoks", term)
+    freq = f"({wt} * CAST({tf_t} AS DOUBLE) + {wb} * CAST({tf_b} AS DOUBLE))"
+    mlraw = f"floor({wt} * tqdl + {wb} * bqdl + 0.5)"
+    ml = f"list_max(list_filter([{_LT}], v -> v <= {mlraw}))"
+    idf = (
+        f"ln(1.0 + (CAST(cn - cdf AS DOUBLE) + 0.5) / "
+        f"(CAST(cdf AS DOUBLE) + 0.5))"
+    )
+    nf = f"{K1} * ({1.0 - B} + ({B} * {ml}) / cavg)"
+    score = f"({idf}) - ({idf}) / (1.0 + {freq} / ({nf}))"
+    return f"""WITH {fielded_ctes(title_words, table, title_stop)},
+csums AS (
+  SELECT CAST(sum(len(ttoks)) AS BIGINT) AS tsum,
+         CAST(sum(len(btoks)) AS BIGINT) AS bsum
+  FROM docs
+),
+cdfs AS (
+  SELECT greatest(
+           CAST(count(*) FILTER (WHERE {tf_t} > 0) AS BIGINT),
+           CAST(count(*) FILTER (WHERE {tf_b} > 0) AS BIGINT)
+         ) AS cdf
+  FROM docs
+),
+cstats AS (
+  SELECT greatest(tn, bn) AS cn,
+         ({wt} * CAST(tsum AS DOUBLE) + {wb} * CAST(bsum AS DOUBLE))
+           / CAST(greatest(tn, bn) AS DOUBLE) AS cavg
+  FROM stats, csums
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {score} AS score
+FROM docs, cdfs, cstats
+WHERE {freq} > 0.0
+ORDER BY doc_id"""
+
+
 def fielded_or_scores_sql(
     title_term: str, body_term: str, title_words: int = 8, table: str = "documents"
 ) -> str:

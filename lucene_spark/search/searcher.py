@@ -1532,6 +1532,111 @@ class Searcher:
         q = ast_mod.BooleanQuery(should=clauses, min_should_match=1)
         return self.search(q, k=k, pruned=True, dtype=dtype)
 
+    # ---- combined fields (BM25F) ------------------------------------------
+    def combined_field_scores_df(self, term: str, fields):
+        """CombinedFieldQuery (``search/CombinedFieldQuery.java`` +
+        ``MultiNormsLeafSimScorer.java``): score a term across several
+        weighted fields as if they were ONE field (BM25F).
+
+        Pseudo term stats: df = max over fields, ttf = long-accumulated
+        sum of weight*ttf (``CombinedFieldQuery.java:274-291``). Pseudo
+        collection stats: docCount = max over fields, sumTotalTermFreq
+        = long-accumulated sum of weight*fieldSum
+        (``mergeCollectionStatistics``). Per doc: freq = sum of
+        weight*tf in field order (``CombinedFieldScorer.freq``), norm =
+        intToByte4(floor(sum of weight*LENGTH_TABLE[norm_f] + 0.5))
+        (``MultiFieldNormValues.advanceExact`` — Math.round). Float64
+        mirror throughout (the oracle-parity dtype).
+
+        ``fields``: [(field_name, weight), ...] — '' = default field.
+        Returns (doc_id, url, score) for every matching live doc."""
+        import pyspark.sql.functions as F
+
+        from lucene_spark.search.scoring import ScorerF64, idf_f64
+        from lucene_spark.similarity.bm25 import LENGTH_TABLE
+        from lucene_spark.util.smallfloat import int_to_byte4_np
+
+        t = self.analyzer.normalize(term)
+        keys = [ast_mod.fielded(f, t) for f, _ in fields]
+        weights = [float(w) for _, w in fields]
+        tstats = self.global_term_stats(set(keys))
+        gs = self._global_stats(tstats)
+        df = 0
+        ttf = 0
+        for key, w in zip(keys, weights):
+            if key in tstats:
+                df = max(df, tstats[key][0])
+                ttf = int(ttf + w * tstats[key][1])  # Java long += double
+        if df == 0:
+            return self.spark.createDataFrame(
+                [], "doc_id long, url string, score double"
+            )
+        doc_count = 0
+        sum_ttf = 0
+        for (f, w) in fields:
+            fs = (gs.field_stats or {}).get(
+                f, (gs.doc_count, gs.sum_total_tf)
+            )
+            doc_count = max(doc_count, int(fs[0]))
+            sum_ttf = int(sum_ttf + w * fs[1])
+        scorer = ScorerF64(idf_f64(df, doc_count), sum_ttf / float(doc_count))
+        index_dir = self.index_dir
+        kk, kw = keys, weights
+
+        def kernel(key, pdf):
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+            if pdf.empty:
+                return empty
+            seg = _load_segment_view(index_dir, str(key[0]), pdf)
+            per_field = []
+            for fkey in kk:
+                tb = seg.term_blocks(fkey)
+                per_field.append(
+                    tb.decode_all() if tb is not None else None
+                )
+            if all(x is None for x in per_field):
+                return empty
+            uniq = np.unique(
+                np.concatenate([d for x in per_field if x is not None for d in [x[0]]])
+            )
+            freq = np.zeros(uniq.size, dtype=np.float64)
+            raw_len = np.zeros(uniq.size, dtype=np.float64)
+            lt = LENGTH_TABLE.astype(np.float64)
+            for fkey, w, x in zip(kk, kw, per_field):
+                nb = seg.norms_for_term(fkey)
+                raw_len += w * lt[nb[uniq].astype(np.uint8)]
+                if x is None:
+                    continue
+                d, f = x
+                pos = np.searchsorted(uniq, d)
+                freq[pos] += w * f.astype(np.float64)
+            comb_byte = int_to_byte4_np(
+                np.floor(raw_len + 0.5).astype(np.int64)
+            )
+            lm = seg.live_mask(uniq)
+            uniq, freq, comb_byte = uniq[lm], freq[lm], comb_byte[lm]
+            s = scorer.score(freq, comb_byte)
+            return pd.DataFrame(
+                {
+                    "doc_id": (uniq + seg.doc_base).astype("int64"),
+                    "score": np.asarray(s, dtype=np.float64),
+                }
+            )
+
+        per_seg = self._per_segment(
+            set(keys), kernel, "doc_id long, score double"
+        )
+        return (
+            self.docmap.join(F.broadcast(per_seg), "doc_id")
+            .select("doc_id", "url", "score")
+            .orderBy("doc_id")
+        )
+
     # ---- pagination -------------------------------------------------------
     def search_after(self, query, after, k: int = 10, dtype: str = "f64"):
         """``IndexSearcher.searchAfter(ScoreDoc, Query, n)`` — keyset
