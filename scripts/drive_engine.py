@@ -92,6 +92,42 @@ print(
     f"PROBE explain doc={top['doc_id']}: value={ex['value']:.6f} "
     f"(matches search score: {ok}); {len(ex['details'])} clause details"
 )
+# round-5 surfaces through the same public API: suggest / searchAfter /
+# MLT / function-score / index-resident KNN
+import pyspark.sql.functions as F
+
+print("SUGGEST w00*:", searcher.suggest("w00", k=3).collect())
+p1 = searcher.search("w0042", k=5, dtype="f64").collect()
+p2 = searcher.search_after(
+    "w0042", (p1[-1]["score"], p1[-1]["doc_id"]), k=5, dtype="f64"
+).collect()
+print(f"PAGE2 after cursor: {len(p2)} rows, top={p2[0]['doc_id'] if p2 else None}")
+mlt = searcher.more_like_this(corpus[7]["text"], k=3).collect()
+print("MLT top:", [(r["doc_id"], round(r["score"], 3)) for r in mlt])
+vals = searcher.docmap.select(
+    "doc_id", (F.col("doc_id") % 5 + 1).cast("double").alias("value")
+)
+fs = searcher.function_score_df("w0042", vals, k=3).collect()
+print("FUNCTION-SCORE top:", [(r["doc_id"], round(r["score"], 3)) for r in fs])
+
+import numpy as np
+
+kd = tempfile.mkdtemp(prefix="ls_knn_")
+rng = np.random.default_rng(5)
+kdf = spark.createDataFrame(
+    [(r["url"], r["text"], [float(x) for x in rng.normal(size=8)])
+     for r in corpus[:200]],
+    "url string, text string, emb array<double>",
+)
+build_index(
+    spark, kdf, kd,
+    IndexConfig(num_segments=3, analyzer=ENGLISH, knn_vector_col="emb"),
+)
+ks = Searcher(spark, kd)
+hits = ks.knn([1.0] * 8, k=3, ef_search=200).collect()
+print("KNN top:", [(r["doc_id"], round(r["score"], 4)) for r in hits])
+shutil.rmtree(kd)
+
 # plan inspection: pushdown + no wide shuffle before the kernel
 import pyspark.sql.functions as F
 
